@@ -1,0 +1,219 @@
+"""GraphSession — the engine's state holder and public facade.
+
+Replaces the reference's Database facade + daemon plumbing
+(lib/src/memory/datastore_old.rs:45-201 Database; the ZMQ daemon pools,
+WAL replication, and storage-backend zoo of SURVEY.md §2.11 collapse
+into a SparkSession + two DataFrames persisted as Parquet).
+
+State model: the session holds the *current* vertices/edges/kv
+DataFrames. Mutations (operators/mutations.py) produce new DataFrames;
+the session swaps them in and re-registers temp views — read-your-writes
+without mutable storage. Persistence = `save()` to parquet
+(at production scale: Delta, where MERGE/OPTIMIZE apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphdb_spark import algebra as A
+from graphdb_spark.datamodel import (
+    EDGE_SCHEMA,
+    VERTEX_SCHEMA,
+    empty_edges,
+    empty_vertices,
+)
+from graphdb_spark.translator import NotIndexedError, QueryOutput, Translator
+
+
+def build_spark(app_name: str = "graphdb_spark", master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Opinionated SparkSession for this engine.
+
+    AQE on (runtime broadcast/skew handling), UTC session timezone
+    (determinism for the DuckDB oracle), Arrow enabled for the
+    pandas-UDF operators."""
+    import os
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        b = b.master(f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata's events.ts is parquet TIMESTAMP(NANOS) which
+        # Spark rejects by default; read as long, normalized in sources.tpch
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+class GraphSession:
+    """Two-DataFrame property graph + KV store + query surfaces."""
+
+    def __init__(self, spark: SparkSession, vertices: DataFrame | None = None,
+                 edges: DataFrame | None = None, strict_indexing: bool = False):
+        self.spark = spark
+        self._v = vertices if vertices is not None else empty_vertices(spark)
+        self._e = edges if edges is not None else empty_edges(spark)
+        self._kv = spark.createDataFrame([], "key string, value string")
+        # index_property registry: we never *need* indexes (scans + pushdown
+        # replace them) but keep the API + a strict conformance mode in which
+        # unindexed property queries raise like the reference
+        # (rdb/datastore.rs:82-100, tests/indexing.rs:32-48).
+        self.strict_indexing = strict_indexing
+        self._indexed: set[str] = set()
+        self._register_views()
+
+    # ------------------------------------------------------------ state
+
+    @property
+    def vertices(self) -> DataFrame:
+        return self._v
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._e
+
+    @property
+    def kv(self) -> DataFrame:
+        return self._kv
+
+    def _register_views(self):
+        self._v.createOrReplaceTempView("vertices")
+        self._e.createOrReplaceTempView("edges")
+
+    def set_state(self, vertices: DataFrame | None = None,
+                  edges: DataFrame | None = None,
+                  kv: DataFrame | None = None):
+        """Swap in new state after a mutation (read-your-writes)."""
+        if vertices is not None:
+            self._v = vertices
+        if edges is not None:
+            self._e = edges
+        if kv is not None:
+            self._kv = kv
+        self._register_views()
+        return self
+
+    # ------------------------------------------------------------ ingest
+
+    @classmethod
+    def load(cls, spark: SparkSession, vertices_path: str, edges_path: str,
+             **kw) -> "GraphSession":
+        """Load a persisted graph. Dedup enforces edge identity
+        (src, relationship, dst) (inmemory_storage.rs:16) and endpoint
+        validation mirrors create_edge's FK check
+        (rdb/datastore.rs:272-281) via semi-joins."""
+        v = spark.read.parquet(vertices_path)
+        e = spark.read.parquet(edges_path)
+        return cls.from_dataframes(spark, v, e, **kw)
+
+    @classmethod
+    def from_dataframes(cls, spark: SparkSession, vertices: DataFrame,
+                        edges: DataFrame, validate: bool = True,
+                        **kw) -> "GraphSession":
+        v = vertices.dropDuplicates(["id"])
+        e = edges.dropDuplicates(["src", "relationship", "dst"])
+        if validate:
+            ids = v.select("id")
+            e = (
+                e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "relationship", "dst", *[
+                    c for c in e.columns if c not in ("src", "relationship", "dst")
+                ])
+            )
+        return cls(spark, v, e, **kw)
+
+    def save(self, vertices_path: str, edges_path: str, mode: str = "overwrite"):
+        """Persist. Snapshot export/import equivalent
+        (lib/src/durability/snapshot.rs:33-62) — parquet instead of JSON."""
+        self._v.write.mode(mode).parquet(vertices_path)
+        self._e.write.mode(mode).parquet(edges_path)
+
+    # ------------------------------------------------------------ queries
+
+    def get(self, q: A.Query) -> list[QueryOutput]:
+        """Pipe-algebra entry point (Database::get / Transaction::get)."""
+        return self._translator().run(q)
+
+    def df(self, q: A.Query) -> DataFrame:
+        return self._translator().df(q)
+
+    def _translator(self) -> Translator:
+        return Translator(
+            self._v, self._e,
+            strict_indexing=self.strict_indexing, indexed=self._indexed,
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL passthrough over the registered views (SURVEY.md §7 M5)."""
+        return self.spark.sql(query)
+
+    def cypher(self, query: str):
+        """Cypher subset entry point (lazy import to keep core light)."""
+        from graphdb_spark.cypher.executor import execute_cypher
+
+        return execute_cypher(self, query)
+
+    # ------------------------------------------------------------ counts
+
+    def vertex_count(self) -> int:
+        """rdb/datastore.rs:57-60"""
+        return self._v.count()
+
+    def edge_count(self) -> int:
+        """rdb/datastore.rs:102-105"""
+        return self._e.count()
+
+    # ------------------------------------------------------------ indexing
+
+    def index_property(self, name: str):
+        """Declare + 'backfill' an index (rdb/datastore.rs:312-340).
+        Spark scans + pushdown make this a registry entry only."""
+        self._indexed.add(name)
+        return self
+
+    def is_indexed(self, name: str) -> bool:
+        return name in self._indexed
+
+    # ------------------------------------------------------------ KV store
+
+    def kv_insert(self, key: str, value: str):
+        """storage_engine.rs:1233-1239 insert; last-writer-wins."""
+        new = self.spark.createDataFrame([(key, value)], "key string, value string")
+        merged = self._kv.filter(F.col("key") != key).unionByName(new)
+        return self.set_state(kv=merged)
+
+    def kv_retrieve(self, key: str) -> str | None:
+        rows = self._kv.filter(F.col("key") == key).select("value").collect()
+        return rows[0][0] if rows else None
+
+    def kv_delete(self, key: str):
+        return self.set_state(kv=self._kv.filter(F.col("key") != key))
+
+    def kv_flush(self):
+        """flush is a commit no-op on immutable state."""
+        return self
+
+    def clear_data(self):
+        """inmemory_storage.rs:88-96"""
+        return self.set_state(
+            vertices=empty_vertices(self.spark),
+            edges=empty_edges(self.spark),
+            kv=self.spark.createDataFrame([], "key string, value string"),
+        )
+
+
+__all__ = ["GraphSession", "build_spark", "NotIndexedError"]

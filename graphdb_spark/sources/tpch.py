@@ -1,0 +1,119 @@
+"""Driver TESTDATA loading + the FIXTURES.md F6 graph mapping.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet each under
+/root/testdata/sf*/ .
+
+F6 graph: vertices = customers ∪ orders ∪ parts with prefixed ids
+(``c_``/``o_``/``p_``); edges = (customer)-[:PLACED]->(order) from
+orders.o_custkey and (order)-[:CONTAINS]->(part) from lineitem. This
+makes pipe traversals / degree counts / top-k oracle-checkable as
+plain SQL joins in DuckDB.
+
+Scale notes: id prefixing is a constant-width concat (codegen'd);
+CONTAINS dedups lineitem on the edge key — at 100 TB that is one
+shuffle on (orderkey, partkey), which any edge-list build requires.
+Property maps carry only the columns queries touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it
+            # arrives as int64 ns — normalize to microsecond timestamp.
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        out[t] = df
+    return out
+
+
+def _cust_vertices(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        F.concat(F.lit("c_"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("customer").alias("label"),
+        F.create_map(
+            F.lit("name"), F.col("c_name"),
+            F.lit("mktsegment"), F.col("c_mktsegment"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+            F.lit("nationkey"), F.col("c_nationkey").cast("string"),
+        ).alias("properties"),
+    )
+
+
+def _order_vertices(orders: DataFrame) -> DataFrame:
+    return orders.select(
+        F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.lit("order").alias("label"),
+        F.create_map(
+            F.lit("orderstatus"), F.col("o_orderstatus"),
+            F.lit("totalprice"), F.col("o_totalprice").cast("string"),
+            F.lit("orderpriority"), F.col("o_orderpriority"),
+        ).alias("properties"),
+    )
+
+
+def _part_vertices(part: DataFrame) -> DataFrame:
+    return part.select(
+        F.concat(F.lit("p_"), F.col("p_partkey").cast("string")).alias("id"),
+        F.lit("part").alias("label"),
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"),
+            F.lit("type"), F.col("p_type"),
+            F.lit("size"), F.col("p_size").cast("string"),
+        ).alias("properties"),
+    )
+
+
+def graph_vertices(t: dict[str, DataFrame]) -> DataFrame:
+    return (
+        _cust_vertices(t["customer"])
+        .unionByName(_order_vertices(t["orders"]))
+        .unionByName(_part_vertices(t["part"]))
+    )
+
+
+def graph_edges(t: dict[str, DataFrame]) -> DataFrame:
+    placed = t["orders"].select(
+        F.concat(F.lit("c_"), F.col("o_custkey").cast("string")).alias("src"),
+        F.lit("PLACED").alias("relationship"),
+        F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("dst"),
+        F.create_map(
+            F.lit("orderdate"), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("properties"),
+    )
+    # lineitem may repeat (orderkey, partkey); edge identity is the
+    # triple, so aggregate quantity before forming the edge — one
+    # map-side-combinable groupBy, deterministic properties.
+    contains = (
+        t["lineitem"]
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .select(
+            F.concat(F.lit("o_"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.lit("CONTAINS").alias("relationship"),
+            F.concat(F.lit("p_"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.create_map(
+                F.lit("quantity"), F.col("qty").cast("string")
+            ).alias("properties"),
+        )
+    )
+    return placed.unionByName(contains)
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str):
+    """(vertices, edges) DataFrames for the F6 bipartite-ish graph."""
+    t = load_tables(spark, sf_dir)
+    return graph_vertices(t), graph_edges(t)

@@ -1,0 +1,240 @@
+"""Translator: pipe-algebra Query tree → DataFrame chains.
+
+This replaces the reference's per-backend query interpreters
+(lib/src/rdb/datastore.rs:56-363, inmemory_storage.rs:133-185) with a
+single compiler onto the DataFrame API. Catalyst then does what the
+reference has no optimizer for (SURVEY.md §4): predicate pushdown,
+column pruning, join selection (broadcast for small vertex frontiers),
+and AQE runtime re-planning.
+
+Scale notes (100 TB):
+- A traversal hop is an equi-join ``frontier ⋈ edges`` on src/dst.
+  Small frontiers (point lookups, filtered sets) are broadcast —
+  we hint it explicitly when the frontier came from SpecificVertex,
+  otherwise AQE converts to broadcast at runtime from observed sizes.
+- Property filters are map probes; translate to `element_at` which
+  stays in whole-stage codegen. For hot properties, promote to typed
+  columns at ingest (datamodel.promote_properties) so the filter
+  pushes down to parquet row groups.
+- limit-per-step translates to a global `limit` (the reference's
+  single-node iterator truncation, queries.rs:269-271); we sort by id
+  first for determinism, matching the reference's byte-ordered KV
+  iteration (rdb/managers.rs:90-110).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphdb_spark import algebra as A
+from graphdb_spark.datamodel import stringify_value
+
+
+@dataclass
+class QueryOutput:
+    """Port of QueryOutputValue (models/src/queries.rs:15-25)."""
+
+    kind: A.OutputType
+    df: DataFrame | None = None  # vertices/edges/properties outputs
+    count: int | None = None  # count outputs
+
+    def collect(self):
+        if self.kind == A.OutputType.COUNT:
+            return self.count
+        return self.df.collect()
+
+
+class NotIndexedError(LookupError):
+    """Port of Error::NotIndexed (rdb/datastore.rs:82-100): raised for
+    property queries on unindexed properties in strict mode only."""
+
+
+class Translator:
+    """Compiles Query trees against a (vertices, edges) DataFrame pair."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame,
+                 strict_indexing: bool = False, indexed: set | None = None):
+        self.v = vertices
+        self.e = edges
+        self.strict_indexing = strict_indexing
+        self.indexed = indexed if indexed is not None else set()
+
+    # ------------------------------------------------------------ public
+
+    def run(self, q: A.Query) -> list[QueryOutput]:
+        """Evaluate, returning one QueryOutput per stage like the
+        reference's Vec<QueryOutputValue> (Include adds stages)."""
+        outs: list[QueryOutput] = []
+        final = self._compile(q, outs)
+        outs.append(final)
+        return outs
+
+    def df(self, q: A.Query) -> DataFrame:
+        """Final stage as a DataFrame (Count becomes a 1-row DF)."""
+        out = self.run(q)[-1]
+        if out.kind == A.OutputType.COUNT:
+            spark = self.v.sparkSession
+            return spark.createDataFrame([(out.count,)], "count bigint")
+        return out.df
+
+    # ------------------------------------------------------------ core
+
+    def _check_indexed(self, name: str):
+        if self.strict_indexing and name not in self.indexed:
+            raise NotIndexedError(
+                f"property {name!r} is not indexed "
+                "(reference rdb/datastore.rs:82-100)"
+            )
+
+    def _compile(self, q: A.Query, outs: list[QueryOutput]) -> QueryOutput:
+        V, E = self.v, self.e
+        prop = lambda name: F.col("properties").getItem(name)  # noqa: E731
+
+        if isinstance(q, A.AllVertex):
+            return QueryOutput(A.OutputType.VERTICES, V)
+
+        if isinstance(q, A.RangeVertex):
+            df = V
+            if q.start_id is not None:
+                # exclusive resume-after like next_uuid (util.rs:85-96)
+                df = df.filter(F.col("id") > F.lit(q.start_id))
+            if q.t is not None:
+                df = df.filter(F.col("label") == F.lit(q.t))
+            if q.limit is not None:
+                # deterministic keyset pagination = ordered limit
+                df = df.orderBy("id").limit(q.limit)
+            return QueryOutput(A.OutputType.VERTICES, df)
+
+        if isinstance(q, A.SpecificVertex):
+            df = V.filter(F.col("id").isin(list(q.ids)))
+            return QueryOutput(A.OutputType.VERTICES, df)
+
+        if isinstance(q, A.VertexWithPropertyPresence):
+            self._check_indexed(q.name)
+            return QueryOutput(
+                A.OutputType.VERTICES, V.filter(prop(q.name).isNotNull())
+            )
+
+        if isinstance(q, A.VertexWithPropertyValue):
+            self._check_indexed(q.name)
+            return QueryOutput(
+                A.OutputType.VERTICES,
+                V.filter(prop(q.name) == F.lit(stringify_value(q.value))),
+            )
+
+        if isinstance(q, A.AllEdge):
+            return QueryOutput(A.OutputType.EDGES, E)
+
+        if isinstance(q, A.SpecificEdge):
+            spark = E.sparkSession
+            probe = spark.createDataFrame(
+                list(q.edges) or [("", "", "")],
+                "src string, relationship string, dst string",
+            )
+            if not q.edges:
+                probe = probe.limit(0)
+            df = E.join(
+                F.broadcast(probe), ["src", "relationship", "dst"], "left_semi"
+            )
+            return QueryOutput(A.OutputType.EDGES, df)
+
+        if isinstance(q, A.EdgeWithPropertyPresence):
+            self._check_indexed(q.name)
+            return QueryOutput(A.OutputType.EDGES, E.filter(prop(q.name).isNotNull()))
+
+        if isinstance(q, A.EdgeWithPropertyValue):
+            self._check_indexed(q.name)
+            return QueryOutput(
+                A.OutputType.EDGES,
+                E.filter(prop(q.name) == F.lit(stringify_value(q.value))),
+            )
+
+        if isinstance(q, A.Pipe):
+            up = self._compile(q.inner, outs)
+            if up.kind == A.OutputType.VERTICES:
+                # vertices -> incident edges. Join on the frontier's ids;
+                # select only ids pre-join so the shuffle carries 1 column.
+                ids = up.df.select(F.col("id"))
+                small_frontier = isinstance(
+                    q.inner, (A.SpecificVertex, A.RangeVertex)
+                )
+                if small_frontier:
+                    ids = F.broadcast(ids)
+                key = "src" if q.direction == A.Direction.OUT else "dst"
+                df = E.join(ids, E[key] == ids["id"], "left_semi")
+                if q.t is not None:
+                    df = df.filter(F.col("relationship") == F.lit(q.t))
+                if q.limit is not None:
+                    df = df.orderBy("src", "relationship", "dst").limit(q.limit)
+                return QueryOutput(A.OutputType.EDGES, df)
+            else:
+                # edges -> endpoint vertices (OUT = src side, IN = dst side)
+                key = "src" if q.direction == A.Direction.OUT else "dst"
+                ids = up.df.select(F.col(key).alias("id")).distinct()
+                df = V.join(ids, "id", "left_semi")
+                if q.t is not None:
+                    df = df.filter(F.col("label") == F.lit(q.t))
+                if q.limit is not None:
+                    df = df.orderBy("id").limit(q.limit)
+                return QueryOutput(A.OutputType.VERTICES, df)
+
+        if isinstance(q, A.PipeProperty):
+            up = self._compile(q.inner, outs)
+            df = up.df
+            if q.name is not None:
+                # single named property: (entity, name, value); rows lacking
+                # the property are dropped (rdb/datastore.rs:175-194)
+                df = (
+                    df.withColumn("prop_name", F.lit(q.name))
+                    .withColumn("prop_value", prop(q.name))
+                    .filter(F.col("prop_value").isNotNull())
+                )
+            else:
+                # all properties exploded: one row per (entity, name, value)
+                df = df.select(
+                    "*", F.explode_outer("properties").alias("prop_name", "prop_value")
+                )
+            kind = (
+                A.OutputType.VERTEX_PROPERTIES
+                if up.kind == A.OutputType.VERTICES
+                else A.OutputType.EDGE_PROPERTIES
+            )
+            return QueryOutput(kind, df)
+
+        if isinstance(q, A.PipeWithPropertyPresence):
+            self._check_indexed(q.name)
+            up = self._compile(q.inner, outs)
+            cond = prop(q.name).isNotNull()
+            df = up.df.filter(cond if q.present else ~F.coalesce(cond, F.lit(False)))
+            return QueryOutput(up.kind, df)
+
+        if isinstance(q, A.PipeWithPropertyValue):
+            self._check_indexed(q.name)
+            up = self._compile(q.inner, outs)
+            eq = prop(q.name) == F.lit(stringify_value(q.value))
+            if q.equal:
+                df = up.df.filter(eq)
+            else:
+                # != keeps rows lacking the property? Reference drops them:
+                # the value-index scan only yields rows *with* the property
+                # (queries.rs:590-635) — not-equal means "has property, value
+                # differs".
+                df = up.df.filter(prop(q.name).isNotNull() & ~eq)
+            return QueryOutput(up.kind, df)
+
+        if isinstance(q, A.Include):
+            up = self._compile(q.inner, outs)
+            # cache: the stage is consumed twice (emitted + downstream)
+            if up.df is not None:
+                up.df.cache()
+            outs.append(up)
+            return QueryOutput(up.kind, up.df, up.count)
+
+        if isinstance(q, A.Count):
+            up = self._compile(q.inner, outs)
+            n = up.count if up.kind == A.OutputType.COUNT else up.df.count()
+            return QueryOutput(A.OutputType.COUNT, None, n)
+
+        raise TypeError(f"unknown query node {type(q).__name__}")
