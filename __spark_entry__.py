@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query on sf0.001 (smoke check).
+- ``queries()``: every implemented operator from SURVEY.md §2 plus the
+  training-data-pipeline extras, as (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``: DuckDB twins, same column names/values.
+
+Implementation lives in graphdb_spark/workloads/*; this module is the
+thin aggregation layer.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine settings to a driver-provided session (the driver
+    builds its own SparkSession, so build_spark defaults don't apply)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable conf on some deployments; sources handle both
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the F6 one-hop pipe traversal (BUILDING customers →
+    PLACED → order vertices) on sf0.001."""
+    from graphdb_spark.workloads.graph import g_one_hop
+
+    return g_one_hop(_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from graphdb_spark import workloads
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, fn in workloads.all_queries().items():
+        out[name] = _wrap(fn)
+    return out
+
+
+def _wrap(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_configure(spark), sf_dir)
+
+    runner.__name__ = fn.__name__
+    runner.__doc__ = fn.__doc__
+    return runner
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphdb_spark import workloads
+
+    return workloads.all_oracles()

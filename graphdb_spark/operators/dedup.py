@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Everything is expressed as DataFrame transformations over JVM built-ins
+(explode/groupBy/join/window + the portable h64 hash) — no Python UDFs
+— so each scales as a small number of shuffles:
+
+- exact:        1 shuffle (groupBy fingerprint)
+- ngram Jaccard: explode shingles → self-join on shingle → group pair
+                 (the shingle join is the LSH-free exact baseline;
+                 quadratic only within shingle buckets)
+- MinHash+LSH:  explode shingles → per-doc signature (groupBy) →
+                 band keys → self-join per band (candidate pruning
+                 replaces the full cross join — the 100 TB path)
+- SimHash:      explode token×bit → per-doc 32-bit signature →
+                 band-bucket join on 8-bit bands → hamming filter
+- embedding:    see operators/similarity.py
+
+Determinism: minhash permutations are fixed (a_i, b_i) constants;
+h64 is md5-based — the whole pipeline replays bit-identically in
+DuckDB SQL (workloads/text.py carries the oracle twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphdb_spark.operators.text import MERSENNE, fingerprint, h64, shingles, tokens
+
+# fixed minhash permutation constants (deterministic across runs;
+# odd multipliers, distinct offsets — standard (a*x+b) mod p family)
+MINHASH_PERMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(16)]
+N_BANDS = 4
+ROWS_PER_BAND = 4  # 16 = 4 bands × 4 rows
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: one row per group,
+    keeper = min id, with the duplicate count."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity via shingle-join: pairs with
+    |A∩B| / |A∪B| >= threshold. The join on shingle means cost is
+    sum over shingles of (docs-per-shingle)^2 — fine when shingles are
+    discriminative; use minhash_lsh_candidates when they aren't."""
+    sh = _doc_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-doc minhash signature: for each permutation i,
+    min over shingles of (a_i * h64(shingle) + b_i) mod p."""
+    sh = _doc_shingles(docs, text_col, id_col, k).withColumn(
+        "h", h64(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           min_est: float = 0.0) -> DataFrame:
+    """MinHash LSH: band the 16-slot signature into 4 bands of 4; any
+    pair sharing a band key is a candidate; estimated similarity =
+    fraction of agreeing signature slots. At scale the band join
+    touches only colliding buckets (no cross join anywhere)."""
+    sig = minhash_signatures(docs, text_col, id_col, k)
+    mh_cols = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
+    bands = sig.select(
+        "doc_id",
+        *mh_cols,
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"mh{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias(f"band{bi}")
+            for bi in range(N_BANDS)
+        ],
+    )
+    cands = None
+    for bi in range(N_BANDS):
+        a = bands.alias("a")
+        b = bands.alias("b")
+        c = a.join(
+            b,
+            (F.col(f"a.band{bi}") == F.col(f"b.band{bi}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in mh_cols],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in mh_cols],
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
+    )
+    return (
+        cands.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "est_jaccard",
+            F.round(matches / F.lit(float(len(mh_cols))), 6),
+        )
+        .filter(F.col("est_jaccard") >= min_est)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over token h64 hashes: bit j of the signature is
+    1 iff sum over tokens of (+1/-1 for bit j of h64(token)) > 0.
+    Expressed as explode(token) × explode(bit) → two groupBys —
+    linear in corpus size."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", h64(F.col("tok")))
+    bit = tok.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        # shiftright/shiftleft builtins need a literal shift amount in
+        # the Python API; use SQL expressions for column-valued shifts
+        "sign",
+        F.when(F.expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1),
+    )
+    return (
+        bit.groupBy("doc_id", "j")
+        .agg(F.sum("sign").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(cast(bitval AS bigint), j)")
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: bucket by 8-bit bands (pigeonhole — any
+    pair within hamming<=3 of a 32-bit hash shares at least one of 4
+    bands), then exact hamming via bit_count(xor)."""
+    sig = simhash(docs, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias(f"sb{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        a_ = banded.alias("a")
+        b_ = banded.alias("b")
+        c = a_.join(
+            b_,
+            (F.col(f"a.sb{b}") == F.col(f"b.sb{b}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

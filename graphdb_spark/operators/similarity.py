@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k for a (small, broadcast)
+  query set — the correctness baseline. Cost: |queries| × N dot
+  products, embarrassingly parallel, no shuffle except the final top-k.
+- ``lsh_bucket_topk``: random-hyperplane LSH variant — each vector gets
+  a sign-bit bucket key; candidates share a bucket; exact cosine only
+  within buckets. The 100 TB path: the bucket join replaces N×M.
+
+Dot products use `F.zip_with` + `F.aggregate` (JVM higher-order
+functions, no Python). Deterministic hyperplanes come from h64 of
+(plane, dim) — replayable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphdb_spark.operators.text import MERSENNE, h64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query id. The query side
+    is broadcast (tiny); ties broken by neighbor id."""
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("int").alias("rn"), "neighbor_id", "cos_sim")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the portable hash:
+    component (p, d) = (h64('p_d') mod 2001) - 1000, i.e. integers in
+    [-1000, 1000] — sign-stable and replayable in SQL."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            hx = hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8]
+            row.append(float(int(hx, 16) % 2001 - 1000))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                    n_planes: int = 8, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign bits against n_planes fixed
+    hyperplanes; exact cosine among same-bucket candidates only.
+    Recall < 1 by construction (it's ANN); the oracle replays the same
+    buckets so results stay deterministic."""
+    planes = hyperplanes(dim, n_planes)
+
+    def bucket_bits(vec):
+        bits = []
+        for p_i, plane in enumerate(planes):
+            arr = F.array(*[F.lit(c) for c in plane])
+            bits.append(
+                F.when(_dot(vec, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
+                * F.lit(2 ** p_i)
+            )
+        return sum(bits).cast("bigint")
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("bucket", bucket_bits(F.col("vec")))
+    q = emb.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("qbucket") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("int").alias("rn"), "neighbor_id", "cos_sim")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extras, SURVEY.md §7.2 M8): tokenization, quality scoring, language
+ID, fingerprinting.
+
+All pure `pyspark.sql.functions` column expressions — JVM-side, inside
+whole-stage codegen, no Python UDFs — so they run at full scan speed on
+100 TB of documents. Each returns a Column (composable into any plan).
+
+The portable hash: ``h64(s)`` = first 8 hex chars of md5 → BIGINT.
+md5 is bit-identical everywhere (Spark, DuckDB, Python), which is what
+lets the DuckDB oracle replay dedup/fingerprint pipelines exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+MERSENNE = 2147483647  # 2^31-1, modulus for minhash permutations
+
+# small multilingual stopword lists for the lang-id heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "für"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "他", "这", "中"],
+}
+
+
+def h64(col: Column) -> Column:
+    """Portable 32-bit-in-a-64 hash: ('0x'+md5[:8])::bigint.
+    Identical in DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length, rounded for cross-engine stability."""
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total.cast("double") / F.size(toks), 6)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
+    return F.round(
+        F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1)), 6
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+    # distinct-stopword coverage (array_intersect dedups) — stable and
+    # cheap; a frequency-weighted variant would explode tokens instead.
+    return F.round(hits.cast("double") / F.lit(len(words)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + low punct +
+    stopword coverage (the usual pre-training quality gates)."""
+    n = char_count(text)
+    length_ok = F.when((n >= 200) & (n <= 50000), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(text) < 0.1, 1.0).otherwise(0.3)
+    stop_ok = F.when(stopword_ratio(text) > 0.2, 1.0).otherwise(0.6)
+    return F.round((length_ok + punct_ok + stop_ok) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-coverage score per language (n-gram-free heuristic
+    lang-ID; deterministic, SQL-replayable)."""
+    return {lang: stopword_ratio(text, lang) for lang in LANG_STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language scores; ties broken by language code order
+    (alphabetical CASE chain — trivially replayable as SQL)."""
+    scores = lang_scores(text)
+    m = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: h64 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed) — rolling-hash-class
+    dedup key, exact-replayable in SQL."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(text)), r"[^\p{L}\p{N}\s]", ""),
+        r"\s+",
+        " ",
+    )
+    return h64(norm)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as array<string> (distinct)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(sh)

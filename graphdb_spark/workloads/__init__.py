@@ -1,0 +1,45 @@
+"""Workloads: the engine's query surface exercised against the driver
+TESTDATA, each with a DuckDB-oracle SQL twin for the correctness gate.
+
+Each module exposes ``QUERIES: dict[name, (spark_fn, oracle_sql|None)]``
+where ``spark_fn(spark, sf_dir) -> DataFrame``. Column names are aliased
+identically on both sides (the driver sorts columns by name before
+value-hashing).
+
+Float discipline (so Spark and DuckDB hash-match exactly):
+- SUM over doubles is order-dependent → cast the summand to
+  DECIMAL(28,10) first (exact, associative) and cast the final sum to
+  DOUBLE; identical bits on both engines.
+- AVG → ROUND(CAST(sum_dec / count AS ...), 6) AS DOUBLE.
+- COUNT/SUM of integers → cast to BIGINT in DuckDB (it widens to
+  HUGEINT).
+- timestamps → epoch millis (BIGINT) or date strings in outputs.
+"""
+
+from graphdb_spark.workloads import (
+    embeddings,
+    graph,
+    relational,
+    temporal,
+    text,
+)
+
+ALL_MODULES = (relational, graph, temporal, text, embeddings)
+
+
+def all_queries():
+    out = {}
+    for m in ALL_MODULES:
+        for name, (fn, _sql) in m.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = fn
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in ALL_MODULES:
+        for name, (_fn, sql) in m.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
+    return out

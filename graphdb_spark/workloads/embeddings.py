@@ -1,0 +1,199 @@
+"""Embedding similarity workload on the ``embeddings`` table
+(array<float> × 64), with DuckDB list-function oracle twins.
+
+Both sides accumulate dot products sequentially in double
+(F.aggregate / list_reduce), so the floating-point result is
+bit-identical before the final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_spark.operators import similarity as S
+from graphdb_spark.sources.tpch import load_tables
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+DIM = 64
+
+# DuckDB sequential double ops over a list column
+_SQ_SUM = (
+    "list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " (a, b) -> a + b)"
+)
+_DOT = (
+    "list_reduce(list_transform(range(1, {dim} + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def emb_norms(spark, sf_dir):
+    """L2 norms + per-label stats — the basic vector-column plumbing."""
+    e = _emb(spark, sf_dir)
+    norms = e.select(
+        "vec_id",
+        "label",
+        F.round(S._norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l2_norm"), 6).alias("min_norm"),
+            F.round(F.max("l2_norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_NORMS_SQL = f"""
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(MIN(l2_norm), 6) AS min_norm,
+  ROUND(MAX(l2_norm), 6) AS max_norm
+FROM (
+  SELECT label, ROUND(sqrt({_SQ_SUM.format(v='embedding')}), 6) AS l2_norm
+  FROM embeddings
+) GROUP BY label ORDER BY label
+"""
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 5 query vectors (broadcast
+    queries × full scan — the ANN correctness baseline)."""
+    e = _emb(spark, sf_dir)
+    return S.cosine_topk(e, QUERY_IDS, k=5).orderBy("query_id", "rn")
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND({_DOT.format(a='q.qvec', b='e.embedding', dim=DIM)}
+      / (sqrt({_SQ_SUM.format(v='q.qvec')}) * sqrt({_SQ_SUM.format(v='e.embedding')})), 6)
+      AS cos_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.query_id != e.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cos_sim
+FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed cosine top-5 — the scale path: exact
+    scoring only within matching sign-buckets."""
+    e = _emb(spark, sf_dir)
+    return S.lsh_bucket_topk(e, QUERY_IDS, k=5, n_planes=8, dim=DIM).orderBy(
+        "query_id", "rn"
+    )
+
+
+def _lsh_sql() -> str:
+    planes = S.hyperplanes(DIM, 8)
+    plane_lits = [
+        "[" + ", ".join(f"{c:.1f}" for c in row) + "]" for row in planes
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=plane_lits[p], dim=DIM)} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id AS vid, embedding AS vec,
+    CAST(({bits}) AS BIGINT) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vid AS query_id, vec AS qvec, bucket AS qbucket FROM emb
+  WHERE vid IN ({", ".join(map(str, QUERY_IDS))})
+), scored AS (
+  SELECT q.query_id, e.vid AS neighbor_id,
+    ROUND({_DOT.format(a='q.qvec', b='e.vec', dim=DIM)}
+      / (sqrt({_SQ_SUM.format(v='q.qvec')}) * sqrt({_SQ_SUM.format(v='e.vec')})), 6)
+      AS cos_sim
+  FROM q JOIN emb e ON q.qbucket = e.bucket
+  WHERE q.query_id != e.vid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cos_sim
+FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+def emb_centroid_dist(spark, sf_dir):
+    """Per-label centroid distance stats: groupBy label avg over vector
+    components (posexplode + groupBy — partial-agg friendly), then each
+    vector's distance to its label centroid, aggregated."""
+    e = _emb(spark, sf_dir)
+    comp = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = comp.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")) / F.count(F.lit(1))
+        ).cast("double").alias("c")
+    )
+    dist = (
+        comp.join(cent, ["label", "i"])
+        .withColumn(
+            "d2",
+            (F.col("x").cast("double") - F.col("c"))
+            * (F.col("x").cast("double") - F.col("c")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("d2").cast("decimal(38,18)")).cast("double")), 6
+            ).alias("dist")
+        )
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("dist"), 6).alias("min_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CENTROID_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+  SELECT label, i,
+    CAST(SUM(CAST(x AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS c
+  FROM comp GROUP BY label, i
+), dist AS (
+  SELECT vec_id, comp.label,
+    ROUND(sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,18))) AS DOUBLE)), 6) AS dist
+  FROM comp JOIN cent ON comp.label = cent.label AND comp.i = cent.i
+  GROUP BY vec_id, comp.label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(MIN(dist), 6) AS min_dist, ROUND(MAX(dist), 6) AS max_dist
+FROM dist GROUP BY label ORDER BY label
+"""
+
+
+QUERIES = {
+    "emb_norms": (emb_norms, EMB_NORMS_SQL),
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _lsh_sql()),
+    "emb_centroid_dist": (emb_centroid_dist, EMB_CENTROID_SQL),
+}

@@ -1,0 +1,359 @@
+"""Graph workload: the pipe algebra exercised on the FIXTURES.md F6
+graph (customers/orders/parts from the driver tables), each query
+oracle-checked by reconstructing the same traversal as SQL joins in
+DuckDB.
+
+This is the driver-checkable projection of the reference's *tested*
+capability layer — the IndraDB pipe algebra (SURVEY.md §2.1/2.3/2.4)
+— running through GraphSession + Translator, not hand-written joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_spark.algebra import Q
+from graphdb_spark.session import GraphSession
+from graphdb_spark.sources.tpch import tpch_graph
+
+_GRAPH_CACHE: dict = {}
+
+
+def graph_session(spark, sf_dir) -> GraphSession:
+    """Memoized per sf_dir; vertices/edges cached for repeated queries
+    (the reference keeps the graph resident in its daemons — our
+    equivalent is a cached DataFrame pair)."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _GRAPH_CACHE:
+        v, e = tpch_graph(spark, sf_dir)
+        _GRAPH_CACHE[key] = GraphSession(spark, v.cache(), e.cache())
+    return _GRAPH_CACHE[key]
+
+
+# Oracle-side view of the F6 vertex table.
+_V_SQL = """
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label FROM customer
+  UNION ALL
+  SELECT 'o_' || CAST(o_orderkey AS VARCHAR) AS id, 'order' AS label FROM orders
+  UNION ALL
+  SELECT 'p_' || CAST(p_partkey AS VARCHAR) AS id, 'part' AS label FROM part
+"""
+
+
+def g_vertex_counts(spark, sf_dir):
+    """AllVertexQuery + grouped counts (rdb/datastore.rs:62-65)."""
+    g = graph_session(spark, sf_dir)
+    return (
+        g.df(Q.vertices())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
+
+
+G_VERTEX_COUNTS_SQL = f"""
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM ({_V_SQL}) GROUP BY label ORDER BY label
+"""
+
+
+def g_edge_counts(spark, sf_dir):
+    """AllEdgeQuery + count by relationship (rdb/datastore.rs:102-110).
+    CONTAINS edges dedup lineitem on (order, part) — edge identity is
+    the triple (inmemory_storage.rs:16)."""
+    g = graph_session(spark, sf_dir)
+    return (
+        g.df(Q.edges())
+        .groupBy("relationship")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("relationship")
+    )
+
+
+G_EDGE_COUNTS_SQL = """
+SELECT relationship, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT 'PLACED' AS relationship FROM orders
+  UNION ALL
+  SELECT 'CONTAINS' AS relationship
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+) GROUP BY relationship ORDER BY relationship
+"""
+
+
+def g_label_scan(spark, sf_dir):
+    """RangeVertexQuery with label filter + limit + deterministic id
+    order (queries.rs:267-332; byte-ordered iteration
+    rdb/managers.rs:90-110)."""
+    g = graph_session(spark, sf_dir)
+    return g.df(Q.range_vertices(t="customer", limit=25)).select("id", "label")
+
+
+G_LABEL_SCAN_SQL = """
+SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label
+FROM customer ORDER BY id LIMIT 25
+"""
+
+
+def g_keyset_pagination(spark, sf_dir):
+    """start_id resume-after pagination (queries.rs:275-277,
+    util.rs next_uuid:85-96): lexicographic id order like the
+    reference's UUID byte order."""
+    g = graph_session(spark, sf_dir)
+    return g.df(
+        Q.range_vertices(t="customer", start_id="c_500", limit=20)
+    ).select("id")
+
+
+G_KEYSET_SQL = """
+SELECT id FROM (
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+) WHERE id > 'c_500' ORDER BY id LIMIT 20
+"""
+
+
+def g_point_lookup(spark, sf_dir):
+    """SpecificVertexQuery point lookups (queries.rs:335-360) with a
+    property projected out of the map."""
+    g = graph_session(spark, sf_dir)
+    return (
+        g.df(Q.specific_vertices("c_1", "c_7", "o_32", "p_42"))
+        .select(
+            "id",
+            "label",
+            F.col("properties").getItem("mktsegment").alias("segment"),
+        )
+        .orderBy("id")
+    )
+
+
+G_POINT_LOOKUP_SQL = """
+SELECT id, label, segment FROM (
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label,
+         c_mktsegment AS segment FROM customer
+  UNION ALL
+  SELECT 'o_' || CAST(o_orderkey AS VARCHAR), 'order', NULL FROM orders
+  UNION ALL
+  SELECT 'p_' || CAST(p_partkey AS VARCHAR), 'part', NULL FROM part
+) WHERE id IN ('c_1', 'c_7', 'o_32', 'p_42') ORDER BY id
+"""
+
+
+def g_one_hop(spark, sf_dir):
+    """The flagship pipe traversal (queries.rs:497-521): BUILDING
+    customers → outbound PLACED edges → order endpoint vertices."""
+    g = graph_session(spark, sf_dir)
+    q = (
+        Q.vertices_with_property_value("mktsegment", "BUILDING")
+        .outbound(t="PLACED")
+        .inbound()
+    )
+    return g.df(q).select("id").orderBy("id")
+
+
+G_ONE_HOP_SQL = """
+SELECT 'o_' || CAST(o_orderkey AS VARCHAR) AS id
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' ORDER BY id
+"""
+
+
+def g_two_hop_count(spark, sf_dir):
+    """Chained pipes (tests/vertex.rs:101-148 chains): BUILDING
+    customers → orders → CONTAINS → distinct parts, counted."""
+    g = graph_session(spark, sf_dir)
+    q = (
+        Q.vertices_with_property_value("mktsegment", "BUILDING")
+        .outbound(t="PLACED")
+        .inbound()
+        .outbound(t="CONTAINS")
+        .inbound()
+        .count()
+    )
+    n = g.get(q)[-1].count
+    return spark.createDataFrame([(n,)], "n bigint")
+
+
+G_TWO_HOP_SQL = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def g_reverse_hop(spark, sf_dir):
+    """Reversed-index traversal (range_reversed_edges,
+    rdb/datastore.rs:112-124): orders → inbound PLACED edges →
+    src customer endpoints."""
+    g = graph_session(spark, sf_dir)
+    q = (
+        Q.specific_vertices("o_1", "o_2", "o_3", "o_4", "o_5", "o_6", "o_7")
+        .inbound(t="PLACED")
+        .outbound()
+    )
+    return g.df(q).select("id").orderBy("id")
+
+
+G_REVERSE_HOP_SQL = """
+SELECT DISTINCT 'c_' || CAST(o_custkey AS VARCHAR) AS id
+FROM orders WHERE o_orderkey IN (1,2,3,4,5,6,7) ORDER BY id
+"""
+
+
+def g_degree_topk(spark, sf_dir):
+    """Grouped degree count (SURVEY §2.4 edge-count row;
+    queries_examples.txt:120-123 grouped count + ORDER BY + LIMIT):
+    top 10 customers by PLACED out-degree."""
+    g = graph_session(spark, sf_dir)
+    return (
+        g.df(Q.edges())
+        .filter(F.col("relationship") == "PLACED")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(10)
+    )
+
+
+G_DEGREE_TOPK_SQL = """
+SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM orders GROUP BY o_custkey ORDER BY degree DESC, id ASC LIMIT 10
+"""
+
+
+def g_property_presence(spark, sf_dir):
+    """VertexWithPropertyPresence / piped presence negation
+    (queries.rs:363-379, 548-587): orders have no 'mktsegment'."""
+    g = graph_session(spark, sf_dir)
+    with_seg = g.get(Q.vertices_with_property("mktsegment").count())[-1].count
+    without_seg = g.get(
+        Q.range_vertices(t="order").without_property("mktsegment").count()
+    )[-1].count
+    return spark.createDataFrame(
+        [("with_segment", with_seg), ("orders_without_segment", without_seg)],
+        "bucket string, n bigint",
+    )
+
+
+G_PROPERTY_PRESENCE_SQL = """
+SELECT 'with_segment' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+UNION ALL
+SELECT 'orders_without_segment', CAST(COUNT(*) AS BIGINT) FROM orders
+ORDER BY bucket
+"""
+
+
+def g_edge_membership(spark, sf_dir):
+    """SpecificEdgeQuery membership (queries.rs:422-446): probe 3
+    (src, relationship, dst) triples, 2 real + 1 fabricated."""
+    g = graph_session(spark, sf_dir)
+    t = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    real = [
+        (f"c_{r['o_custkey']}", "PLACED", f"o_{r['o_orderkey']}")
+        for r in t.orderBy("o_orderkey").limit(2).collect()
+    ]
+    probes = real + [("c_1", "PLACED", "o_99999999")]
+    return (
+        g.df(Q.specific_edges(*probes))
+        .select("src", "relationship", "dst")
+        .orderBy("dst")
+    )
+
+
+G_EDGE_MEMBERSHIP_SQL = """
+SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src, 'PLACED' AS relationship,
+       'o_' || CAST(o_orderkey AS VARCHAR) AS dst
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2)
+ORDER BY dst
+"""
+
+
+def g_properties_explode(spark, sf_dir):
+    """PipePropertyQuery all-properties expansion
+    (queries.rs:524-545; rdb/datastore.rs:175-194)."""
+    g = graph_session(spark, sf_dir)
+    return (
+        g.get(Q.specific_vertices("c_1", "c_2").properties())[-1]
+        .df.select("id", "prop_name", "prop_value")
+        .orderBy("id", "prop_name")
+    )
+
+
+G_PROPERTIES_EXPLODE_SQL = """
+WITH c AS (SELECT * FROM customer WHERE c_custkey IN (1, 2))
+SELECT id, prop_name, prop_value FROM (
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS id, 'name' AS prop_name, c_name AS prop_value FROM c
+  UNION ALL
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR), 'mktsegment', c_mktsegment FROM c
+  UNION ALL
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR), 'acctbal', CAST(c_acctbal AS VARCHAR) FROM c
+  UNION ALL
+  SELECT 'c_' || CAST(c_custkey AS VARCHAR), 'nationkey', CAST(c_nationkey AS VARCHAR) FROM c
+) ORDER BY id, prop_name
+"""
+
+
+def g_bidirectional_degree(spark, sf_dir):
+    """Orders are mid-chain: in-degree (PLACED) + out-degree
+    (CONTAINS) per order vertex, top 10 by total — the bidirectional
+    pattern of queries_examples.txt:89-92 as degree arithmetic."""
+    g = graph_session(spark, sf_dir)
+    e = g.edges
+    out_d = (
+        e.filter(F.col("relationship") == "CONTAINS")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+    in_d = (
+        e.filter(F.col("relationship") == "PLACED")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+    return (
+        out_d.join(in_d, "id", "outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("total", F.col("out_degree") + F.col("in_degree"))
+        .orderBy(F.desc("total"), F.asc("id"))
+        .limit(10)
+    )
+
+
+G_BIDIR_SQL = """
+WITH out_d AS (
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS id,
+         CAST(COUNT(*) AS BIGINT) AS out_degree
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) GROUP BY 1
+), in_d AS (
+  SELECT 'o_' || CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM orders GROUP BY 1
+)
+SELECT id, out_degree, in_degree, total FROM (
+  SELECT COALESCE(out_d.id, in_d.id) AS id,
+         CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+         CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+         CAST(COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS BIGINT) AS total
+  FROM out_d FULL OUTER JOIN in_d ON out_d.id = in_d.id
+) ORDER BY total DESC, id ASC LIMIT 10
+"""
+
+
+QUERIES = {
+    "g_vertex_counts": (g_vertex_counts, G_VERTEX_COUNTS_SQL),
+    "g_edge_counts": (g_edge_counts, G_EDGE_COUNTS_SQL),
+    "g_label_scan": (g_label_scan, G_LABEL_SCAN_SQL),
+    "g_keyset_pagination": (g_keyset_pagination, G_KEYSET_SQL),
+    "g_point_lookup": (g_point_lookup, G_POINT_LOOKUP_SQL),
+    "g_one_hop": (g_one_hop, G_ONE_HOP_SQL),
+    "g_two_hop_count": (g_two_hop_count, G_TWO_HOP_SQL),
+    "g_reverse_hop": (g_reverse_hop, G_REVERSE_HOP_SQL),
+    "g_degree_topk": (g_degree_topk, G_DEGREE_TOPK_SQL),
+    "g_property_presence": (g_property_presence, G_PROPERTY_PRESENCE_SQL),
+    "g_edge_membership": (g_edge_membership, G_EDGE_MEMBERSHIP_SQL),
+    "g_properties_explode": (g_properties_explode, G_PROPERTIES_EXPLODE_SQL),
+    "g_bidirectional_degree": (g_bidirectional_degree, G_BIDIR_SQL),
+}

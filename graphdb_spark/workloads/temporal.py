@@ -1,0 +1,215 @@
+"""Temporal workload: the reference's graph_evolution semantics
+(SURVEY.md §2.9) on the driver ``events`` table.
+
+- replay-to-T = filter changes with timestamp <= T, materialize the
+  latest state per entity (change_tracker.rs:28-44) — here a window
+  last-writer-wins;
+- TimeWindow.contains = ts BETWEEN (time_window.rs:4-17);
+- interval-valid / as-of = latest value at or before a point in time.
+
+Timestamps leave the queries as epoch milliseconds (BIGINT) so the
+Spark(µs)/DuckDB(ns) representations can't skew the value hash.
+
+Scale: last-writer-wins is one shuffle on the partition key + a
+row_number — the canonical pattern for CDC compaction at any scale;
+the as-of join is the union+window trick (no per-row lookups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphdb_spark.sources.tpch import load_tables
+
+T_CUT = "2024-01-15 00:00:00"
+
+
+def temporal_replay(spark, sf_dir):
+    """Replay changes up to T: latest event per user at T
+    (change_tracker.rs:28-44 'replay ≤ T' + last-writer-wins)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.filter(F.col("ts") <= F.lit(T_CUT))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+TEMPORAL_REPLAY_SQL = f"""
+SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '{T_CUT}'
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def time_window_agg(spark, sf_dir):
+    """TimeWindow.contains (time_window.rs:4-17) + tumbling daily
+    windows: per-day, per-type counts and sums inside a window."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00"))
+        )
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+TIME_WINDOW_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def asof_last_click(spark, sf_dir):
+    """As-of join via union+window (SURVEY §2.9 interval-valid edges /
+    'value as of T'): for each purchase, the user's most recent click
+    value at or before the purchase."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    unioned = clicks.withColumn("purchase_value", F.lit(None).cast("double")).unionByName(
+        purchases.withColumn("click_value", F.lit(None).cast("double"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn(
+            "last_click", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("purchase_value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("purchase_ts_ms"),
+            "purchase_value",
+            "last_click",
+        )
+        .orderBy("user_id", "purchase_ts_ms")
+    )
+
+
+ASOF_SQL = """
+SELECT user_id, epoch_ms(ts) AS purchase_ts_ms, purchase_value, last_click FROM (
+  SELECT user_id, ts, purchase_value,
+    LAST_VALUE(click_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+  FROM (
+    SELECT user_id, ts, event_id, value AS click_value,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE), value
+    FROM events WHERE event_type = 'purchase'
+  )
+) WHERE purchase_value IS NOT NULL
+ORDER BY user_id, purchase_ts_ms
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Session windows (gap-based sessionization, the batch analogue of
+    Structured Streaming session windows): 30-minute inactivity gap,
+    per-user session stats. Pure windows — no UDF, scales as two
+    shuffles on user_id."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = 30
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_millis("ts") - F.unix_millis("prev_ts")
+                    > gap_min * 60 * 1000
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.unix_millis(F.min("ts")).alias("start_ms"),
+            F.unix_millis(F.max("ts")).alias("end_ms"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.max("events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(MAX(events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "temporal_replay": (temporal_replay, TEMPORAL_REPLAY_SQL),
+    "time_window_agg": (time_window_agg, TIME_WINDOW_SQL),
+    "asof_last_click": (asof_last_click, ASOF_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+}

@@ -1,0 +1,283 @@
+"""Text-analysis + dedup workload on the ``documents`` table, each
+query with an exact DuckDB-oracle twin.
+
+The oracles replay the same deterministic pipelines (portable md5-based
+h64 hash, fixed minhash permutations) in DuckDB SQL — generated from
+the same constants so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_spark.operators import dedup, text as T
+from graphdb_spark.sources.tpch import load_tables
+
+# ---- shared SQL fragments (DuckDB dialect) ------------------------------
+
+# h64(x) — must match operators.text.h64
+_H64 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+# tokens / normalized text — must match operators.text
+_TOKS = r"regexp_split_to_array(trim({x}), '\s+')"
+_NORM = (
+    r"regexp_replace(regexp_replace(lower(trim({x})), "
+    r"'[^\p{{L}}\p{{N}}\s]', '', 'g'), '\s+', ' ', 'g')"
+)
+# 3-word shingles over lowered tokens — must match operators.text.shingles
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks}) - 3, 0) + 2), "
+    "i -> array_to_string({toks}[i:i+2], ' ')))"
+).format(toks=_TOKS.format(x="lower({x})"))
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+# ---------------------------------------------------------------- queries
+
+
+def text_stats(spark, sf_dir):
+    """Token/char counts + avg token length (operators/text.py,
+    JVM-only column expressions)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.char_count(F.col("text")).alias("n_chars2"),
+        T.avg_token_len(F.col("text")).alias("avg_tok_len"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS.format(x='text')}) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars2,
+  ROUND(CAST(list_reduce(list_transform({_TOKS.format(x='text')},
+        t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+        / len({_TOKS.format(x='text')}), 6) AS avg_tok_len,
+  ROUND(CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id_eval(spark, sf_dir):
+    """Stopword-coverage language ID vs the labeled lang column:
+    per (label, prediction) confusion counts."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", T.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = T.LANG_STOPWORDS[lang]
+    toks = _TOKS.format(x="lower(text)")
+    hits = " + ".join(
+        f"(CASE WHEN list_contains({toks}, '{w}') THEN 1 ELSE 0 END)" for w in words
+    )
+    return f"ROUND(CAST(({hits}) AS DOUBLE) / {len(words)}, 6)"
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(T.LANG_STOPWORDS)
+    scores = {lang: _lang_score_sql(lang) for lang in langs}
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {m} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE {cases} END"
+
+
+LANG_ID_SQL = f"""
+SELECT lang, {_lang_pred_sql()} AS pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2 ORDER BY lang, pred
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-text fingerprints (rolling-hash-class dedup key)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, {_H64.format(x=_NORM.format(x='text'))} AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: keeper id + group size per fingerprint."""
+    d = _docs(spark, sf_dir)
+    return dedup.exact_dedup(d).orderBy("fp")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id, {_H64.format(x=_NORM.format(x='text'))} AS fp FROM documents)
+GROUP BY fp ORDER BY fp
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2 — the driver
+    corpus is word salad over a shared vocabulary, so high-jaccard
+    pairs are rare; 0.2 exercises the full join+ratio path)."""
+    d = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+  ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash LSH candidate pairs (16 hashes, 4 bands × 4 rows)."""
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_candidates(d).orderBy("doc_a", "doc_b")
+
+
+def _minhash_sql() -> str:
+    h = _H64.format(x="shingle")
+    mins = ",\n    ".join(
+        f"CAST(MIN(({a} * {h} + {b}) % {T.MERSENNE}) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PERMS)
+    )
+    n = len(dedup.MINHASH_PERMS)
+    band_keys = ",\n    ".join(
+        "concat_ws('_', {})".format(
+            ", ".join(
+                [str(bi)]
+                + [f"mh{bi * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)]
+            )
+        )
+        + f" AS band{bi}"
+        for bi in range(dedup.N_BANDS)
+    )
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        f"JOIN bands b ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"
+        for bi in range(dedup.N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT *,
+    {band_keys}
+  FROM sig
+), cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({band_joins})
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST(({matches}) AS DOUBLE) / {n}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash signatures."""
+    d = _docs(spark, sf_dir)
+    return dedup.simhash(d).orderBy("doc_id")
+
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS.format(x='lower(text)')}) AS tok FROM documents
+), bits AS (
+  SELECT doc_id, {_H64.format(x='tok')} AS h, unnest(range(0, 32)) AS j
+  FROM tok
+), sums AS (
+  SELECT doc_id, j,
+    SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within hamming distance 8 (banded
+    candidate generation + exact bit_count(xor) check)."""
+    d = _docs(spark, sf_dir)
+    return dedup.simhash_near_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH sig AS (
+{SIMHASH_SQL.replace("ORDER BY doc_id", "")}
+), banded AS (
+  SELECT doc_id, simhash,
+    (simhash >> 0) & 255 AS sb0, (simhash >> 8) & 255 AS sb1,
+    (simhash >> 16) & 255 AS sb2, (simhash >> 24) & 255 AS sb3
+  FROM sig
+), cand AS (
+  SELECT DISTINCT doc_a, doc_b, sh_a, sh_b FROM (
+    SELECT a.doc_id doc_a, b.doc_id doc_b, a.simhash sh_a, b.simhash sh_b
+      FROM banded a JOIN banded b ON a.sb0 = b.sb0 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM banded a JOIN banded b ON a.sb1 = b.sb1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM banded a JOIN banded b ON a.sb2 = b.sb2 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM banded a JOIN banded b ON a.sb3 = b.sb3 AND a.doc_id < b.doc_id
+  )
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "lang_id_eval": (lang_id_eval, LANG_ID_SQL),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+}
