@@ -1,0 +1,792 @@
+"""Cypher executor: lowers parsed statements onto DataFrame operations
+against a GraphSession.
+
+Where the reference executes MATCH as full-scan + in-memory filter and
+leaves relationships in CREATE patterns unmaterialized
+(cypher_parser.rs:682-697, :738 'not materialized'), this executor:
+
+- binds every pattern variable to namespaced columns of one "binding
+  table" DataFrame (var__id / var__label / var__properties, edge vars
+  var__src / var__relationship / var__dst / var__properties);
+- each relationship hop is an equi-join against the edges DataFrame —
+  Catalyst/AQE pick broadcast vs shuffle per frontier size;
+- CREATE materializes both nodes AND relationships (fixing the
+  reference's unimplemented CreateComplexPattern, cypher_parser.rs:722-743);
+- RETURN does real projection/aggregation with Cypher implicit
+  grouping (non-aggregate items become groupBy keys);
+- var-length / shortestPath lower onto operators/traversal.py.
+
+Property-type fidelity (SURVEY.md §7.3): properties are stored
+stringified; numeric comparisons cast through try_cast(double) so
+`p.age > 30` is numeric, matching the reference's typed-JSON compare
+(models/src/json.rs:59-115), not lexicographic.
+"""
+
+from __future__ import annotations
+
+import itertools
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphdb_spark import plans as P
+from graphdb_spark.cypher.parser import CypherSyntaxError, parse_cypher
+from graphdb_spark.datamodel import normalize_properties, stringify_value
+from graphdb_spark.operators import mutations as M
+from graphdb_spark.operators import traversal as T
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect", "collect_list",
+             "stdev", "stddev"}
+
+
+class CypherExecutionError(ValueError):
+    pass
+
+
+def execute_cypher(g, query: str):
+    """Parse + execute. Returns a DataFrame (RETURN queries), a dict
+    summary (mutations), a string/None (KV get), mirroring the
+    reference's JSON envelopes (cypher_parser.rs:644-806)."""
+    stmt = parse_cypher(query)
+    if isinstance(stmt, P.SetKeyValue):
+        g.kv_insert(stmt.key, stmt.value)
+        g.kv_flush()  # SET k='v' flushes in the reference (:780-785)
+        return {"status": "ok", "key": stmt.key}
+    if isinstance(stmt, P.GetKeyValue):
+        return g.kv_retrieve(stmt.key)
+    if isinstance(stmt, P.DeleteKeyValue):
+        g.kv_delete(stmt.key)
+        return {"status": "ok", "deleted_key": stmt.key}
+    return _Executor(g).run(stmt)
+
+
+class _Executor:
+    def __init__(self, g):
+        self.g = g
+        self.binding: DataFrame | None = None
+        self.node_vars: set[str] = set()
+        self.edge_vars: set[str] = set()
+        self.scalar_vars: set[str] = set()
+        self.path_vars: dict[str, list[str]] = {}
+        self._anon = itertools.count()
+        self.summary = {"created_vertices": 0, "created_edges": 0,
+                        "deleted_vertices": 0, "deleted_edges": 0,
+                        "properties_set": 0}
+        self.mutated = False
+
+    # ------------------------------------------------------------ utils
+
+    def _fresh(self, prefix="_anon"):
+        return f"{prefix}{next(self._anon)}"
+
+    def _vcols(self, var):
+        return [f"{var}__id", f"{var}__label", f"{var}__properties"]
+
+    def _node_df(self, np: P.NodePattern, var: str) -> DataFrame:
+        v = self.g.vertices
+        if np.label is not None:
+            v = v.filter(F.col("label") == np.label)
+        for k, val in np.properties.items():
+            v = v.filter(
+                F.col("properties").getItem(k) == stringify_value(val)
+            )
+        return v.select(
+            F.col("id").alias(f"{var}__id"),
+            F.col("label").alias(f"{var}__label"),
+            F.col("properties").alias(f"{var}__properties"),
+        )
+
+    def _edge_base(self, rp: P.RelPattern) -> DataFrame:
+        e = self.g.edges
+        if rp.types:
+            e = e.filter(F.col("relationship").isin(list(rp.types)))
+        for k, val in rp.properties.items():
+            e = e.filter(F.col("properties").getItem(k) == stringify_value(val))
+        return e
+
+    # ------------------------------------------------------------ patterns
+
+    def _pattern_df(self, pat: P.PathPattern) -> tuple[DataFrame, set[str], set[str]]:
+        """Build the pattern's binding DataFrame. Returns (df,
+        node_vars, edge_vars). Repeated node vars inside the pattern
+        become id-equality constraints (cycles)."""
+        nvars: list[str] = []
+        evars: list[str] = []
+        seen: dict[str, str] = {}
+
+        def bind_node(np, df, prev_key=None):
+            var = np.var or self._fresh()
+            if var in seen:
+                # cycle: join on id equality with already-bound var
+                tmp = self._fresh("_cyc")
+                nd = self._node_df(np, tmp)
+                df = df.join(
+                    nd, F.col(prev_key) == F.col(f"{tmp}__id"), "inner"
+                ).filter(F.col(f"{tmp}__id") == F.col(f"{var}__id"))
+                return df.drop(*self._vcols(tmp)), var
+            seen[var] = var
+            nvars.append(var)
+            nd = self._node_df(np, var)
+            if df is None:
+                return nd, var
+            return (
+                df.join(nd, F.col(prev_key) == F.col(f"{var}__id"), "inner"),
+                var,
+            )
+
+        df, cur = bind_node(pat.nodes[0], None)
+        for rel, node in zip(pat.rels, pat.nodes[1:]):
+            if rel.min_hops is not None:
+                # var-length: expand (start,end,hops); no edge binding
+                starts = df.select(F.col(f"{cur}__id").alias("id")).distinct()
+                direction = (
+                    "both" if rel.undirected else ("in" if rel.incoming else "out")
+                )
+                base_edges = self._edge_base(rel) if rel.types else self.g.edges
+                reach = T.var_length_expand(
+                    base_edges, starts, rel.min_hops, rel.max_hops or 5,
+                    t=None, direction=direction,
+                )
+                reach = reach.select(
+                    F.col("start_id").alias(f"{cur}__id__r"),
+                    F.col("id").alias("__end"),
+                )
+                df = df.join(
+                    reach, F.col(f"{cur}__id") == F.col(f"{cur}__id__r")
+                ).drop(f"{cur}__id__r")
+                # bind endpoint node
+                var = node.var or self._fresh()
+                nd = self._node_df(node, var)
+                if var in seen:
+                    df = df.filter(F.col("__end") == F.col(f"{var}__id")).drop("__end")
+                else:
+                    seen[var] = var
+                    nvars.append(var)
+                    df = df.join(nd, F.col("__end") == F.col(f"{var}__id")).drop("__end")
+                cur = var
+                continue
+            evar = rel.var or self._fresh("_e")
+            evars.append(evar)
+            e = self._edge_base(rel)
+            esel = e.select(
+                F.col("src").alias(f"{evar}__src"),
+                F.col("relationship").alias(f"{evar}__relationship"),
+                F.col("dst").alias(f"{evar}__dst"),
+                F.col("properties").alias(f"{evar}__properties"),
+            )
+            if rel.undirected:
+                flipped = e.select(
+                    F.col("dst").alias(f"{evar}__src"),
+                    F.col("relationship").alias(f"{evar}__relationship"),
+                    F.col("src").alias(f"{evar}__dst"),
+                    F.col("properties").alias(f"{evar}__properties"),
+                )
+                esel = esel.unionByName(flipped)
+            from_key, to_key = (
+                (f"{evar}__dst", f"{evar}__src")
+                if rel.incoming
+                else (f"{evar}__src", f"{evar}__dst")
+            )
+            df = df.join(esel, F.col(f"{cur}__id") == F.col(from_key), "inner")
+            df, cur = bind_node(node, df, to_key)
+        if pat.path_var:
+            self.path_vars[pat.path_var] = [n.var for n in pat.nodes if n.var]
+        return df, set(nvars), set(evars)
+
+    def _merge(self, df: DataFrame, nvars: set[str], evars: set[str],
+               optional: bool):
+        if self.binding is None:
+            if optional:
+                raise CypherExecutionError("OPTIONAL MATCH with no prior binding")
+            self.binding = df
+        else:
+            shared = [v for v in nvars | evars
+                      if f"{v}__id" in self.binding.columns
+                      or f"{v}__src" in self.binding.columns]
+            how = "left" if optional else "inner"
+            if shared:
+                # rename every column of the shared vars on the new side,
+                # join on their identity columns, drop the duplicates
+                for v in shared:
+                    for c in [c for c in df.columns if c.startswith(f"{v}__")]:
+                        df = df.withColumnRenamed(c, c + "__new")
+                cond = None
+                for v in shared:
+                    keys = (
+                        [f"{v}__id"]
+                        if v in nvars
+                        else [f"{v}__src", f"{v}__relationship", f"{v}__dst"]
+                    )
+                    for k in keys:
+                        c = F.col(k) == F.col(k + "__new")
+                        cond = c if cond is None else (cond & c)
+                joined = self.binding.join(df, cond, how)
+                self.binding = joined.drop(
+                    *[c for c in joined.columns if c.endswith("__new")]
+                )
+            else:
+                self.binding = self.binding.crossJoin(df)
+        self.node_vars |= nvars
+        self.edge_vars |= evars
+
+    # ------------------------------------------------------------ expressions
+
+    def _col(self, expr, numeric_hint=False):
+        if isinstance(expr, P.Lit):
+            if isinstance(expr.value, list):
+                return F.array(*[F.lit(v) for v in expr.value])
+            return F.lit(expr.value)
+        if isinstance(expr, P.Var):
+            v = expr.name
+            if v in self.node_vars:
+                return F.struct(
+                    F.col(f"{v}__id").alias("id"),
+                    F.col(f"{v}__label").alias("label"),
+                    F.col(f"{v}__properties").alias("properties"),
+                )
+            if v in self.edge_vars:
+                return F.struct(
+                    F.col(f"{v}__src").alias("src"),
+                    F.col(f"{v}__relationship").alias("relationship"),
+                    F.col(f"{v}__dst").alias("dst"),
+                    F.col(f"{v}__properties").alias("properties"),
+                )
+            return F.col(v)  # UNWIND scalar
+        if isinstance(expr, P.Prop):
+            base = self._prop_col(expr)
+            return base.try_cast("double") if numeric_hint else base
+        if isinstance(expr, P.ListExpr):
+            return F.array(*[self._col(x) for x in expr.items])
+        if isinstance(expr, P.UnaryOp):
+            if expr.op == "NOT":
+                return ~self._col(expr.operand)
+            if expr.op == "-":
+                return -self._col(expr.operand, numeric_hint=True)
+            if expr.op == "IS_NULL":
+                return self._col(expr.operand).isNull()
+            if expr.op == "IS_NOT_NULL":
+                return self._col(expr.operand).isNotNull()
+        if isinstance(expr, P.BinOp):
+            return self._binop(expr)
+        if isinstance(expr, P.Func):
+            return self._func(expr)
+        raise CypherExecutionError(f"cannot translate {expr!r}")
+
+    def _prop_col(self, p: P.Prop):
+        v = p.var
+        if v in self.edge_vars:
+            return F.col(f"{v}__properties").getItem(p.key)
+        if v in self.node_vars:
+            if p.key == "id":
+                # promoted identity: prefer the vertex id column when the
+                # property map doesn't carry an explicit id
+                return F.coalesce(
+                    F.col(f"{v}__properties").getItem("id"), F.col(f"{v}__id")
+                )
+            return F.col(f"{v}__properties").getItem(p.key)
+        # scalar var (UNWIND over maps) — field access
+        return F.col(v).getItem(p.key)
+
+    @staticmethod
+    def _is_numeric_expr(e):
+        if isinstance(e, P.Lit):
+            return isinstance(e.value, (int, float)) and not isinstance(e.value, bool)
+        if isinstance(e, P.UnaryOp) and e.op == "-":
+            return _Executor._is_numeric_expr(e.operand)
+        if isinstance(e, P.BinOp) and e.op in "+-*/%":
+            return True
+        if isinstance(e, P.Func) and e.name in ("avg", "sum", "abs", "round",
+                                                "size", "length", "count"):
+            return True
+        return False
+
+    def _binop(self, b: P.BinOp):
+        op = b.op
+        if op in ("AND",):
+            return self._col(b.left) & self._col(b.right)
+        if op in ("OR",):
+            return self._col(b.left) | self._col(b.right)
+        if op == "XOR":
+            lc, rc = self._col(b.left), self._col(b.right)
+            return (lc | rc) & ~(lc & rc)
+        numeric = self._is_numeric_expr(b.left) or self._is_numeric_expr(b.right)
+        lc = self._col(b.left, numeric_hint=numeric)
+        rc = self._col(b.right, numeric_hint=numeric)
+        if op == "=":
+            if not numeric and isinstance(b.right, P.Lit):
+                rc = F.lit(stringify_value(b.right.value))
+            elif not numeric and isinstance(b.left, P.Lit):
+                lc = F.lit(stringify_value(b.left.value))
+            return lc == rc
+        if op == "<>":
+            if not numeric and isinstance(b.right, P.Lit):
+                rc = F.lit(stringify_value(b.right.value))
+            return lc != rc
+        if op == "<":
+            return lc < rc
+        if op == "<=":
+            return lc <= rc
+        if op == ">":
+            return lc > rc
+        if op == ">=":
+            return lc >= rc
+        if op == "=~":
+            return lc.rlike(b.right.value if isinstance(b.right, P.Lit) else "")
+        if op == "CONTAINS":
+            return lc.contains(rc)
+        if op == "STARTS_WITH":
+            return lc.startswith(rc)
+        if op == "ENDS_WITH":
+            return lc.endswith(rc)
+        if op == "IN":
+            return F.array_contains(rc, lc)
+        if op == "+":
+            return lc + rc
+        if op == "-":
+            return lc - rc
+        if op == "*":
+            return lc * rc
+        if op == "/":
+            return lc / rc
+        if op == "%":
+            return lc % rc
+        raise CypherExecutionError(f"unknown operator {op}")
+
+    def _func(self, f: P.Func):
+        n = f.name
+        if n == "count":
+            if f.args and isinstance(f.args[0], P.Var) and f.args[0].name == "*":
+                return F.count(F.lit(1))
+            inner = self._count_target(f.args[0])
+            return F.countDistinct(inner) if f.distinct else F.count(inner)
+        if n in ("collect", "collect_list"):
+            return F.collect_list(self._col(f.args[0]))
+        if n in ("sum", "avg", "min", "max"):
+            c = self._col(f.args[0], numeric_hint=n in ("sum", "avg"))
+            if isinstance(f.args[0], P.Prop) and n in ("min", "max"):
+                c = self._col(f.args[0], numeric_hint=True)
+            return getattr(F, n if n != "stdev" else "stddev")(c)
+        if n in ("stdev", "stddev"):
+            return F.stddev(self._col(f.args[0], numeric_hint=True))
+        if n == "labels":
+            v = f.args[0].name
+            return F.split(F.col(f"{v}__label"), ":")
+        if n == "type":
+            v = f.args[0].name
+            return F.col(f"{v}__relationship")
+        if n == "id":
+            v = f.args[0].name
+            return F.col(f"{v}__id")
+        if n == "keys":
+            return F.map_keys(self._col(f.args[0]))
+        if n in ("tolower", "lower"):
+            return F.lower(self._col(f.args[0]))
+        if n in ("toupper", "upper"):
+            return F.upper(self._col(f.args[0]))
+        if n == "tostring":
+            return self._col(f.args[0]).cast("string")
+        if n in ("tointeger", "toint"):
+            return self._col(f.args[0]).try_cast("bigint")
+        if n == "tofloat":
+            return self._col(f.args[0]).try_cast("double")
+        if n == "exists":
+            return self._col(f.args[0]).isNotNull()
+        if n == "timestamp":
+            return F.unix_millis(F.current_timestamp())
+        if n == "date":
+            return F.current_date()
+        if n in ("size", "length"):
+            a = f.args[0]
+            c = self._col(a)
+            is_list = (
+                isinstance(a, P.ListExpr)
+                or (isinstance(a, P.Lit) and isinstance(a.value, list))
+                or (
+                    isinstance(a, P.Func)
+                    and a.name in ("collect", "collect_list", "labels", "keys", "nodes")
+                )
+            )
+            return F.size(c) if is_list else F.length(c)
+        if n == "abs":
+            return F.abs(self._col(f.args[0], numeric_hint=True))
+        if n == "round":
+            args = [self._col(f.args[0], numeric_hint=True)]
+            if len(f.args) > 1:
+                return F.round(args[0], f.args[1].value)
+            return F.round(args[0])
+        if n == "coalesce":
+            return F.coalesce(*[self._col(a) for a in f.args])
+        if n == "nodes":
+            pv = f.args[0].name
+            vars_ = self.path_vars.get(pv, [])
+            return F.array(*[
+                F.struct(
+                    F.col(f"{v}__id").alias("id"),
+                    F.col(f"{v}__label").alias("label"),
+                    F.col(f"{v}__properties").alias("properties"),
+                )
+                for v in vars_
+            ])
+        raise CypherExecutionError(f"unknown function {n}")
+
+    def _count_target(self, arg):
+        if isinstance(arg, P.Var):
+            v = arg.name
+            if v in self.node_vars:
+                return F.col(f"{v}__id")
+            if v in self.edge_vars:
+                return F.col(f"{v}__src")
+            return F.col(v)
+        return self._col(arg)
+
+    # ------------------------------------------------------------ clauses
+
+    def run(self, stmt: P.CypherStatement):
+        result = None
+        for clause in stmt.clauses:
+            if isinstance(clause, P.MatchClause):
+                self._exec_match(clause)
+            elif isinstance(clause, P.UnwindClause):
+                self._exec_unwind(clause)
+            elif isinstance(clause, P.CreateClause):
+                self._exec_create(clause)
+            elif isinstance(clause, P.SetClause):
+                self._exec_set(clause)
+            elif isinstance(clause, P.RemoveClause):
+                self._exec_remove(clause)
+            elif isinstance(clause, P.DeleteClause):
+                self._exec_delete(clause)
+            elif isinstance(clause, P.ReturnClause):
+                result = self._exec_return(clause)
+            else:
+                raise CypherExecutionError(f"unsupported clause {clause!r}")
+        if result is not None:
+            return result
+        return dict(self.summary)
+
+    def _exec_match(self, mc: P.MatchClause):
+        for pat in mc.patterns:
+            if pat.shortest:
+                self._exec_shortest(pat)
+                continue
+            df, nvars, evars = self._pattern_df(pat)
+            self._merge(df, nvars, evars, mc.optional)
+        if mc.where is not None:
+            if mc.optional:
+                raise CypherExecutionError(
+                    "WHERE on OPTIONAL MATCH not supported yet"
+                )
+            self.binding = self.binding.filter(self._col(mc.where))
+
+    def _exec_shortest(self, pat: P.PathPattern):
+        """shortestPath((a {..})-[*..k]-(b {..})) — endpoints resolved
+        to concrete ids, path computed via the iterative-join operator,
+        bound as an array<string> column named by the path var."""
+        if len(pat.nodes) != 2 or len(pat.rels) != 1:
+            raise CypherExecutionError("shortestPath needs exactly (a)-[..]-(b)")
+        a, b = pat.nodes
+        rel = pat.rels[0]
+        ida = [r[0] for r in self._node_df(a, "x").select("x__id").collect()]
+        idb = [r[0] for r in self._node_df(b, "y").select("y__id").collect()]
+        if len(ida) != 1 or len(idb) != 1:
+            raise CypherExecutionError(
+                "shortestPath endpoints must resolve to single vertices"
+            )
+        direction = "both" if rel.undirected else ("in" if rel.incoming else "out")
+        path = T.shortest_path(
+            self.g.edges, ida[0], idb[0],
+            max_depth=rel.max_hops or 5,
+            t=rel.types[0] if rel.types else None,
+            direction=direction,
+        )
+        pv = pat.path_var or self._fresh("_path")
+        row_df = self.g.spark.createDataFrame(
+            [(path,)] if path is not None else [],
+            f"{pv} array<string>",
+        )
+        self.scalar_vars.add(pv)
+        self.path_vars[pv] = []
+        if self.binding is None:
+            self.binding = row_df
+        else:
+            self.binding = self.binding.crossJoin(row_df)
+
+    def _exec_unwind(self, uc: P.UnwindClause):
+        col = self._col(uc.expr) if not isinstance(uc.expr, P.Lit) else None
+        if isinstance(uc.expr, P.Lit) and isinstance(uc.expr.value, list):
+            vals = uc.expr.value
+            if all(isinstance(v, dict) for v in vals) and vals:
+                rows = [(normalize_properties(v),) for v in vals]
+                df = self.g.spark.createDataFrame(
+                    rows, f"{uc.var} map<string,string>"
+                )
+            else:
+                df = self.g.spark.createDataFrame(
+                    [(v,) for v in vals], f"{uc.var} string"
+                ) if all(isinstance(v, str) for v in vals) else (
+                    self.g.spark.createDataFrame([(v,) for v in vals], [uc.var])
+                )
+            self.scalar_vars.add(uc.var)
+            self.binding = (
+                df if self.binding is None else self.binding.crossJoin(df)
+            )
+            return
+        if self.binding is None:
+            raise CypherExecutionError("UNWIND of expression needs a binding")
+        self.binding = self.binding.withColumn(uc.var, F.explode(col))
+        self.scalar_vars.add(uc.var)
+
+    def _exec_create(self, cc: P.CreateClause):
+        self.mutated = True
+        new_vertices: list[tuple] = []
+        new_edges: list[tuple] = []
+        created_vars: dict[str, str] = {}  # var -> id (this CREATE)
+
+        def node_id(np: P.NodePattern) -> str:
+            if np.var and np.var in created_vars:
+                return created_vars[np.var]
+            if np.var and np.var in self.node_vars:
+                rows = self.binding.select(f"{np.var}__id").distinct().collect()
+                if len(rows) != 1:
+                    raise CypherExecutionError(
+                        f"CREATE with multi-bound variable {np.var!r}"
+                    )
+                return rows[0][0]
+            vid = str(np.properties.get("id", uuid.uuid4()))
+            label = np.label or np.var or "Node"
+            new_vertices.append((vid, label, dict(np.properties)))
+            if np.var:
+                created_vars[np.var] = vid
+            return vid
+
+        for pat in cc.patterns:
+            prev = node_id(pat.nodes[0])
+            for rel, node in zip(pat.rels, pat.nodes[1:]):
+                nxt = node_id(node)
+                if not rel.types:
+                    raise CypherExecutionError("CREATE relationship needs a type")
+                src, dst = (nxt, prev) if rel.incoming else (prev, nxt)
+                new_edges.append((src, rel.types[0], dst, dict(rel.properties)))
+                prev = nxt
+        if new_vertices:
+            self.g.set_state(
+                vertices=self.g.vertices.unionByName(
+                    self.g.spark.createDataFrame(
+                        [
+                            (i, l, normalize_properties(p))
+                            for i, l, p in new_vertices
+                        ],
+                        "id string, label string, properties map<string,string>",
+                    )
+                )
+            )
+            self.summary["created_vertices"] += len(new_vertices)
+        for src, rel_t, dst, props in new_edges:
+            self.g.set_state(
+                edges=self.g.edges.filter(
+                    ~(
+                        (F.col("src") == src)
+                        & (F.col("relationship") == rel_t)
+                        & (F.col("dst") == dst)
+                    )
+                ).unionByName(
+                    self.g.spark.createDataFrame(
+                        [(src, rel_t, dst, normalize_properties(props))],
+                        "src string, relationship string, dst string, "
+                        "properties map<string,string>",
+                    )
+                )
+            )
+            self.summary["created_edges"] += 1
+
+    def _ids_for(self, var: str) -> DataFrame:
+        if self.binding is None or f"{var}__id" not in self.binding.columns:
+            raise CypherExecutionError(f"unbound variable {var!r}")
+        return self.binding.select(F.col(f"{var}__id").alias("id")).distinct()
+
+    def _exec_set(self, sc: P.SetClause):
+        self.mutated = True
+        for item in sc.items:
+            if item.labels:
+                var = item.target.name
+                ids = self._ids_for(var).withColumn("__hit", F.lit(True))
+                add = ":".join(item.labels)
+                v = (
+                    self.g.vertices.join(ids, "id", "left")
+                    .withColumn(
+                        "label",
+                        F.when(
+                            F.col("__hit"), F.concat_ws(":", F.col("label"), F.lit(add))
+                        ).otherwise(F.col("label")),
+                    )
+                    .drop("__hit")
+                )
+                self.g.set_state(vertices=v)
+                continue
+            p: P.Prop = item.target
+            if not isinstance(p, P.Prop):
+                raise CypherExecutionError("SET target must be n.prop or n:Label")
+            if not isinstance(item.value, P.Lit):
+                # per-row expression: compute (id, value) from bindings
+                pairs = self.binding.select(
+                    F.col(f"{p.var}__id").alias("id"),
+                    self._col(item.value).cast("string").alias("__val"),
+                ).dropDuplicates(["id"])
+                patched = (
+                    self.g.vertices.join(pairs, "id", "left")
+                    .withColumn(
+                        "properties",
+                        F.when(
+                            F.col("__val").isNotNull(),
+                            F.map_concat(
+                                F.map_filter(
+                                    F.coalesce(
+                                        F.col("properties"),
+                                        F.create_map().cast("map<string,string>"),
+                                    ),
+                                    lambda k, _: k != F.lit(p.key),
+                                ),
+                                F.create_map(F.lit(p.key), F.col("__val")),
+                            ),
+                        ).otherwise(F.col("properties")),
+                    )
+                    .drop("__val")
+                )
+                self.g.set_state(vertices=patched)
+                self.summary["properties_set"] += 1
+                continue
+            val = item.value.value
+            if p.var in self.edge_vars:
+                keys = self.binding.select(
+                    F.col(f"{p.var}__src").alias("src"),
+                    F.col(f"{p.var}__relationship").alias("relationship"),
+                    F.col(f"{p.var}__dst").alias("dst"),
+                ).distinct()
+                from graphdb_spark.algebra import Q
+
+                trips = [tuple(r) for r in keys.collect()]
+                M.set_properties(self.g, Q.specific_edges(*trips), p.key, val)
+            else:
+                from graphdb_spark.algebra import Q
+
+                ids = [r[0] for r in self._ids_for(p.var).collect()]
+                M.set_properties(self.g, Q.specific_vertices(*ids), p.key, val)
+            self.summary["properties_set"] += 1
+
+    def _exec_remove(self, rm: P.RemoveClause):
+        self.mutated = True
+        from graphdb_spark.algebra import Q
+
+        for p in rm.items:
+            ids = [r[0] for r in self._ids_for(p.var).collect()]
+            M.remove_property(self.g, Q.specific_vertices(*ids), p.key)
+
+    def _exec_delete(self, dc: P.DeleteClause):
+        self.mutated = True
+        for var in dc.vars:
+            if var in self.edge_vars:
+                keys = self.binding.select(
+                    F.col(f"{var}__src").alias("src"),
+                    F.col(f"{var}__relationship").alias("relationship"),
+                    F.col(f"{var}__dst").alias("dst"),
+                ).distinct()
+                before = self.g.edge_count()
+                M.delete_edges(self.g, keys)
+                self.summary["deleted_edges"] += before - self.g.edge_count()
+                continue
+            ids = self._ids_for(var)
+            if not dc.detach:
+                incident = self.g.edges.join(
+                    ids.withColumnRenamed("id", "src"), "src", "left_semi"
+                ).count() + self.g.edges.join(
+                    ids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                ).count()
+                if incident:
+                    raise CypherExecutionError(
+                        f"cannot DELETE {var!r}: vertices still have "
+                        "relationships (use DETACH DELETE)"
+                    )
+            before_v, before_e = self.g.vertex_count(), self.g.edge_count()
+            M.delete_vertices(self.g, ids)
+            self.summary["deleted_vertices"] += before_v - self.g.vertex_count()
+            self.summary["deleted_edges"] += before_e - self.g.edge_count()
+
+    # ------------------------------------------------------------ RETURN
+
+    @staticmethod
+    def _has_agg(expr) -> bool:
+        if isinstance(expr, P.Func):
+            if expr.name in AGG_FUNCS:
+                return True
+            return any(_Executor._has_agg(a) for a in expr.args)
+        if isinstance(expr, P.BinOp):
+            return _Executor._has_agg(expr.left) or _Executor._has_agg(expr.right)
+        if isinstance(expr, P.UnaryOp):
+            return _Executor._has_agg(expr.operand)
+        return False
+
+    def _item_name(self, item: P.ReturnItem, idx: int) -> str:
+        if item.alias:
+            return item.alias
+        e = item.expr
+        if isinstance(e, P.Var):
+            return e.name
+        if isinstance(e, P.Prop):
+            return f"{e.var}.{e.key}"
+        if isinstance(e, P.Func):
+            inner = ", ".join(
+                a.name if isinstance(a, P.Var) else str(i)
+                for i, a in enumerate(e.args)
+            )
+            return f"{e.name}({inner})"
+        return f"col{idx}"
+
+    def _exec_return(self, rc: P.ReturnClause) -> DataFrame:
+        if self.binding is None:
+            # RETURN of constants
+            self.binding = self.g.spark.range(1).select()
+        has_agg = any(self._has_agg(it.expr) for it in rc.items)
+        names = [self._item_name(it, i) for i, it in enumerate(rc.items)]
+        if has_agg:
+            keys = [
+                (self._col(it.expr).alias(nm))
+                for it, nm in zip(rc.items, names)
+                if not self._has_agg(it.expr)
+            ]
+            aggs = [
+                (self._col(it.expr).alias(nm))
+                for it, nm in zip(rc.items, names)
+                if self._has_agg(it.expr)
+            ]
+            df = (
+                self.binding.groupBy(*keys).agg(*aggs)
+                if keys
+                else self.binding.agg(*aggs)
+            )
+            # restore RETURN item order (backticks: aliases may contain dots)
+            df = df.select(*[F.col(f"`{n}`") for n in names])
+        else:
+            df = self.binding.select(
+                *[self._col(it.expr).alias(nm) for it, nm in zip(rc.items, names)]
+            )
+        if rc.distinct:
+            df = df.dropDuplicates()
+        if rc.order_by:
+            sort_cols = []
+            for ob in rc.order_by:
+                nm = None
+                if isinstance(ob.expr, P.Var) and ob.expr.name in names:
+                    nm = ob.expr.name
+                elif isinstance(ob.expr, P.Prop) and f"{ob.expr.var}.{ob.expr.key}" in names:
+                    nm = f"{ob.expr.var}.{ob.expr.key}"
+                if nm is not None:
+                    c = F.col(f"`{nm}`")
+                else:
+                    c = self._col(ob.expr, numeric_hint=isinstance(ob.expr, P.Prop))
+                sort_cols.append(c.desc() if ob.desc else c.asc())
+            df = df.orderBy(*sort_cols)
+        if rc.skip:
+            df = df.offset(rc.skip)
+        if rc.limit is not None:
+            df = df.limit(rc.limit)
+        return df

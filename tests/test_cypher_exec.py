@@ -1,0 +1,259 @@
+"""Cypher end-to-end tests: the queries_examples.txt corpus (FIXTURES.md
+F2 Person/KNOWS graph) executed through GraphSession.cypher()."""
+
+import pytest
+
+from graphdb_spark.cypher.executor import CypherExecutionError
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_create_and_match_roundtrip(spark):
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    out = g.cypher("CREATE (n:Person {id: 'alice', name: 'Alice', age: 30})")
+    assert out["created_vertices"] == 1
+    out = g.cypher("CREATE (:Person {id: 'bob', name: 'Bob', age: 35})")
+    assert out["created_vertices"] == 1
+    df = g.cypher("MATCH (n:Person) RETURN n.name ORDER BY n.name")
+    assert rows(df) == [("Alice",), ("Bob",)]
+
+
+def test_create_complex_pattern_materializes_edges(spark):
+    """The reference parses but never materializes CREATE relationships
+    (cypher_parser.rs:738); ours must."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    out = g.cypher(
+        "CREATE (a:Person {id: 'a', name: 'A'})-[:KNOWS {since: 2020}]->"
+        "(b:Person {id: 'b', name: 'B'})"
+    )
+    assert out["created_vertices"] == 2
+    assert out["created_edges"] == 1
+    e = g.edges.collect()
+    assert len(e) == 1 and e[0]["src"] == "a" and e[0]["dst"] == "b"
+    assert e[0]["properties"]["since"] == "2020"
+
+
+def test_create_bidirectional_chain(spark):
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    g.cypher("CREATE (a:X {id: 'a'})-[:R1]->(b:X {id: 'b'})<-[:R2]-(c:X {id: 'c'})")
+    got = {(r["src"], r["relationship"], r["dst"]) for r in g.edges.collect()}
+    assert got == {("a", "R1", "b"), ("c", "R2", "b")}
+
+
+def test_match_property_filter(person_graph):
+    df = person_graph.cypher("MATCH (p:Person {name: 'Alice'}) RETURN p.age")
+    assert rows(df) == [("30",)]
+
+
+def test_where_numeric_comparison(person_graph):
+    """p.age > 30 must compare numerically, not lexicographically
+    (SURVEY §7.3 property-type fidelity)."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE p.age > 30 RETURN p.name ORDER BY p.name"
+    )
+    assert rows(df) == [("Bob",), ("Diana",)]
+
+
+def test_where_and_bool(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE p.age >= 30 AND p.active = true "
+        "RETURN p.name ORDER BY p.name"
+    )
+    assert rows(df) == [("Alice",), ("Bob",)]
+
+
+def test_string_predicates(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE toLower(p.name) CONTAINS 'ali' RETURN p.name"
+    )
+    assert rows(df) == [("Alice",)]
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE p.name =~ '(?i)alice' RETURN p.name"
+    )
+    assert rows(df) == [("Alice",)]
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE p.name STARTS WITH 'Ch' RETURN p.name"
+    )
+    assert rows(df) == [("Charlie",)]
+
+
+def test_exists_predicate(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE exists(p.score) RETURN p.name ORDER BY p.name"
+    )
+    assert rows(df) == [("Alice",), ("Bob",)]
+
+
+def test_one_hop_traversal(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person {name: 'Alice'})-[:KNOWS]->(f) RETURN f.name "
+        "ORDER BY f.name"
+    )
+    assert rows(df) == [("Bob",), ("Charlie",)]
+
+
+def test_edge_property_and_order(person_graph):
+    df = person_graph.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) RETURN a.name, b.name, r.strength "
+        "ORDER BY r.strength DESC LIMIT 20"
+    )
+    assert rows(df) == [("Alice", "Bob", "0.9"), ("Alice", "Charlie", "0.7")]
+
+
+def test_incoming_direction(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p)<-[:KNOWS]-(who) RETURN p.name, who.name ORDER BY p.name"
+    )
+    assert rows(df) == [("Bob", "Alice"), ("Charlie", "Alice")]
+
+
+def test_multi_type_edge(person_graph):
+    df = person_graph.cypher(
+        "MATCH (a)-[r:KNOWS|WORKS_WITH]->(b) RETURN type(r), b.name "
+        "ORDER BY b.name"
+    )
+    assert rows(df) == [
+        ("KNOWS", "Bob"), ("KNOWS", "Charlie"), ("WORKS_WITH", "Diana"),
+    ]
+
+
+def test_aggregates_with_implicit_grouping(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person)-[r:KNOWS]->() RETURN p.name, count(r) AS cnt"
+    )
+    assert rows(df) == [("Alice", 2)]
+    df = person_graph.cypher("MATCH (p:Person) RETURN avg(p.age) AS avg_age")
+    assert rows(df) == [(31.25,)]
+    df = person_graph.cypher("MATCH (p:Person) RETURN count(p) AS total")
+    assert rows(df) == [(4,)]
+
+
+def test_collect(person_graph):
+    df = person_graph.cypher(
+        "MATCH (a {name: 'Alice'})-[:KNOWS]->(f) "
+        "RETURN collect(f.name) AS friends"
+    )
+    assert sorted(rows(df)[0][0]) == ["Bob", "Charlie"]
+
+
+def test_labels_and_functions(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person {name: 'Alice'}) RETURN labels(p) AS l, id(p) AS i"
+    )
+    assert rows(df) == [(["Person"], "alice")]
+
+
+def test_two_hop(person_graph):
+    df = person_graph.cypher(
+        "MATCH (a {name: 'Alice'})-[:KNOWS]->(b)-[:WORKS_WITH]->(c) "
+        "RETURN b.name, c.name"
+    )
+    assert rows(df) == [("Bob", "Diana")]
+
+
+def test_var_length(person_graph):
+    df = person_graph.cypher(
+        "MATCH (a {name: 'Alice'})-[:KNOWS|WORKS_WITH*1..3]->(x) "
+        "RETURN x.name ORDER BY x.name"
+    )
+    assert rows(df) == [("Bob",), ("Charlie",), ("Diana",)]
+
+
+def test_shortest_path(person_graph):
+    df = person_graph.cypher(
+        "MATCH p = shortestPath((a {name: 'Alice'})-[*..5]-(d {name: 'Diana'})) "
+        "RETURN p"
+    )
+    assert rows(df) == [(["alice", "bob", "diana"],)]
+
+
+def test_optional_match(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(f) "
+        "RETURN p.name, f.name ORDER BY p.name, f.name"
+    )
+    assert rows(df) == [
+        ("Alice", "Bob"), ("Alice", "Charlie"),
+        ("Bob", None), ("Charlie", None), ("Diana", None),
+    ]
+
+
+def test_unwind_literal_maps(spark):
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    df = g.cypher(
+        "UNWIND [{name: 'Ian', age: 32}, {name: 'Kim', age: 28}] AS row "
+        "RETURN row.name AS name, row.age AS age ORDER BY name"
+    )
+    assert rows(df) == [("Ian", "32"), ("Kim", "28")]
+
+
+def test_set_property(person_graph):
+    person_graph.cypher("MATCH (p {name: 'Alice'}) SET p.age = 31")
+    row = person_graph.vertices.filter("id = 'alice'").collect()[0]
+    assert row["properties"]["age"] == "31"
+
+
+def test_set_label(person_graph):
+    person_graph.cypher("MATCH (p {name: 'Alice'}) SET p:Admin")
+    row = person_graph.vertices.filter("id = 'alice'").collect()[0]
+    assert row["label"] == "Person:Admin"
+
+
+def test_remove_property(person_graph):
+    person_graph.cypher("MATCH (p {name: 'Alice'}) REMOVE p.score")
+    row = person_graph.vertices.filter("id = 'alice'").collect()[0]
+    assert "score" not in row["properties"]
+
+
+def test_delete_requires_detach(person_graph):
+    with pytest.raises(CypherExecutionError):
+        person_graph.cypher("MATCH (p {name: 'Alice'}) DELETE p")
+    out = person_graph.cypher("MATCH (p {name: 'Alice'}) DETACH DELETE p")
+    assert out["deleted_vertices"] == 1
+    assert out["deleted_edges"] == 2
+    assert person_graph.vertex_count() == 3
+
+
+def test_delete_edge_var(person_graph):
+    out = person_graph.cypher(
+        "MATCH (a {name: 'Alice'})-[r:KNOWS]->(b {name: 'Bob'}) DELETE r"
+    )
+    assert out["deleted_edges"] == 1
+    assert person_graph.edge_count() == 2
+
+
+def test_kv_surface(spark):
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    assert g.cypher("SET mykey = 'myvalue'")["status"] == "ok"
+    assert g.cypher("MATCH (mykey) RETURN") == "myvalue"
+    g.cypher("DELETE mykey")
+    assert g.cypher("MATCH (mykey) RETURN") is None
+
+
+def test_distinct_and_skip_limit(person_graph):
+    df = person_graph.cypher(
+        "MATCH (p:Person) RETURN p.name ORDER BY p.name SKIP 1 LIMIT 2"
+    )
+    assert rows(df) == [("Bob",), ("Charlie",)]
+    df = person_graph.cypher(
+        "MATCH (a)-[:KNOWS]->() RETURN DISTINCT a.name"
+    )
+    assert rows(df) == [("Alice",)]
+
+
+def test_return_whole_node(person_graph):
+    df = person_graph.cypher("MATCH (p:Person {name: 'Diana'}) RETURN p")
+    r = rows(df)[0][0]
+    assert r["id"] == "diana" and r["label"] == "Person"

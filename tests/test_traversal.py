@@ -1,0 +1,92 @@
+"""Traversal tests: BFS (fixing the reference's broken
+traversal.rs:31-36), shortestPath and var-length expansion
+(queries_examples.txt:109-118), connected components."""
+
+import pytest
+
+from graphdb_spark.operators import traversal as T
+
+
+@pytest.fixture()
+def chain_graph(spark):
+    """a -> b -> c -> d -> e, plus a side branch b -> x, and a cycle
+    e -> a."""
+    edges = [
+        ("a", "N", "b"), ("b", "N", "c"), ("c", "N", "d"), ("d", "N", "e"),
+        ("b", "N", "x"), ("e", "N", "a"),
+    ]
+    return spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in edges],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+
+
+def test_bfs_depths(chain_graph):
+    got = {r["id"]: r["depth"] for r in T.bfs(chain_graph, "a", max_depth=5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "x": 2, "d": 3, "e": 4}
+
+
+def test_bfs_max_depth_caps(chain_graph):
+    got = {r["id"]: r["depth"] for r in T.bfs(chain_graph, "a", max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "x": 2}
+
+
+def test_bfs_cycle_terminates(chain_graph):
+    # cycle e->a must not loop forever or re-add a at depth 5
+    got = T.bfs(chain_graph, "a", max_depth=10).collect()
+    assert len(got) == 6
+
+
+def test_bfs_direction_in(chain_graph):
+    got = {r["id"]: r["depth"] for r in T.bfs(chain_graph, "c", max_depth=2, direction="in").collect()}
+    assert got == {"c": 0, "b": 1, "a": 2}
+
+
+def test_bfs_type_filter(spark):
+    edges = [("a", "KNOWS", "b"), ("b", "WORKS_WITH", "c")]
+    e = spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in edges],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    got = {r["id"]: r["depth"] for r in T.bfs(e, "a", max_depth=3, t="KNOWS").collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_shortest_path(chain_graph):
+    assert T.shortest_path(chain_graph, "a", "e", direction="out") == [
+        "a", "b", "c", "d", "e",
+    ]
+    # undirected: e->a edge makes it 1 hop
+    assert T.shortest_path(chain_graph, "a", "e", direction="both") == ["a", "e"]
+    assert T.shortest_path(chain_graph, "a", "a") == ["a"]
+    assert T.shortest_path(chain_graph, "x", "e", direction="out") is None
+
+
+def test_shortest_path_max_depth(chain_graph):
+    assert T.shortest_path(chain_graph, "a", "e", max_depth=3, direction="out") is None
+
+
+def test_var_length_expand(spark, chain_graph):
+    starts = spark.createDataFrame([("a",)], "id string")
+    got = {
+        (r["start_id"], r["id"]): r["hops"]
+        for r in T.var_length_expand(chain_graph, starts, 1, 3).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 2, ("a", "x"): 2, ("a", "d"): 3,
+    }
+    # min_hops=2 drops the 1-hop neighbors
+    got2 = {
+        r["id"] for r in T.var_length_expand(chain_graph, starts, 2, 3).collect()
+    }
+    assert got2 == {"c", "x", "d"}
+
+
+def test_connected_components(spark):
+    edges = [("a", "E", "b"), ("b", "E", "c"), ("p", "E", "q")]
+    e = spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in edges],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    got = {r["id"]: r["component"] for r in T.connected_components_small(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "p": "p", "q": "p"}
