@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata — the training-data-pipeline surface (north-star extras).
+
+Spark-side plumbing is real and tested: schemas, partition-friendly
+batch iteration (mapInPandas), Arrow-batched UDF signatures, frame
+sampling arithmetic. The codec step itself is STUBBED — the container
+has no image/audio libraries — behind ``_decode_image_bytes`` /
+``_decode_audio_bytes`` which raise NotImplementedError unless
+``fake=True`` supplies the deterministic fake decoder (dimensions and
+features derived from the md5 of the payload, so tests are stable and
+the pipeline shape is end-to-end real).
+
+Scale notes: binaries ride as parquet binary columns; decode is
+mapInPandas (per-partition Arrow batches, no per-row Python overhead);
+metadata extraction never ships the payload through a shuffle — only
+derived features do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("meta", StringType(), True),  # JSON sidecar
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("phash", LongType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _decode_image_bytes(payload: bytes, fake: bool):
+    """STUB: real decode needs PIL/opencv (absent in this container).
+    fake=True → deterministic pseudo-decode from md5(payload)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv; pass fake=True for the "
+            "deterministic test decoder"
+        )
+    h = hashlib.md5(payload or b"").digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    phash = int.from_bytes(h[2:10], "big", signed=True)
+    emb = [((b / 255.0) - 0.5) for b in h]  # 16-dim fake embedding
+    return width, height, phash, emb
+
+
+def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract image rows via mapInPandas (Arrow
+    batches). Output: IMAGE_FEATURES_SCHEMA."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, ph, emb = _decode_image_bytes(r["payload"], fake)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(r["payload"] or b""),
+                        "phash": ph,
+                        "embedding": [float(x) for x in emb],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_spec(width_col, height_col, max_side: int = 256):
+    """Column-level resize arithmetic (aspect-preserving target dims) —
+    pure JVM expressions, no decode needed."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(width_col, height_col).cast("double"),
+    )
+    return (
+        F.round(width_col * scale).cast("int"),
+        F.round(height_col * scale).cast("int"),
+    )
+
+
+def sample_frames(video_meta: DataFrame, fps_col: str = "fps",
+                  duration_col: str = "duration_s",
+                  every_s: float = 1.0) -> DataFrame:
+    """Frame-sampling plan for videos: one row per sampled frame index
+    — pure sequence arithmetic (the decode of each frame would be a
+    mapInPandas like decode_images)."""
+    n = (F.col(duration_col) / F.lit(every_s)).cast("int")
+    return video_meta.select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias(
+            "frame_no", "_i"
+        ),
+    ).select(
+        "media_id",
+        "frame_no",
+        (F.col("frame_no") * F.lit(every_s)).alias("t_offset_s"),
+    )
+
+
+def audio_chunks(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
+    """Byte-range chunking plan for audio payloads (chunk offsets from
+    the binary length — decode itself stubbed like images)."""
+    n_chunks = F.ceil(F.length("payload") / F.lit(chunk_bytes)).cast("int")
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("chunk_no", "_i"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "chunk_no",
+        (F.col("chunk_no") * chunk_bytes).alias("byte_offset"),
+    )

@@ -1,0 +1,92 @@
+"""Temporal graph / time-travel — SURVEY.md §2.9, reference
+lib/src/graph_evolution/.
+
+- ``ChangeLog``: append-only change records (change_tracker.rs:5-26)
+  as a DataFrame; ``replay(T)`` materializes the graph state at T
+  (change_tracker.rs:28-44) via last-writer-wins window dedup.
+- ``TimeWindow``: interval membership filter (time_window.rs:4-17).
+- ``as_of_edges``: interval-validity filter for edges carrying
+  start_time / end_time (graph_evolution/models.rs:11-12).
+
+Scale: replay is one shuffle on the entity key + a row_number — the
+canonical CDC-compaction plan; Delta CDF would feed the same shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class TimeWindow:
+    """time_window.rs:4-17"""
+
+    start: str
+    end: str
+
+    def contains(self, col):
+        return (col >= F.lit(self.start)) & (col < F.lit(self.end))
+
+    def filter(self, df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+        return df.filter(self.contains(F.col(ts_col)))
+
+
+class ChangeLog:
+    """Append-only change log over nodes and edges.
+
+    Schema: timestamp, kind ('node'|'edge'), entity_id, src, dst,
+    properties, op ('upsert'|'delete').
+    """
+
+    def __init__(self, changes: DataFrame):
+        self.changes = changes
+
+    @classmethod
+    def from_rows(cls, spark, rows: list[tuple]) -> "ChangeLog":
+        df = spark.createDataFrame(
+            rows,
+            "timestamp timestamp, kind string, entity_id string, "
+            "src string, dst string, "
+            "properties map<string,string>, op string",
+        )
+        return cls(df)
+
+    def append(self, other: DataFrame) -> "ChangeLog":
+        return ChangeLog(self.changes.unionByName(other))
+
+    def replay(self, t) -> tuple[DataFrame, DataFrame]:
+        """Materialize (nodes, edges) state at time T: keep each
+        entity's latest change with timestamp <= T; drop deletes.
+        (change_tracker.rs:28-44 + last-writer-wins.)"""
+        upto = self.changes.filter(F.col("timestamp") <= F.lit(t))
+        w = Window.partitionBy("kind", "entity_id").orderBy(F.desc("timestamp"))
+        latest = (
+            upto.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .filter(F.col("op") != "delete")
+            .drop("rn")
+        )
+        nodes = latest.filter(F.col("kind") == "node").select(
+            F.col("entity_id").alias("id"), "timestamp", "properties"
+        )
+        edges = latest.filter(F.col("kind") == "edge").select(
+            F.col("entity_id").alias("id"), "src", "dst", "timestamp", "properties"
+        )
+        return nodes, edges
+
+    def between(self, window: TimeWindow) -> DataFrame:
+        """Changes inside a TimeWindow (time_window.rs semantics)."""
+        return window.filter(self.changes, "timestamp")
+
+
+def as_of_edges(edges: DataFrame, t, start_col: str = "start_time",
+                end_col: str = "end_time") -> DataFrame:
+    """Edges valid at time T: start <= T AND (end IS NULL OR end > T)
+    (graph_evolution/models.rs:11-12 interval validity)."""
+    return edges.filter(
+        (F.col(start_col) <= F.lit(t))
+        & (F.col(end_col).isNull() | (F.col(end_col) > F.lit(t)))
+    )

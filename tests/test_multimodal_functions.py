@@ -1,0 +1,118 @@
+"""Multimodal plumbing + plugin/function registry + SQL introspection
+tests."""
+
+import pytest
+
+from graphdb_spark.functions import (
+    PluginNotFoundError,
+    execute_plugin,
+    list_plugins,
+    parse_fhir_patients,
+    parse_hl7_segments,
+    register_plugin,
+    register_sql_functions,
+)
+from graphdb_spark.operators import multimodal as MM
+from graphdb_spark.sql_compat import parse_statement_info
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-bytes-1", "{}"),
+        (2, "image", "image/jpeg", b"\xff\xd8-fake-bytes-2", "{}"),
+        (3, "audio", "audio/wav", b"RIFF" + b"x" * 9000, "{}"),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_decode_images_stub_raises_without_fake(media):
+    with pytest.raises(Exception) as ei:
+        MM.decode_images(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+
+
+def test_decode_images_fake_deterministic(media):
+    a = MM.decode_images(media, fake=True).orderBy("media_id").collect()
+    b = MM.decode_images(media, fake=True).orderBy("media_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) == 2  # images only
+    assert all(r["width"] >= 64 and len(r["embedding"]) == 16 for r in a)
+
+
+def test_resize_spec(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1024, 512), (100, 50)], "w int, h int")
+    rw, rh = MM.resize_spec(F.col("w"), F.col("h"), max_side=256)
+    rows = df.select(rw.alias("rw"), rh.alias("rh")).collect()
+    assert (rows[0]["rw"], rows[0]["rh"]) == (256, 128)
+    assert (rows[1]["rw"], rows[1]["rh"]) == (100, 50)  # never upscale
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(7, 30.0, 3.5)], "media_id long, fps double, duration_s double")
+    rows = MM.sample_frames(df, every_s=1.0).collect()
+    assert [r["frame_no"] for r in rows] == [0, 1, 2]
+    assert rows[2]["t_offset_s"] == 2.0
+
+
+def test_audio_chunks(media):
+    rows = MM.audio_chunks(media, chunk_bytes=4096).collect()
+    assert len(rows) == 3  # 9004 bytes -> 3 chunks
+    assert rows[2]["byte_offset"] == 8192
+
+
+def test_plugin_registry(spark):
+    register_plugin("echo", lambda s, arg: {"echo": arg})
+    assert "echo" in list_plugins()
+    assert execute_plugin(spark, "echo", 42) == {"echo": 42}
+    with pytest.raises(PluginNotFoundError):
+        execute_plugin(spark, "nope")
+
+
+def test_fhir_codec(spark):
+    rows = [
+        ('{"resourceType": "Patient", "id": "p1", "name": [{"family": "Doe", '
+         '"given": ["Jane", "Q"]}], "gender": "female", "birthDate": "1990-02-03"}',),
+        ('{"resourceType": "Observation", "id": "o1"}',),
+    ]
+    df = spark.createDataFrame(rows, "json string")
+    out = parse_fhir_patients(df).collect()
+    assert len(out) == 1
+    assert out[0]["family_name"] == "Doe"
+    assert out[0]["given_names"] == "Jane Q"
+    assert str(out[0]["birth_date"]) == "1990-02-03"
+
+
+def test_hl7_codec(spark):
+    msg = "MSH|^~\\&|SENDER|FAC|REC|FAC2|202401011200||ADT^A01|123|P|2.3\nPID|1||12345||Doe^John"
+    df = spark.createDataFrame([(msg,)], "message string")
+    segs = parse_hl7_segments(df).collect()
+    assert [s["segment_type"] for s in segs] == ["MSH", "PID"]
+    assert segs[1]["fields"][5] == "Doe^John"
+
+
+def test_register_sql_functions(spark):
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT gs_h64('hello') AS h, gs_fingerprint('  Hello, World!  ') AS fp, "
+        "gs_token_count('a b  c') AS tc"
+    ).collect()[0]
+    assert r["h"] == 1564557354  # md5-stable across engines
+    assert r["tc"] == 3
+    # fingerprint = h64 of 'hello world'
+    r2 = spark.sql("SELECT gs_h64('hello world') AS x").collect()[0]
+    assert r["fp"] == r2["x"]
+
+
+def test_sql_statement_introspection():
+    s = parse_statement_info("SELECT a, b FROM t1 WHERE x = 1")
+    assert s.kind == "select" and s.table_name == "t1"
+    assert set(s.columns) == {"a", "b"}
+    s = parse_statement_info("CREATE TABLE users (id INT, name VARCHAR(10))")
+    assert s.kind == "create_table" and s.table_name == "users"
+    assert s.columns["id"] == "INT"
+    assert parse_statement_info("").kind == "empty"
+    assert parse_statement_info("DROP TABLE t").kind == "unsupported"
+    assert parse_statement_info("gibberish").kind == "unknown"

@@ -1,0 +1,67 @@
+"""Temporal operator tests (reference graph_evolution semantics,
+FIXTURES.md F4)."""
+
+import datetime as dt
+
+from graphdb_spark.operators.temporal import ChangeLog, TimeWindow, as_of_edges
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def make_log(spark):
+    rows = [
+        (ts("2024-01-01 10:00:00"), "node", "n1", None, None, {"v": "1"}, "upsert"),
+        (ts("2024-01-01 11:00:00"), "node", "n2", None, None, {"v": "1"}, "upsert"),
+        (ts("2024-01-01 12:00:00"), "node", "n1", None, None, {"v": "2"}, "upsert"),
+        (ts("2024-01-01 13:00:00"), "edge", "e1", "n1", "n2", {}, "upsert"),
+        (ts("2024-01-01 14:00:00"), "node", "n2", None, None, None, "delete"),
+    ]
+    return ChangeLog.from_rows(spark, rows)
+
+
+def test_replay_midpoint(spark):
+    """replay(T) keeps latest state per entity at T
+    (change_tracker.rs:28-44)."""
+    log = make_log(spark)
+    nodes, edges = log.replay("2024-01-01 12:30:00")
+    got = {r["id"]: r["properties"]["v"] for r in nodes.collect()}
+    assert got == {"n1": "2", "n2": "1"}  # n1 updated, n2 alive
+    assert edges.count() == 0  # edge created later
+
+
+def test_replay_after_delete(spark):
+    log = make_log(spark)
+    nodes, edges = log.replay("2024-01-01 15:00:00")
+    assert {r["id"] for r in nodes.collect()} == {"n1"}  # n2 deleted
+    assert {r["id"] for r in edges.collect()} == {"e1"}
+
+
+def test_replay_before_everything(spark):
+    nodes, edges = make_log(spark).replay("2023-12-31 00:00:00")
+    assert nodes.count() == 0 and edges.count() == 0
+
+
+def test_time_window(spark):
+    """TimeWindow.contains (time_window.rs:4-17): [start, end)."""
+    log = make_log(spark)
+    w = TimeWindow("2024-01-01 11:00:00", "2024-01-01 13:00:00")
+    inside = log.between(w)
+    assert inside.count() == 2  # 11:00 node, 12:00 node; 13:00 excluded
+
+
+def test_as_of_edges(spark):
+    rows = [
+        ("a", "b", ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00")),
+        ("b", "c", ts("2024-03-01 00:00:00"), None),
+        ("c", "d", ts("2024-05-01 00:00:00"), ts("2024-05-02 00:00:00")),
+    ]
+    e = spark.createDataFrame(
+        rows, "src string, dst string, start_time timestamp, end_time timestamp"
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in as_of_edges(e, "2024-04-01 00:00:00").collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
