@@ -113,40 +113,52 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     pair sharing a band key is a candidate; estimated similarity =
     fraction of agreeing signature slots. At scale the band join
     touches only colliding buckets (no cross join anywhere)."""
-    sig = minhash_signatures(docs, text_col, id_col, k)
+    sig = minhash_signatures(docs, text_col, id_col, k).cache()
     mh_cols = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
-    bands = sig.select(
-        "doc_id",
-        *mh_cols,
+    # explode bands into (band_key, doc) rows and self-join ONCE on the
+    # key — one shuffle instead of N_BANDS joins + union + dedup; the
+    # band id is baked into the key so buckets can't collide across
+    # bands. This is the shape that survives 100 TB: bucket join only.
+    band_keys = F.array(
         *[
             F.concat_ws(
                 "_",
                 F.lit(bi),
                 *[F.col(f"mh{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-            ).alias(f"band{bi}")
+            )
             for bi in range(N_BANDS)
-        ],
+        ]
     )
-    cands = None
-    for bi in range(N_BANDS):
-        a = bands.alias("a")
-        b = bands.alias("b")
-        c = a.join(
+    buckets = sig.select(
+        "doc_id", F.explode(band_keys).alias("band_key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
             b,
-            (F.col(f"a.band{bi}") == F.col(f"b.band{bi}"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.{c}").alias(f"a_{c}") for c in mh_cols],
-            *[F.col(f"b.{c}").alias(f"b_{c}") for c in mh_cols],
         )
-        cands = c if cands is None else cands.unionByName(c)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
     matches = sum(
         F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
     )
     return (
-        cands.dropDuplicates(["doc_a", "doc_b"])
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "est_jaccard",
             F.round(matches / F.lit(float(len(mh_cols))), 6),
@@ -195,29 +207,36 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     pair within hamming<=3 of a 32-bit hash shares at least one of 4
     bands), then exact hamming via bit_count(xor)."""
     sig = simhash(docs, text_col, id_col)
-    banded = sig.select(
+    # one bucket join over exploded (band_no, 8-bit value) keys instead
+    # of 4 self-joins (see minhash_lsh_candidates for the rationale)
+    buckets = sig.select(
         "doc_id",
         "simhash",
-        *[
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias(f"sb{b}")
-            for b in range(4)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
     )
-    cands = None
-    for b in range(4):
-        a_ = banded.alias("a")
-        b_ = banded.alias("b")
-        c = a_.join(
-            b_,
-            (F.col(f"a.sb{b}") == F.col(f"b.sb{b}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        cands = c if cands is None else cands.unionByName(c)
+    a_ = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cands = a_.join(
+        b_,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    )
     return (
         cands.dropDuplicates(["doc_a", "doc_b"])
         .withColumn(

@@ -170,9 +170,12 @@ class Translator:
                     df = df.orderBy("src", "relationship", "dst").limit(q.limit)
                 return QueryOutput(A.OutputType.EDGES, df)
             else:
-                # edges -> endpoint vertices (OUT = src side, IN = dst side)
+                # edges -> endpoint vertices (OUT = src side, IN = dst side).
+                # No distinct() on the probe side: left_semi dedups by
+                # construction, and the distinct would cost an extra
+                # shuffle + aggregate per hop.
                 key = "src" if q.direction == A.Direction.OUT else "dst"
-                ids = up.df.select(F.col(key).alias("id")).distinct()
+                ids = up.df.select(F.col(key).alias("id"))
                 df = V.join(ids, "id", "left_semi")
                 if q.t is not None:
                     df = df.filter(F.col("label") == F.lit(q.t))

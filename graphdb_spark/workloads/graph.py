@@ -342,7 +342,85 @@ SELECT id, out_degree, in_degree, total FROM (
 """
 
 
+def g_bfs_reachability(spark, sf_dir):
+    """BFS from one customer over PLACED+CONTAINS, depth <= 2
+    (operators/traversal.bfs — the iterative frontier-join operator,
+    oracle-checked against a recursive CTE)."""
+    from graphdb_spark.operators.traversal import bfs
+
+    g = graph_session(spark, sf_dir)
+    return (
+        bfs(g.edges, "c_1", max_depth=2, direction="out")
+        .select("id", F.col("depth").cast("int").alias("depth"))
+        .orderBy("depth", "id")
+    )
+
+
+G_BFS_SQL = """
+WITH RECURSIVE edges_all AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+), reach(id, depth) AS (
+  SELECT 'c_1', 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges_all e ON e.src = r.id
+  WHERE r.depth < 2
+)
+SELECT id, CAST(MIN(depth) AS INT) AS depth
+FROM reach GROUP BY id ORDER BY depth, id
+"""
+
+
+def g_var_length_count(spark, sf_dir):
+    """Variable-length expansion 1..2 hops from 5 customers
+    (operators/traversal.var_length_expand), counted per start."""
+    from graphdb_spark.operators.traversal import var_length_expand
+
+    g = graph_session(spark, sf_dir)
+    starts = spark.createDataFrame(
+        [(f"c_{i}",) for i in range(1, 6)], "id string"
+    )
+    return (
+        var_length_expand(g.edges, starts, 1, 2, direction="out")
+        .groupBy("start_id")
+        .agg(F.count(F.lit(1)).alias("reachable"))
+        .orderBy("start_id")
+    )
+
+
+G_VAR_LENGTH_SQL = """
+WITH RECURSIVE edges_all AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+), starts(start_id) AS (
+  SELECT 'c_' || CAST(x AS VARCHAR) FROM (SELECT unnest(range(1, 6)) AS x)
+), reach(start_id, id, hops) AS (
+  SELECT start_id, start_id, 0 FROM starts
+  UNION ALL
+  SELECT r.start_id, e.dst, r.hops + 1
+  FROM reach r JOIN edges_all e ON e.src = r.id
+  WHERE r.hops < 2
+), minimal AS (
+  SELECT start_id, id, MIN(hops) AS hops FROM reach GROUP BY start_id, id
+)
+SELECT start_id, CAST(COUNT(*) AS BIGINT) AS reachable
+FROM minimal WHERE hops BETWEEN 1 AND 2
+GROUP BY start_id ORDER BY start_id
+"""
+
+
 QUERIES = {
+    "g_bfs_reachability": (g_bfs_reachability, G_BFS_SQL),
+    "g_var_length_count": (g_var_length_count, G_VAR_LENGTH_SQL),
     "g_vertex_counts": (g_vertex_counts, G_VERTEX_COUNTS_SQL),
     "g_edge_counts": (g_edge_counts, G_EDGE_COUNTS_SQL),
     "g_label_scan": (g_label_scan, G_LABEL_SCAN_SQL),

@@ -32,8 +32,17 @@ _SHINGLES = (
 ).format(toks=_TOKS.format(x="lower({x})"))
 
 
-def _docs(spark, sf_dir):
-    return load_tables(spark, sf_dir)["documents"]
+def _docs(spark, sf_dir, spread=False):
+    # documents ships as one small parquet file → a single input split.
+    # For the shingle/token-explosion pipelines (CPU-bound) spread the
+    # rows across cores first; for single-pass scans the repartition
+    # shuffle costs more than it buys. At real scale (many files) the
+    # spread is a no-op.
+    d = load_tables(spark, sf_dir)["documents"]
+    if spread:
+        n = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+        d = d.repartition(n)
+    return d
 
 
 # ---------------------------------------------------------------- queries
@@ -134,7 +143,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.2 — the driver
     corpus is word salad over a shared vocabulary, so high-jaccard
     pairs are rare; 0.2 exercises the full join+ratio path)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return dedup.ngram_jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
 
 
@@ -160,7 +169,7 @@ ORDER BY doc_a, doc_b
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH candidate pairs (16 hashes, 4 bands × 4 rows)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return dedup.minhash_lsh_candidates(d).orderBy("doc_a", "doc_b")
 
 
@@ -214,7 +223,7 @@ ORDER BY doc_a, doc_b
 
 def dedup_simhash(spark, sf_dir):
     """Per-doc 32-bit SimHash signatures."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return dedup.simhash(d).orderBy("doc_id")
 
 
@@ -238,7 +247,7 @@ FROM sums GROUP BY doc_id ORDER BY doc_id
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within hamming distance 8 (banded
     candidate generation + exact bit_count(xor) check)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return dedup.simhash_near_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")
 
 

@@ -1,0 +1,93 @@
+"""Dedup operator semantics on a corpus with KNOWN duplicates (the
+driver documents are all-unique at small SF, so the oracle parity test
+alone can't show the detectors actually fire)."""
+
+import pytest
+
+from graphdb_spark.operators import dedup as D
+from graphdb_spark.operators import similarity as S
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun with great interest"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate
+        (3, "The quick brown fox JUMPS over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun with "
+            "great interest!!"),  # normalized duplicate of 1
+        (4, BASE.replace("afternoon", "morning")),  # near-dup (1 word)
+        (5, "completely different text about spark dataframes and shuffle "
+            "partitions running aggregate queries over columnar storage "
+            "with adaptive execution enabled for skew handling"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["fp"]: (r["keeper_id"], r["n_dups"])
+           for r in D.exact_dedup(docs).collect()}
+    sizes = sorted(v[1] for v in got.values())
+    assert sizes == [1, 1, 3]  # docs 1,2,3 share a normalized fingerprint
+    trip = [v for v in got.values() if v[1] == 3][0]
+    assert trip[0] == 1  # keeper = min doc_id
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] > 0.5  # one-word change
+    assert not any(5 in p for p in pairs)  # unrelated doc untouched
+
+
+def test_minhash_lsh_candidates(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in D.minhash_lsh_candidates(docs).collect()}
+    assert got[(1, 2)] == 1.0  # identical signatures
+    assert (1, 4) in got and got[(1, 4)] >= 0.5
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_near_pairs(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) in pairs and pairs[(1, 4)] <= 8
+
+
+def test_embedding_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = [(r["rn"], r["neighbor_id"], r["cos_sim"])
+           for r in S.cosine_topk(e, [0], k=3).orderBy("rn").collect()]
+    assert [g[1] for g in got] == [1, 2, 3]  # ranked by similarity
+    assert got[0][2] > 0.99 and got[1][2] == 0.0 and got[2][2] == -1.0
+
+
+def test_lsh_bucket_recall_subset(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    # plant a near-duplicate of vector 0
+    rows.append((99, [x + 0.01 for x in rows[0][1]]))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    brute = S.cosine_topk(e, [0], k=1).collect()
+    assert brute[0]["neighbor_id"] == 99
+    lsh = S.lsh_bucket_topk(e, [0], k=1, n_planes=4, dim=16).collect()
+    # near-identical vectors share all sign buckets -> LSH must find it
+    assert lsh and lsh[0]["neighbor_id"] == 99
