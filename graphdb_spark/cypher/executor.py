@@ -331,7 +331,9 @@ class _Executor:
         if op == ">=":
             return lc >= rc
         if op == "=~":
-            return lc.rlike(b.right.value if isinstance(b.right, P.Lit) else "")
+            # Cypher =~ is a FULL-string match (rlike alone is substring)
+            pat = b.right.value if isinstance(b.right, P.Lit) else ""
+            return lc.rlike(f"^(?:{pat})$")
         if op == "CONTAINS":
             return lc.contains(rc)
         if op == "STARTS_WITH":

@@ -73,12 +73,13 @@ class CypherSyntaxError(ValueError):
 
 
 class Token:
-    __slots__ = ("kind", "text", "pos")
+    __slots__ = ("kind", "text", "pos", "orig")
 
-    def __init__(self, kind, text, pos):
+    def __init__(self, kind, text, pos, orig=None):
         self.kind = kind  # 'num' | 'name' | 'kw' | 'str' | 'op' | 'eof'
         self.text = text
         self.pos = pos
+        self.orig = orig if orig is not None else text
 
     def __repr__(self):
         return f"Token({self.kind},{self.text!r})"
@@ -96,7 +97,7 @@ def tokenize(s: str) -> list[Token]:
             continue
         text = m.group()
         if kind == "name" and text.upper() in KEYWORDS:
-            out.append(Token("kw", text.upper(), m.start()))
+            out.append(Token("kw", text.upper(), m.start(), orig=text))
         else:
             out.append(Token(kind, text, m.start()))
     out.append(Token("eof", "", len(s)))
@@ -150,9 +151,11 @@ class Parser:
     def name(self) -> str:
         if self.cur.kind == "name":
             return self.advance().text
-        # allow non-reserved keywords as identifiers where unambiguous
-        if self.cur.kind == "kw" and self.cur.text in ("BY",):
-            return self.advance().text.lower()
+        # keywords double as identifiers wherever an identifier is
+        # *required* (labels, rel types like :CONTAINS, property keys,
+        # aliases) — original casing preserved via Token.orig
+        if self.cur.kind == "kw":
+            return self.advance().orig
         raise CypherSyntaxError(f"expected identifier at {self.cur!r}")
 
     # ------------------------------------------------------------ literals

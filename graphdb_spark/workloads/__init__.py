@@ -17,6 +17,7 @@ Float discipline (so Spark and DuckDB hash-match exactly):
 """
 
 from graphdb_spark.workloads import (
+    cypher_queries,
     embeddings,
     graph,
     relational,
@@ -24,7 +25,7 @@ from graphdb_spark.workloads import (
     text,
 )
 
-ALL_MODULES = (relational, graph, temporal, text, embeddings)
+ALL_MODULES = (relational, graph, cypher_queries, temporal, text, embeddings)
 
 
 def all_queries():

@@ -1,0 +1,131 @@
+"""Cypher workload: queries executed through the full Cypher parse →
+plan → DataFrame pipeline on the F6 graph, oracle-checked against
+plain SQL in DuckDB.
+
+This is the strongest correctness evidence for the Cypher front-end:
+the same semantics must fall out of (tokenizer → AST → binding-table
+joins → implicit grouping) on Spark and hand-written SQL on DuckDB.
+"""
+
+from __future__ import annotations
+
+from graphdb_spark.workloads.graph import graph_session
+
+
+def cypher_where_topk(spark, sf_dir):
+    """WHERE + numeric property compare + ORDER BY/LIMIT
+    (queries_examples.txt:84-87 shape)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer) WHERE c.acctbal > 9000 "
+        "RETURN c.name AS name, toFloat(c.acctbal) AS acctbal "
+        "ORDER BY acctbal DESC, name LIMIT 15"
+    )
+
+
+CYPHER_WHERE_TOPK_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+WHERE c_acctbal > 9000 ORDER BY acctbal DESC, name LIMIT 15
+"""
+
+
+def cypher_grouped_count(spark, sf_dir):
+    """Implicit grouping: RETURN mixes keys and aggregates
+    (queries_examples.txt:120-123)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer)-[r:PLACED]->() "
+        "RETURN c.name AS name, count(r) AS orders "
+        "ORDER BY orders DESC, name LIMIT 10"
+    )
+
+
+CYPHER_GROUPED_COUNT_SQL = """
+SELECT c_name AS name, CAST(COUNT(*) AS BIGINT) AS orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_name ORDER BY orders DESC, name LIMIT 10
+"""
+
+
+def cypher_one_hop_agg(spark, sf_dir):
+    """Pattern + property-map filter + traversal + aggregate."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer {mktsegment: 'BUILDING'})-[:PLACED]->(o) "
+        "RETURN o.orderstatus AS status, count(o) AS n ORDER BY status"
+    )
+
+
+CYPHER_ONE_HOP_AGG_SQL = """
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' GROUP BY 1 ORDER BY status
+"""
+
+
+def cypher_optional_match(spark, sf_dir):
+    """OPTIONAL MATCH = left join; count(o) is 0 for customers with
+    no orders (count skips nulls)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:PLACED]->(o) "
+        "RETURN c.name AS name, count(o) AS orders ORDER BY name"
+    )
+
+
+CYPHER_OPTIONAL_SQL = """
+SELECT c_name AS name, CAST(COUNT(o_orderkey) AS BIGINT) AS orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_name ORDER BY name
+"""
+
+
+def cypher_string_predicates(spark, sf_dir):
+    """CONTAINS / STARTS WITH / regex =~ (queries_examples.txt:106,
+    180-183)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (p:part) WHERE toLower(p.type) CONTAINS 'brass' "
+        "AND p.brand =~ 'Brand#[13].*' "
+        "RETURN p.brand AS brand, count(p) AS n ORDER BY brand"
+    )
+
+
+CYPHER_STRING_SQL = """
+SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n
+FROM part
+WHERE CONTAINS(LOWER(p_type), 'brass') AND regexp_matches(p_brand, '^(?:Brand#[13].*)$')
+GROUP BY 1 ORDER BY brand
+"""
+
+
+def cypher_two_hop_distinct(spark, sf_dir):
+    """Two-hop chain + DISTINCT projection."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer {mktsegment: 'MACHINERY'})-[:PLACED]->(o)"
+        "-[:CONTAINS]->(p) "
+        "RETURN DISTINCT p.brand AS brand ORDER BY brand"
+    )
+
+
+CYPHER_TWO_HOP_SQL = """
+SELECT DISTINCT p_brand AS brand
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+  ON li.l_orderkey = o_orderkey
+JOIN part ON p_partkey = li.l_partkey
+WHERE c_mktsegment = 'MACHINERY'
+ORDER BY brand
+"""
+
+
+QUERIES = {
+    "cypher_where_topk": (cypher_where_topk, CYPHER_WHERE_TOPK_SQL),
+    "cypher_grouped_count": (cypher_grouped_count, CYPHER_GROUPED_COUNT_SQL),
+    "cypher_one_hop_agg": (cypher_one_hop_agg, CYPHER_ONE_HOP_AGG_SQL),
+    "cypher_optional_match": (cypher_optional_match, CYPHER_OPTIONAL_SQL),
+    "cypher_string_predicates": (cypher_string_predicates, CYPHER_STRING_SQL),
+    "cypher_two_hop_distinct": (cypher_two_hop_distinct, CYPHER_TWO_HOP_SQL),
+}
