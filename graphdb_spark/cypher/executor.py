@@ -67,7 +67,8 @@ class _Executor:
         self.node_vars: set[str] = set()
         self.edge_vars: set[str] = set()
         self.scalar_vars: set[str] = set()
-        self.path_vars: dict[str, list[str]] = {}
+        self.path_vars: dict[str, object] = {}
+        self._lambda_scope: dict[str, object] = {}
         self._anon = itertools.count()
         self.summary = {"created_vertices": 0, "created_edges": 0,
                         "deleted_vertices": 0, "deleted_edges": 0,
@@ -238,6 +239,8 @@ class _Executor:
             return F.lit(expr.value)
         if isinstance(expr, P.Var):
             v = expr.name
+            if v in self._lambda_scope:
+                return self._lambda_scope[v]
             if v in self.node_vars:
                 return F.struct(
                     F.col(f"{v}__id").alias("id"),
@@ -257,6 +260,17 @@ class _Executor:
             return base.try_cast("double") if numeric_hint else base
         if isinstance(expr, P.ListExpr):
             return F.array(*[self._col(x) for x in expr.items])
+        if isinstance(expr, P.ListComp):
+            src = self._col(expr.source)
+
+            def body(el):
+                self._lambda_scope[expr.var] = el
+                try:
+                    return self._col(expr.expr)
+                finally:
+                    del self._lambda_scope[expr.var]
+
+            return F.transform(src, body)
         if isinstance(expr, P.UnaryOp):
             if expr.op == "NOT":
                 return ~self._col(expr.operand)
@@ -274,6 +288,10 @@ class _Executor:
 
     def _prop_col(self, p: P.Prop):
         v = p.var
+        if v in self._lambda_scope:
+            # lambda-bound element (list comprehension): node/edge struct
+            el = self._lambda_scope[v]
+            return el["properties"].getItem(p.key)
         if v in self.edge_vars:
             return F.col(f"{v}__properties").getItem(p.key)
         if v in self.node_vars:
@@ -418,16 +436,22 @@ class _Executor:
             return F.round(args[0])
         if n == "coalesce":
             return F.coalesce(*[self._col(a) for a in f.args])
-        if n == "nodes":
+        if n in ("nodes", "relationships"):
             pv = f.args[0].name
-            vars_ = self.path_vars.get(pv, [])
+            info = self.path_vars.get(pv, [])
+            if isinstance(info, dict):  # shortestPath binding
+                return info["node_structs"] if n == "nodes" else info["rel_types"]
+            if n == "relationships":
+                raise CypherExecutionError(
+                    "relationships() only supported on shortestPath paths"
+                )
             return F.array(*[
                 F.struct(
                     F.col(f"{v}__id").alias("id"),
                     F.col(f"{v}__label").alias("label"),
                     F.col(f"{v}__properties").alias("properties"),
                 )
-                for v in vars_
+                for v in info
             ])
         raise CypherExecutionError(f"unknown function {n}")
 
@@ -480,16 +504,33 @@ class _Executor:
                 )
             self.binding = self.binding.filter(self._col(mc.where))
 
+    def _resolve_endpoint(self, np: P.NodePattern) -> list[str]:
+        """Endpoint ids for shortestPath: from the current binding if
+        the var is already bound (corpus #12: MATCH (alice {...}) ...
+        MATCH path = shortestPath((alice)-[..]-(diana))), else from the
+        node pattern's own label/property filters."""
+        if (
+            np.var
+            and self.binding is not None
+            and f"{np.var}__id" in self.binding.columns
+        ):
+            return [
+                r[0]
+                for r in self.binding.select(f"{np.var}__id").distinct().collect()
+            ]
+        return [r[0] for r in self._node_df(np, "x").select("x__id").collect()]
+
     def _exec_shortest(self, pat: P.PathPattern):
-        """shortestPath((a {..})-[*..k]-(b {..})) — endpoints resolved
-        to concrete ids, path computed via the iterative-join operator,
-        bound as an array<string> column named by the path var."""
+        """shortestPath((a)-[*..k]-(b)) — endpoints resolved to concrete
+        ids, path computed via the iterative-join operator; the path var
+        binds the id array plus driver-side node structs / relationship
+        types for nodes(path) / relationships(path)."""
         if len(pat.nodes) != 2 or len(pat.rels) != 1:
             raise CypherExecutionError("shortestPath needs exactly (a)-[..]-(b)")
         a, b = pat.nodes
         rel = pat.rels[0]
-        ida = [r[0] for r in self._node_df(a, "x").select("x__id").collect()]
-        idb = [r[0] for r in self._node_df(b, "y").select("y__id").collect()]
+        ida = self._resolve_endpoint(a)
+        idb = self._resolve_endpoint(b)
         if len(ida) != 1 or len(idb) != 1:
             raise CypherExecutionError(
                 "shortestPath endpoints must resolve to single vertices"
@@ -507,11 +548,67 @@ class _Executor:
             f"{pv} array<string>",
         )
         self.scalar_vars.add(pv)
-        self.path_vars[pv] = []
+        node_structs, rel_types = self._path_literals(path or [])
+        self.path_vars[pv] = {
+            "kind": "shortest",
+            "node_structs": node_structs,
+            "rel_types": rel_types,
+        }
         if self.binding is None:
             self.binding = row_df
         else:
             self.binding = self.binding.crossJoin(row_df)
+
+    def _path_literals(self, ids: list[str]):
+        """Literal array columns of node structs / relationship types
+        along a concrete path (bounded by max_depth, so driver-side
+        lookups are fine)."""
+        if not ids:
+            empty = F.array().cast("array<string>")
+            return empty, empty
+        vrows = {
+            r["id"]: r
+            for r in self.g.vertices.filter(F.col("id").isin(ids)).collect()
+        }
+        structs = []
+        for vid in ids:
+            r = vrows.get(vid)
+            props = (r["properties"] if r else None) or {}
+            kv = []
+            for k, v in sorted(props.items()):
+                kv.extend([F.lit(k), F.lit(v)])
+            structs.append(
+                F.struct(
+                    F.lit(vid).alias("id"),
+                    F.lit(r["label"] if r else None).alias("label"),
+                    (
+                        F.create_map(*kv)
+                        if kv
+                        else F.create_map().cast("map<string,string>")
+                    ).alias("properties"),
+                )
+            )
+        rels = []
+        pairs = list(zip(ids, ids[1:]))
+        if pairs:
+            cond = None
+            for s, d in pairs:
+                c = ((F.col("src") == s) & (F.col("dst") == d)) | (
+                    (F.col("src") == d) & (F.col("dst") == s)
+                )
+                cond = c if cond is None else (cond | c)
+            erows = self.g.edges.filter(cond).collect()
+            emap = {}
+            for r in erows:
+                emap[(r["src"], r["dst"])] = r["relationship"]
+            for s, d in pairs:
+                rels.append(
+                    F.lit(emap.get((s, d), emap.get((d, s))))
+                )
+        return (
+            F.array(*structs),
+            F.array(*rels) if rels else F.array().cast("array<string>"),
+        )
 
     def _exec_unwind(self, uc: P.UnwindClause):
         col = self._col(uc.expr) if not isinstance(uc.expr, P.Lit) else None
@@ -601,6 +698,38 @@ class _Executor:
             )
             self.summary["created_edges"] += 1
 
+    def _refresh_bindings(self):
+        """Re-join mutated vertex/edge state into the binding table so a
+        RETURN after SET/REMOVE sees the updated values (Cypher
+        read-your-writes within a statement, corpus #16/#18/#19)."""
+        if self.binding is None:
+            return
+        for v in self.node_vars:
+            if f"{v}__id" not in self.binding.columns:
+                continue
+            fresh = self.g.vertices.select(
+                F.col("id").alias(f"{v}__id"),
+                F.col("label").alias(f"{v}__label"),
+                F.col("properties").alias(f"{v}__properties"),
+            )
+            self.binding = self.binding.drop(
+                f"{v}__label", f"{v}__properties"
+            ).join(fresh, f"{v}__id", "left")
+        for v in self.edge_vars:
+            if f"{v}__src" not in self.binding.columns:
+                continue
+            fresh = self.g.edges.select(
+                F.col("src").alias(f"{v}__src"),
+                F.col("relationship").alias(f"{v}__relationship"),
+                F.col("dst").alias(f"{v}__dst"),
+                F.col("properties").alias(f"{v}__properties"),
+            )
+            self.binding = self.binding.drop(f"{v}__properties").join(
+                fresh,
+                [f"{v}__src", f"{v}__relationship", f"{v}__dst"],
+                "left",
+            )
+
     def _ids_for(self, var: str) -> DataFrame:
         if self.binding is None or f"{var}__id" not in self.binding.columns:
             raise CypherExecutionError(f"unbound variable {var!r}")
@@ -629,32 +758,46 @@ class _Executor:
             if not isinstance(p, P.Prop):
                 raise CypherExecutionError("SET target must be n.prop or n:Label")
             if not isinstance(item.value, P.Lit):
-                # per-row expression: compute (id, value) from bindings
-                pairs = self.binding.select(
-                    F.col(f"{p.var}__id").alias("id"),
-                    self._col(item.value).cast("string").alias("__val"),
-                ).dropDuplicates(["id"])
-                patched = (
-                    self.g.vertices.join(pairs, "id", "left")
-                    .withColumn(
-                        "properties",
-                        F.when(
-                            F.col("__val").isNotNull(),
-                            F.map_concat(
-                                F.map_filter(
-                                    F.coalesce(
-                                        F.col("properties"),
-                                        F.create_map().cast("map<string,string>"),
-                                    ),
-                                    lambda k, _: k != F.lit(p.key),
-                                ),
-                                F.create_map(F.lit(p.key), F.col("__val")),
+                # per-row expression: compute (key cols, value) from bindings
+                patch_map = lambda valcol: F.when(  # noqa: E731
+                    valcol.isNotNull(),
+                    F.map_concat(
+                        F.map_filter(
+                            F.coalesce(
+                                F.col("properties"),
+                                F.create_map().cast("map<string,string>"),
                             ),
-                        ).otherwise(F.col("properties")),
+                            lambda k, _: k != F.lit(p.key),
+                        ),
+                        F.create_map(F.lit(p.key), valcol),
+                    ),
+                ).otherwise(F.col("properties"))
+                if p.var in self.edge_vars:
+                    pairs = self.binding.select(
+                        F.col(f"{p.var}__src").alias("src"),
+                        F.col(f"{p.var}__relationship").alias("relationship"),
+                        F.col(f"{p.var}__dst").alias("dst"),
+                        self._col(item.value).cast("string").alias("__val"),
+                    ).dropDuplicates(["src", "relationship", "dst"])
+                    patched = (
+                        self.g.edges.join(
+                            pairs, ["src", "relationship", "dst"], "left"
+                        )
+                        .withColumn("properties", patch_map(F.col("__val")))
+                        .drop("__val")
                     )
-                    .drop("__val")
-                )
-                self.g.set_state(vertices=patched)
+                    self.g.set_state(edges=patched)
+                else:
+                    pairs = self.binding.select(
+                        F.col(f"{p.var}__id").alias("id"),
+                        self._col(item.value).cast("string").alias("__val"),
+                    ).dropDuplicates(["id"])
+                    patched = (
+                        self.g.vertices.join(pairs, "id", "left")
+                        .withColumn("properties", patch_map(F.col("__val")))
+                        .drop("__val")
+                    )
+                    self.g.set_state(vertices=patched)
                 self.summary["properties_set"] += 1
                 continue
             val = item.value.value
@@ -674,6 +817,7 @@ class _Executor:
                 ids = [r[0] for r in self._ids_for(p.var).collect()]
                 M.set_properties(self.g, Q.specific_vertices(*ids), p.key, val)
             self.summary["properties_set"] += 1
+        self._refresh_bindings()
 
     def _exec_remove(self, rm: P.RemoveClause):
         self.mutated = True
@@ -682,6 +826,7 @@ class _Executor:
         for p in rm.items:
             ids = [r[0] for r in self._ids_for(p.var).collect()]
             M.remove_property(self.g, Q.specific_vertices(*ids), p.key)
+        self._refresh_bindings()
 
     def _exec_delete(self, dc: P.DeleteClause):
         self.mutated = True

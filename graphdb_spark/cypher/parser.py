@@ -29,6 +29,7 @@ from graphdb_spark.plans import (
     DeleteKeyValue,
     Func,
     GetKeyValue,
+    ListComp,
     ListExpr,
     Lit,
     MatchClause,
@@ -397,6 +398,20 @@ class Parser:
         if self.at_op("["):
             self.advance()
             items = []
+            # list comprehension: [x IN source | expr] — detect by
+            # lookahead (expression() would swallow IN as a comparison)
+            if (
+                self.cur.kind == "name"
+                and self.peek().kind == "kw"
+                and self.peek().text == "IN"
+            ):
+                var = self.advance().text
+                self.advance()  # IN
+                source = self._additive()  # stops before '|'
+                self.expect_op("|")
+                body = self.expression()
+                self.expect_op("]")
+                return ListComp(var=var, source=source, expr=body)
             if not self.at_op("]"):
                 while True:
                     items.append(self.expression())

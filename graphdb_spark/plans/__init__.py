@@ -92,6 +92,16 @@ class ListExpr:
     items: list = field(default_factory=list)
 
 
+@dataclass
+class ListComp:
+    """[var IN source | expr] list comprehension
+    (queries_examples.txt:112-113)."""
+
+    var: str = ""
+    source: object = None
+    expr: object = None
+
+
 # ---------------------------------------------------------------- clauses
 
 

@@ -96,13 +96,20 @@ class GraphSession:
     def set_state(self, vertices: DataFrame | None = None,
                   edges: DataFrame | None = None,
                   kv: DataFrame | None = None):
-        """Swap in new state after a mutation (read-your-writes)."""
+        """Swap in new state after a mutation (read-your-writes).
+
+        Each swap localCheckpoints the new state (lazily): without
+        this, chained mutations build an ever-deeper union/join lineage
+        and every later query re-evaluates the whole mutation history —
+        the SURVEY §7.3 'mutations on immutable data' hazard. At
+        production scale the same role is played by the Delta commit.
+        """
         if vertices is not None:
-            self._v = vertices
+            self._v = vertices.localCheckpoint(eager=False)
         if edges is not None:
-            self._e = edges
+            self._e = edges.localCheckpoint(eager=False)
         if kv is not None:
-            self._kv = kv
+            self._kv = kv.localCheckpoint(eager=False)
         self._register_views()
         return self
 
