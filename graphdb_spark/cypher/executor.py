@@ -83,11 +83,22 @@ class _Executor:
     def _vcols(self, var):
         return [f"{var}__id", f"{var}__label", f"{var}__properties"]
 
+    @staticmethod
+    def _is_ast(val) -> bool:
+        return isinstance(
+            val, (P.Lit, P.Var, P.Prop, P.Func, P.BinOp, P.UnaryOp, P.ListExpr,
+                  P.ListComp)
+        )
+
     def _node_df(self, np: P.NodePattern, var: str) -> DataFrame:
         v = self.g.vertices
         if np.label is not None:
             v = v.filter(F.col("label") == np.label)
         for k, val in np.properties.items():
+            if self._is_ast(val):
+                raise CypherExecutionError(
+                    "expression property values are only supported in CREATE"
+                )
             v = v.filter(
                 F.col("properties").getItem(k) == stringify_value(val)
             )
@@ -637,6 +648,58 @@ class _Executor:
 
     def _exec_create(self, cc: P.CreateClause):
         self.mutated = True
+        # per-row creation: any AST-valued property (UNWIND
+        # interpolation, corpus #25) means one vertex per binding row,
+        # built as a distributed select — no driver loop
+        rowwise = [
+            pat
+            for pat in cc.patterns
+            if any(
+                self._is_ast(v)
+                for node in pat.nodes
+                for v in node.properties.values()
+            )
+        ]
+        if rowwise:
+            if self.binding is None:
+                raise CypherExecutionError(
+                    "expression properties in CREATE need a prior "
+                    "UNWIND/MATCH binding"
+                )
+            for pat in rowwise:
+                if pat.rels:
+                    raise CypherExecutionError(
+                        "per-row CREATE supports node patterns only"
+                    )
+                for node in pat.nodes:
+                    kv = []
+                    for k, v in node.properties.items():
+                        expr = self._col(v) if self._is_ast(v) else F.lit(
+                            stringify_value(v)
+                        )
+                        kv.extend([F.lit(k), expr.cast("string")])
+                    id_expr = (
+                        self._col(node.properties["id"]).cast("string")
+                        if self._is_ast(node.properties.get("id"))
+                        else F.lit(str(node.properties.get("id", "")))
+                    )
+                    if "id" not in node.properties:
+                        id_expr = F.expr("uuid()")
+                    new_v = self.binding.select(
+                        id_expr.alias("id"),
+                        F.lit(node.label or node.var or "Node").alias("label"),
+                        F.create_map(*kv).alias("properties"),
+                    )
+                    n = new_v.count()
+                    self.g.set_state(
+                        vertices=self.g.vertices.unionByName(new_v)
+                    )
+                    self.summary["created_vertices"] += n
+            cc = P.CreateClause(
+                patterns=[p for p in cc.patterns if p not in rowwise]
+            )
+            if not cc.patterns:
+                return
         new_vertices: list[tuple] = []
         new_edges: list[tuple] = []
         created_vars: dict[str, str] = {}  # var -> id (this CREATE)

@@ -187,14 +187,18 @@ class Parser:
         raise CypherSyntaxError(f"expected literal at {t!r}")
 
     def properties_map(self) -> dict:
-        """{k: v, ...} with literal values (reference parse_properties)."""
+        """{k: v, ...}. Literal values stay plain Python (reference
+        parse_properties); non-literal expressions (e.g. ``user.id``
+        from an UNWIND row, corpus #25) stay as AST nodes — the
+        executor evaluates them per binding row in CREATE."""
         self.expect_op("{")
         props = {}
         if not self.at_op("}"):
             while True:
                 key = self.name()
                 self.expect_op(":")
-                props[key] = self.literal().value
+                val = self.expression()
+                props[key] = val.value if isinstance(val, Lit) else val
                 if self.at_op(","):
                     self.advance()
                     continue

@@ -462,7 +462,58 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
 """
 
 
+def cube_counts(spark, sf_dir):
+    """CUBE grouping sets (SURVEY §2.4 'grouping sets/cube/rollup')."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(dec2(F.col("l_quantity")), "qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog sketch surface (approx_count_distinct) — engines
+    implement different HLL variants, so this is a rows-only check
+    (no oracle); the exact twin `distinct_agg` is oracle-checked."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                4,
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "cube_counts": (cube_counts, CUBE_SQL),
+    "approx_distinct_sketch": (approx_distinct_sketch, None),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_topk": (q3_shipping_topk, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),

@@ -187,16 +187,21 @@ def test_corpus_full_sequence(g):
     assert sorted(names) == ["Bob", "Diana"]  # alice is Person:Employee now
     assert sorted(ages) == ["32", "35"]
 
-    # -- 25. UNWIND batch create
-    g.cypher(
+    # -- 25. UNWIND batch create with per-row property interpolation
+    out = g.cypher(
         'UNWIND [{id: "u100", name: "User100", age: 25}, '
         '{id: "u101", name: "User101", age: 29}, '
         '{id: "u102", name: "User102", age: 33}] AS user '
-        "CREATE (:Person {id: 'batch', name: 'placeholder', age: 0})"
+        "CREATE (:Person {id: user.id, name: user.name, age: user.age})"
     )
-    # note: property interpolation from UNWIND rows into CREATE is the
-    # one unsupported corner; batch insert via mutations.bulk_insert
-    # covers it (tests/test_mutations.py)
+    assert out["created_vertices"] == 3
+    check = g.cypher(
+        'MATCH (p:Person) WHERE p.id STARTS WITH "u10" '
+        "RETURN p.name, p.age ORDER BY p.name"
+    )
+    assert rows(check) == [
+        ("User100", "25"), ("User101", "29"), ("User102", "33"),
+    ]
 
     # -- 26. case-insensitive regex (full-match semantics)
     out = g.cypher('MATCH (p) WHERE p.name =~ "(?i)alice" RETURN p.name')
