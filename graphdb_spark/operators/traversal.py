@@ -59,7 +59,10 @@ def bfs(edges: DataFrame, start_id: str, max_depth: int = 5,
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("depth", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True) if depth % CHECKPOINT_EVERY == 0 else nxt
+        # eager checkpoint each frontier: it is consumed three times
+        # (isEmpty probe, visited union, next hop's join) — without
+        # materialization every consumer recomputes the whole prefix
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
@@ -131,8 +134,7 @@ def var_length_expand(edges: DataFrame, start_ids: DataFrame,
             .join(visited.select("start_id", "id"), ["start_id", "id"], "left_anti")
             .withColumn("hops", F.lit(depth))
         )
-        if depth % CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=True)  # consumed 3x, see bfs()
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)

@@ -1,0 +1,96 @@
+"""Physical-plan audits: the scale properties we claim must be visible
+in `.explain()` output — filters pushed to parquet scans, column
+pruning, broadcast joins on traversal hops, whole-stage codegen on the
+text operators."""
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """q1's shipdate filter must appear as a parquet PushedFilters
+    entry, and the scan must prune to the referenced columns only."""
+    from graphdb_spark.workloads.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: l_comment-free schema (only referenced columns)
+    scan_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_line, plan
+    assert "l_orderkey" not in scan_line[0]  # unused column pruned
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    """SpecificVertex point lookups push id predicates into the scan
+    (replaces the reference's KV point-get, rdb/datastore.rs:72-80)."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = cust.filter(F.col("c_custkey") == 42).select("c_name")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "EqualTo(c_custkey,42)" in plan
+
+
+def test_traversal_uses_broadcast_joins(spark, sf_dir):
+    """Every hop of the 2-hop pipe traversal must be a broadcast hash
+    semi-join at this scale — no sort-merge exchanges."""
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.workloads.graph import graph_session
+
+    g = graph_session(spark, sf_dir)
+    q = (
+        Q.vertices_with_property_value("mktsegment", "BUILDING")
+        .outbound(t="PLACED")
+        .inbound()
+    )
+    plan = plan_of(g.df(q))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    """Text analysis must be pure Catalyst expressions: no Python
+    evaluation nodes (BatchEvalPython/ArrowEvalPython), scan pruned to
+    the two referenced columns. (Higher-order functions like
+    aggregate/transform run JVM-interpreted rather than codegen'd —
+    still two orders of magnitude from row-at-a-time Python.)"""
+    from graphdb_spark.workloads.text import text_stats
+
+    plan = plan_of(text_stats(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "PythonUDF" not in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "struct<doc_id:bigint,text:string>" in scan
+
+
+def test_dedup_has_no_cross_join(spark, sf_dir):
+    """LSH candidate generation must never produce a cartesian
+    product."""
+    from graphdb_spark.workloads.text import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cypher_where_prunes_via_filters(spark, sf_dir):
+    """Cypher WHERE lowers to Catalyst Filter nodes over the scan (the
+    reference full-scans then filters in app code)."""
+    from graphdb_spark.workloads.graph import graph_session
+
+    g = graph_session(spark, sf_dir)
+    df = g.cypher(
+        "MATCH (c:customer) WHERE c.acctbal > 9000 RETURN c.name AS name"
+    )
+    opt = optimized_of(df)
+    assert "Filter" in opt
+    # label filter + property filter both present pre-shuffle
+    assert "customer" in opt
