@@ -1,0 +1,159 @@
+"""Graph analytics — the GraphX/GraphFrames-class algorithms, expressed
+on the engine's vertices/edges DataFrames (BASELINE.json north star:
+'GraphX for analytics queries'; GraphX itself is Scala/RDD — these are
+the DataFrame-native equivalents, so Catalyst/AQE apply).
+
+- ``pagerank``: iterative power method. Each iteration = one join
+  (ranks ⋈ edges) + one groupBy sum; lineage cut per iteration via
+  localCheckpoint. Dangling-node mass is redistributed uniformly so
+  ranks sum to N like GraphX's implementation.
+- ``triangle_count``: edge-iterator algorithm on the undirected
+  projection — join edges with edges on shared endpoint, then semi-join
+  the closing edge. Three shuffles total, no driver loops.
+- ``degrees``: in/out/total degree per vertex (GraphFrames .degrees).
+- ``motif_find``: GraphFrames-style motif strings
+  ``"(a)-[e]->(b); (b)-[e2]->(c)"`` lowered onto the Cypher executor's
+  binding-table machinery — returns one column per named element.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+CHECKPOINT_EVERY = 5
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, in_degree, out_degree, degree) for every endpoint."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "id", "outer")
+        .select(
+            "id",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+        .withColumn("degree", F.col("in_degree") + F.col("out_degree"))
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """(id, rank) with ranks summing to the vertex count (GraphX
+    convention). Deterministic for fixed iterations up to FP rounding;
+    callers hashing results should round."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    links = (
+        edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .localCheckpoint(eager=True)
+    )
+    for i in range(iterations):
+        contribs = (
+            links.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1 - damping)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+        # dangling mass: renormalize so sum(rank) == n (GraphX-like)
+        total = new_ranks.agg(F.sum("rank")).collect()[0][0]
+        new_ranks = new_ranks.withColumn(
+            "rank", F.col("rank") * F.lit(n / total)
+        )
+        ranks = (
+            new_ranks.localCheckpoint(eager=True)
+            if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1
+            else new_ranks
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """(id, triangles) per vertex over the undirected simple graph.
+
+    Canonical edge list (a<b) → wedges (a<b<c sharing a) → close with a
+    semi-join on (b,c); every triangle found exactly once, then each of
+    its 3 corners credited. No cross joins; cost is sum of deg² over
+    wedge pivots (the standard edge-iterator bound)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")  # (p, x, y) triangles
+    corners = (
+        tris.select(F.col("p").alias("id"))
+        .unionByName(tris.select(F.col("x").alias("id")))
+        .unionByName(tris.select(F.col("y").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+_MOTIF_EDGE = re.compile(
+    r"\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?\]\s*->\s*\((\w*)\)"
+)
+
+
+def motif_find(g, motif: str) -> DataFrame:
+    """GraphFrames-style motif finding: ``"(a)-[e]->(b); (b)-[e2]->(c)"``
+    → DataFrame with struct columns a, e, b, e2, c. Lowered onto the
+    Cypher executor's pattern machinery (shared vars become join
+    constraints)."""
+    from graphdb_spark import plans as P
+    from graphdb_spark.cypher.executor import _Executor
+
+    ex = _Executor(g)
+    for part in motif.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        m = _MOTIF_EDGE.fullmatch(part)
+        if not m:
+            raise ValueError(f"unsupported motif fragment: {part!r}")
+        av, ev, etype, bv = m.groups()
+        pat = P.PathPattern(
+            nodes=[P.NodePattern(var=av or None), P.NodePattern(var=bv or None)],
+            rels=[P.RelPattern(var=ev or None, types=(etype,) if etype else ())],
+        )
+        df, nvars, evars = ex._pattern_df(pat)
+        ex._merge(df, nvars, evars, optional=False)
+    items = []
+    for v in sorted(ex.node_vars | ex.edge_vars):
+        if v.startswith("_"):
+            continue
+        items.append(P.ReturnItem(P.Var(v), alias=v))
+    return ex._exec_return(P.ReturnClause(items=items))

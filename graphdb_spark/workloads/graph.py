@@ -418,9 +418,88 @@ GROUP BY start_id ORDER BY start_id
 """
 
 
+def g_pagerank_top(spark, sf_dir):
+    """PageRank over the F6 graph (operators/analytics.pagerank) —
+    iterative power method; rows-only check (renormalized FP ranks
+    aren't SQL-replayable bit-exactly)."""
+    from graphdb_spark.operators.analytics import pagerank
+
+    g = graph_session(spark, sf_dir)
+    return (
+        pagerank(g.edges, iterations=5)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _cooccur_edges(spark, sf_dir):
+    """Part co-occurrence graph: undirected edge between parts that
+    appear in the same order (canonical string-ordered pair)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.concat(F.lit("p_"), F.col("l_partkey").cast("string")).alias("pid"),
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.pid") < F.col("b.pid")),
+    ).select(
+        F.col("a.pid").alias("src"),
+        F.lit("CO").alias("relationship"),
+        F.col("b.pid").alias("dst"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+    return pairs.dropDuplicates(["src", "dst"])
+
+
+def g_triangle_top(spark, sf_dir):
+    """Triangle counts on the part co-occurrence graph
+    (operators/analytics.triangle_count), top 10 corners."""
+    from graphdb_spark.operators.analytics import triangle_count
+
+    return (
+        triangle_count(_cooccur_edges(spark, sf_dir))
+        .orderBy(F.desc("triangles"), F.asc("id"))
+        .limit(10)
+        .select("id", F.col("triangles").cast("long").alias("triangles"))
+    )
+
+
+G_TRIANGLE_SQL = """
+WITH und AS (
+  SELECT DISTINCT
+    'p_' || CAST(LEAST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sa,
+    'p_' || CAST(GREATEST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), canon AS (
+  -- canonical STRING ordering to mirror the engine's least/greatest
+  SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b FROM und
+), wedges AS (
+  SELECT e1.a AS p, e1.b AS x, e2.b AS y
+  FROM canon e1 JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+), tris AS (
+  SELECT p, x, y FROM wedges
+  WHERE EXISTS (SELECT 1 FROM canon c WHERE c.a = wedges.x AND c.b = wedges.y)
+), corners AS (
+  SELECT p AS id FROM tris
+  UNION ALL SELECT x FROM tris
+  UNION ALL SELECT y FROM tris
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY id
+ORDER BY triangles DESC, id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "g_bfs_reachability": (g_bfs_reachability, G_BFS_SQL),
     "g_var_length_count": (g_var_length_count, G_VAR_LENGTH_SQL),
+    "g_pagerank_top": (g_pagerank_top, None),
+    "g_triangle_top": (g_triangle_top, G_TRIANGLE_SQL),
     "g_vertex_counts": (g_vertex_counts, G_VERTEX_COUNTS_SQL),
     "g_edge_counts": (g_edge_counts, G_EDGE_COUNTS_SQL),
     "g_label_scan": (g_label_scan, G_LABEL_SCAN_SQL),
