@@ -42,6 +42,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, lookahead-free so it
+# runs identically under Java regex and RE2/DuckDB): letter runs,
+# digit runs, punctuation runs — each with optional leading space.
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM token count via BPE-style pre-tokenization
+    (regexp match count — JVM-side, no tokenizer library)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("bigint")
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 

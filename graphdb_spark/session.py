@@ -174,6 +174,63 @@ class GraphSession:
 
         return execute_cypher(self, query)
 
+    def execute(self, query: str):
+        """Language-detecting entry point — the QueryExecEngine
+        equivalent (reference query_exec_engine.rs:18-28 +
+        query_parser.rs:33-51 detection). Cypher executes via the
+        Cypher pipeline; SQL via spark.sql over the registered views
+        (where the reference returns 'not implemented' for SQL,
+        query_exec_engine.rs:38-44, we run it)."""
+        from graphdb_spark.cypher.parser import is_cypher
+
+        q = query.strip()
+        if is_cypher(q):
+            return self.cypher(q)
+        head = q.split(None, 1)[0].upper() if q else ""
+        if head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE"):
+            return self.sql(q)
+        raise ValueError(f"cannot detect query language for: {q[:60]!r}")
+
+    # ------------------------------------------------------------ analytics
+
+    def bfs(self, start_id: str, max_depth: int = 5, t: str | None = None,
+            direction: str = "out"):
+        from graphdb_spark.operators.traversal import bfs
+
+        return bfs(self._e, start_id, max_depth, t, direction)
+
+    def shortest_path(self, src_id: str, dst_id: str, max_depth: int = 5,
+                      t: str | None = None, direction: str = "both"):
+        from graphdb_spark.operators.traversal import shortest_path
+
+        return shortest_path(self._e, src_id, dst_id, max_depth, t, direction)
+
+    def degrees(self):
+        from graphdb_spark.operators.analytics import degrees
+
+        return degrees(self._e)
+
+    def pagerank(self, iterations: int = 10, damping: float = 0.85):
+        from graphdb_spark.operators.analytics import pagerank
+
+        return pagerank(self._e, iterations, damping)
+
+    def triangle_count(self):
+        from graphdb_spark.operators.analytics import triangle_count
+
+        return triangle_count(self._e)
+
+    def connected_components(self, max_iter: int = 20):
+        from graphdb_spark.operators.traversal import connected_components_small
+
+        return connected_components_small(self._e, max_iter)
+
+    def find(self, motif: str):
+        """GraphFrames-style motif finding."""
+        from graphdb_spark.operators.analytics import motif_find
+
+        return motif_find(self, motif)
+
     # ------------------------------------------------------------ counts
 
     def vertex_count(self) -> int:

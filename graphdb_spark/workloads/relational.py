@@ -511,7 +511,103 @@ def approx_distinct_sketch(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join + grouped count."""
+    t = load_tables(spark, sf_dir)
+    late = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + sum — the pushdown showcase."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(
+                dec2(F.col("l_extendedprice")) * dec4(F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation by
+    priority class."""
+    t = load_tables(spark, sf_dir)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "N")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'N'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 QUERIES = {
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q12_shipmode": (q12_shipmode, Q12_SQL),
     "cube_counts": (cube_counts, CUBE_SQL),
     "approx_distinct_sketch": (approx_distinct_sketch, None),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

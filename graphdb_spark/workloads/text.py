@@ -280,8 +280,28 @@ ORDER BY doc_a, doc_b
 """
 
 
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-style pre-tokenization counts vs whitespace counts — the
+    LLM-token budgeting operator."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_BPE_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS.format(x='text')}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_bpe_tokens": (text_bpe_tokens, TEXT_BPE_SQL),
     "lang_id_eval": (lang_id_eval, LANG_ID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
