@@ -39,6 +39,31 @@ AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect", "collect_list",
              "stdev", "stddev"}
 
 
+def _expr_vars(e) -> set[str]:
+    """Variable names referenced by an expression AST."""
+    if isinstance(e, P.Var):
+        return {e.name}
+    if isinstance(e, P.Prop):
+        return {e.var}
+    if isinstance(e, P.BinOp):
+        return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, P.UnaryOp):
+        return _expr_vars(e.operand)
+    if isinstance(e, P.Func):
+        out = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    if isinstance(e, P.ListExpr):
+        out = set()
+        for x in e.items:
+            out |= _expr_vars(x)
+        return out
+    if isinstance(e, P.ListComp):
+        return _expr_vars(e.source) | (_expr_vars(e.expr) - {e.var})
+    return set()
+
+
 class CypherExecutionError(ValueError):
     pass
 
@@ -502,17 +527,31 @@ class _Executor:
         return dict(self.summary)
 
     def _exec_match(self, mc: P.MatchClause):
-        for pat in mc.patterns:
+        for i, pat in enumerate(mc.patterns):
             if pat.shortest:
                 self._exec_shortest(pat)
                 continue
             df, nvars, evars = self._pattern_df(pat)
+            if mc.optional and mc.where is not None and i == len(mc.patterns) - 1:
+                # OPTIONAL MATCH ... WHERE: the predicate applies to the
+                # optional pattern BEFORE the left join (rows failing it
+                # become nulls, not dropped). Only pattern-local vars
+                # may appear (cross-referencing the outer row would need
+                # a post-join null-preserving rewrite).
+                refs = _expr_vars(mc.where)
+                local = nvars | evars
+                if not refs <= local:
+                    raise CypherExecutionError(
+                        "WHERE on OPTIONAL MATCH may only reference the "
+                        f"optional pattern's variables (got {refs - local})"
+                    )
+                saved_n, saved_e = self.node_vars, self.edge_vars
+                self.node_vars = saved_n | nvars
+                self.edge_vars = saved_e | evars
+                df = df.filter(self._col(mc.where))
+                self.node_vars, self.edge_vars = saved_n, saved_e
             self._merge(df, nvars, evars, mc.optional)
-        if mc.where is not None:
-            if mc.optional:
-                raise CypherExecutionError(
-                    "WHERE on OPTIONAL MATCH not supported yet"
-                )
+        if mc.where is not None and not mc.optional:
             self.binding = self.binding.filter(self._col(mc.where))
 
     def _resolve_endpoint(self, np: P.NodePattern) -> list[str]:
@@ -648,6 +687,27 @@ class _Executor:
 
     def _exec_create(self, cc: P.CreateClause):
         self.mutated = True
+        if getattr(cc, "merge", False):
+            # MERGE = match-or-create, pattern by pattern: if the full
+            # pattern matches anything, bind it; otherwise create it.
+            # Patterns referencing already-bound vars (MATCH ... MERGE
+            # (a)-[:R]->(b)) go through CREATE's edge upsert — identical
+            # end state (edge identity is the triple).
+            for pat in cc.patterns:
+                pat_vars = {n.var for n in pat.nodes if n.var}
+                if pat_vars & (self.node_vars | self.edge_vars):
+                    self._exec_create(P.CreateClause(patterns=[pat]))
+                    continue
+                try:
+                    df, nvars, evars = self._pattern_df(pat)
+                    exists = not df.isEmpty()
+                except CypherExecutionError:
+                    exists = False
+                if exists:
+                    self._merge(df, nvars, evars, optional=False)
+                else:
+                    self._exec_create(P.CreateClause(patterns=[pat]))
+            return
         # per-row creation: any AST-valued property (UNWIND
         # interpolation, corpus #25) means one vertex per binding row,
         # built as a distributed select — no driver loop

@@ -523,8 +523,11 @@ class Parser:
                 self.expect_kw("AS")
                 clauses.append(UnwindClause(expr, self.name()))
             elif self.at_kw("CREATE", "MERGE"):
+                is_merge = self.cur.text == "MERGE"
                 self.advance()
-                clauses.append(CreateClause(patterns=self.pattern_list()))
+                cc = CreateClause(patterns=self.pattern_list())
+                cc.merge = is_merge
+                clauses.append(cc)
             elif self.at_kw("SET"):
                 self.advance()
                 # KV form: SET name = 'value' (identifier with no dot)

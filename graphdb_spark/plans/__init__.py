@@ -133,6 +133,7 @@ class UnwindClause:
 @dataclass
 class CreateClause:
     patterns: list[PathPattern] = field(default_factory=list)
+    merge: bool = False  # MERGE = match-or-create
 
 
 @dataclass

@@ -257,3 +257,35 @@ def test_return_whole_node(person_graph):
     df = person_graph.cypher("MATCH (p:Person {name: 'Diana'}) RETURN p")
     r = rows(df)[0][0]
     assert r["id"] == "diana" and r["label"] == "Person"
+
+
+def test_merge_match_or_create(spark):
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    out = g.cypher("MERGE (n:City {id: 'nyc', name: 'NYC'})")
+    assert out["created_vertices"] == 1
+    # second MERGE matches instead of creating
+    out = g.cypher("MERGE (n:City {id: 'nyc', name: 'NYC'})")
+    assert out["created_vertices"] == 0
+    assert g.vertex_count() == 1
+    # MERGE with bound endpoints upserts the edge (no duplicates)
+    g.cypher("CREATE (:City {id: 'sf', name: 'SF'})")
+    g.cypher("MATCH (a {id: 'nyc'}), (b {id: 'sf'}) MERGE (a)-[:NEAR]->(b)")
+    g.cypher("MATCH (a {id: 'nyc'}), (b {id: 'sf'}) MERGE (a)-[:NEAR]->(b)")
+    assert g.edge_count() == 1
+
+
+def test_optional_match_where(person_graph):
+    """WHERE on OPTIONAL MATCH filters the optional side pre-join:
+    non-matching rows keep the outer row with nulls."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[r:KNOWS]->(f) "
+        "WHERE f.age > 30 "
+        "RETURN p.name, f.name ORDER BY p.name, f.name"
+    )
+    rows_ = [tuple(r) for r in df.collect()]
+    # alice knows bob(35, passes) and charlie(28, filtered to null row)
+    assert ("Alice", "Bob") in rows_
+    assert ("Alice", "Charlie") not in rows_
+    assert ("Charlie", None) in rows_ and ("Diana", None) in rows_
