@@ -101,21 +101,50 @@ def main():
     timings["bulk_load_100v_10k_edges"] = round(bulk, 3)
     print(f"# bulk_load_100v_10k_edges: {bulk:.3f}s", file=sys.stderr)
 
+    # optional single-node baseline: run the DuckDB oracle twins on the
+    # same parquet at the same SF (SPARK_GRAFT_BENCH_ORACLE=1)
+    oracle_timings = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        oracles = entry_mod.oracle_sql()
+        oracle_timings = {}
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            best = None
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            oracle_timings[name] = round(best, 3)
+            print(f"# duckdb {name}: {best:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "spark_version": spark.version,
-                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "spark_version": spark.version,
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    if oracle_timings is not None:
+        payload["duckdb_oracle_queries"] = oracle_timings
+        payload["duckdb_oracle_total"] = round(sum(oracle_timings.values()), 3)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -84,6 +84,41 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def clicks_to_purchases(events: DataFrame, horizon: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks within the preceding ``horizon`` (attribution shape).
+    Watermarks on both sides bound the join state; the time-range
+    predicate lets Spark evict expired rows."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_ts",
+        "click_value",
+    )
+
+
 def last_state_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user latest (ts, event_type,
     value). Streaming: applyInPandasWithState keeps one row of state

@@ -112,3 +112,27 @@ def test_streaming_stateful_last_state(spark, tmp_path, batch_events):
     assert got[10] == ("click", 3.0)
     assert got[20] == ("purchase", 5.0)
     q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path, batch_events):
+    """Clicks-to-purchases attribution join, batch semantics + true
+    stream-stream run with watermarks."""
+    from graphdb_spark.streaming.events import clicks_to_purchases
+
+    # batch: user 20 clicked at 00:02, purchased at 01:00 -> within 1h
+    got = clicks_to_purchases(batch_events).collect()
+    assert len(got) == 2  # duplicate click row matches twice
+    assert all(r["user_id"] == 20 for r in got)
+
+    src = str(tmp_path / "events_ssj")
+    batch_events.write.mode("overwrite").parquet(src)
+    stream = stream_events_from_files(spark, src)
+    out = clicks_to_purchases(stream)
+    q = (
+        out.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows_ = spark.sql("SELECT user_id, purchase_id FROM ssj").collect()
+    assert len(rows_) == 2 and all(r["user_id"] == 20 for r in rows_)
+    q.stop()
