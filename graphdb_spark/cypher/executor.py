@@ -518,6 +518,8 @@ class _Executor:
                 self._exec_remove(clause)
             elif isinstance(clause, P.DeleteClause):
                 self._exec_delete(clause)
+            elif isinstance(clause, P.WithClause):
+                self._exec_with(clause)
             elif isinstance(clause, P.ReturnClause):
                 result = self._exec_return(clause)
             else:
@@ -980,6 +982,85 @@ class _Executor:
             M.delete_vertices(self.g, ids)
             self.summary["deleted_vertices"] += before_v - self.g.vertex_count()
             self.summary["deleted_edges"] += before_e - self.g.edge_count()
+
+    # ------------------------------------------------------------ WITH
+
+    def _exec_with(self, wc: P.WithClause):
+        """WITH = horizontal projection that re-scopes the binding:
+        bare node/edge vars carry their namespaced columns through;
+        everything else becomes a scalar column named by its alias.
+        Aggregates trigger implicit grouping (grouped WITH), and the
+        trailing WHERE filters the projected rows (HAVING-like)."""
+        if self.binding is None:
+            raise CypherExecutionError("WITH with no prior binding")
+        has_agg = any(self._has_agg(it.expr) for it in wc.items)
+        passthrough: list[str] = []  # node/edge vars carried through
+        cols = []
+        new_scalars: set[str] = set()
+        for i, it in enumerate(wc.items):
+            e = it.expr
+            if (
+                isinstance(e, P.Var)
+                and it.alias is None
+                and (e.name in self.node_vars or e.name in self.edge_vars)
+            ):
+                passthrough.append(e.name)
+                continue
+            name = it.alias or self._item_name(it, i)
+            cols.append((it, name))
+            new_scalars.add(name)
+
+        def var_cols(v):
+            if v in self.node_vars:
+                return self._vcols(v)
+            return [f"{v}__src", f"{v}__relationship", f"{v}__dst",
+                    f"{v}__properties"]
+
+        if has_agg:
+            keys = [F.col(c) for v in passthrough for c in var_cols(v)] + [
+                self._col(it.expr).alias(nm)
+                for it, nm in cols
+                if not self._has_agg(it.expr)
+            ]
+            aggs = [
+                self._col(it.expr).alias(nm)
+                for it, nm in cols
+                if self._has_agg(it.expr)
+            ]
+            df = (
+                self.binding.groupBy(*keys).agg(*aggs)
+                if keys
+                else self.binding.agg(*aggs)
+            )
+        else:
+            sel = [F.col(c) for v in passthrough for c in var_cols(v)] + [
+                self._col(it.expr).alias(nm) for it, nm in cols
+            ]
+            df = self.binding.select(*sel)
+        if wc.distinct:
+            df = df.dropDuplicates()
+        if wc.order_by:
+            sort_cols = []
+            for ob in wc.order_by:
+                if isinstance(ob.expr, P.Var) and ob.expr.name in new_scalars:
+                    c = F.col(f"`{ob.expr.name}`")
+                else:
+                    c = self._col(
+                        ob.expr, numeric_hint=isinstance(ob.expr, P.Prop)
+                    )
+                sort_cols.append(c.desc() if ob.desc else c.asc())
+            df = df.orderBy(*sort_cols)
+        if wc.skip:
+            df = df.offset(wc.skip)
+        if wc.limit is not None:
+            df = df.limit(wc.limit)
+        # re-scope: only passthrough vars + new scalars survive
+        self.binding = df
+        self.node_vars = {v for v in self.node_vars if v in passthrough}
+        self.edge_vars = {v for v in self.edge_vars if v in passthrough}
+        self.scalar_vars = new_scalars
+        if wc.where is not None:
+            self.binding = self.binding.filter(self._col(wc.where))
 
     # ------------------------------------------------------------ RETURN
 

@@ -47,6 +47,7 @@ from graphdb_spark.plans import (
     UnaryOp,
     UnwindClause,
     Var,
+    WithClause,
 )
 
 KEYWORDS = {
@@ -460,6 +461,50 @@ class Parser:
 
     # ------------------------------------------------------------ clauses
 
+    def with_clause(self) -> WithClause:
+        self.expect_kw("WITH")
+        wc = WithClause()
+        if self.at_kw("DISTINCT"):
+            self.advance()
+            wc.distinct = True
+        while True:
+            expr = self.expression()
+            alias = None
+            if self.at_kw("AS"):
+                self.advance()
+                alias = self.name()
+            wc.items.append(ReturnItem(expr, alias))
+            if self.at_op(","):
+                self.advance()
+                continue
+            break
+        if self.at_kw("ORDER"):
+            self.advance()
+            self.expect_kw("BY")
+            while True:
+                e = self.expression()
+                desc = False
+                if self.at_kw("DESC", "DESCENDING"):
+                    self.advance()
+                    desc = True
+                elif self.at_kw("ASC", "ASCENDING"):
+                    self.advance()
+                wc.order_by.append(OrderItem(e, desc))
+                if self.at_op(","):
+                    self.advance()
+                    continue
+                break
+        if self.at_kw("SKIP"):
+            self.advance()
+            wc.skip = int(self.advance().text)
+        if self.at_kw("LIMIT"):
+            self.advance()
+            wc.limit = int(self.advance().text)
+        if self.at_kw("WHERE"):
+            self.advance()
+            wc.where = self.expression()
+        return wc
+
     def return_clause(self) -> ReturnClause:
         self.expect_kw("RETURN")
         rc = ReturnClause()
@@ -517,6 +562,8 @@ class Parser:
                     mc.where = self.expression()
                 clauses.append(mc)
                 saw_match = True
+            elif self.at_kw("WITH"):
+                clauses.append(self.with_clause())
             elif self.at_kw("UNWIND"):
                 self.advance()
                 expr = self.expression()

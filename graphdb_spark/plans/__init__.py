@@ -160,6 +160,19 @@ class DeleteClause:
 
 
 @dataclass
+class WithClause:
+    """WITH projection/aggregation chaining; optional post-WHERE
+    (HAVING-like when aggregating)."""
+
+    items: list[ReturnItem] = field(default_factory=list)
+    distinct: bool = False
+    where: object = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
+
+
+@dataclass
 class ReturnClause:
     items: list[ReturnItem] = field(default_factory=list)
     distinct: bool = False

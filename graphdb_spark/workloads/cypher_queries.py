@@ -121,7 +121,27 @@ ORDER BY brand
 """
 
 
+def cypher_with_having(spark, sf_dir):
+    """WITH aggregation chaining + HAVING-like WHERE
+    (grouped WITH → filter → RETURN)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer)-[r:PLACED]->() "
+        "WITH c, count(r) AS deg WHERE deg >= 15 "
+        "RETURN c.name AS name, deg ORDER BY deg DESC, name"
+    )
+
+
+CYPHER_WITH_HAVING_SQL = """
+SELECT c_name AS name, CAST(COUNT(*) AS BIGINT) AS deg
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_name HAVING COUNT(*) >= 15
+ORDER BY deg DESC, name
+"""
+
+
 QUERIES = {
+    "cypher_with_having": (cypher_with_having, CYPHER_WITH_HAVING_SQL),
     "cypher_where_topk": (cypher_where_topk, CYPHER_WHERE_TOPK_SQL),
     "cypher_grouped_count": (cypher_grouped_count, CYPHER_GROUPED_COUNT_SQL),
     "cypher_one_hop_agg": (cypher_one_hop_agg, CYPHER_ONE_HOP_AGG_SQL),

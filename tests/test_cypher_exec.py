@@ -289,3 +289,38 @@ def test_optional_match_where(person_graph):
     assert ("Alice", "Bob") in rows_
     assert ("Alice", "Charlie") not in rows_
     assert ("Charlie", None) in rows_ and ("Diana", None) in rows_
+
+
+def test_with_aggregation_chaining(person_graph):
+    """WITH p, count(r) AS deg WHERE deg >= 2 — grouped WITH +
+    HAVING-like filter + downstream RETURN over re-scoped vars."""
+    df = person_graph.cypher(
+        "MATCH (p:Person)-[r]->() WITH p, count(r) AS deg WHERE deg >= 2 "
+        "RETURN p.name AS name, deg"
+    )
+    assert rows(df) == [("Alice", 2)]
+
+
+def test_with_projection_rescopes(person_graph):
+    """Vars not carried through WITH are out of scope afterwards."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) WITH p.name AS nm WHERE nm STARTS WITH 'B' "
+        "RETURN nm"
+    )
+    assert rows(df) == [("Bob",)]
+    from graphdb_spark.cypher.executor import CypherExecutionError
+
+    with pytest.raises(Exception):
+        person_graph.cypher(
+            "MATCH (p:Person) WITH p.name AS nm RETURN p.age"
+        ).collect()
+
+
+def test_with_order_limit_then_expand(person_graph):
+    """WITH ORDER BY/LIMIT mid-pipeline (top-1 person by age, then
+    traverse from them)."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) WITH p ORDER BY p.age DESC LIMIT 1 "
+        "MATCH (p)-[:WORKS_WITH]->(c) RETURN p.name, c.name"
+    )
+    assert rows(df) == [("Bob", "Diana")]
