@@ -691,24 +691,40 @@ class _Executor:
         self.mutated = True
         if getattr(cc, "merge", False):
             # MERGE = match-or-create, pattern by pattern: if the full
-            # pattern matches anything, bind it; otherwise create it.
+            # pattern matches anything, bind it; otherwise create it and
+            # bind the created pattern (so RETURN / ON CREATE SET see it).
             # Patterns referencing already-bound vars (MATCH ... MERGE
             # (a)-[:R]->(b)) go through CREATE's edge upsert — identical
-            # end state (edge identity is the triple).
+            # end state (edge identity is the triple) — with a pre-check
+            # for matched-vs-created so ON MATCH/ON CREATE fire right.
             for pat in cc.patterns:
                 pat_vars = {n.var for n in pat.nodes if n.var}
                 if pat_vars & (self.node_vars | self.edge_vars):
-                    self._exec_create(P.CreateClause(patterns=[pat]))
-                    continue
-                try:
-                    df, nvars, evars = self._pattern_df(pat)
-                    exists = not df.isEmpty()
-                except CypherExecutionError:
-                    exists = False
-                if exists:
-                    self._merge(df, nvars, evars, optional=False)
+                    matched = self._bound_pattern_exists(pat)
+                    if not matched:
+                        # only create on miss — recreating on match would
+                        # reset the matched edge's properties
+                        self._exec_create(P.CreateClause(patterns=[pat]))
+                    unbound = pat_vars - (self.node_vars | self.edge_vars)
+                    if unbound or any(
+                        r.var and r.var not in self.edge_vars
+                        for r in pat.rels
+                    ):
+                        df, nvars, evars = self._pattern_df(pat)
+                        self._merge(df, nvars, evars, optional=False)
                 else:
-                    self._exec_create(P.CreateClause(patterns=[pat]))
+                    try:
+                        df, nvars, evars = self._pattern_df(pat)
+                        matched = not df.isEmpty()
+                    except CypherExecutionError:
+                        matched = False
+                    if not matched:
+                        self._exec_create(P.CreateClause(patterns=[pat]))
+                        df, nvars, evars = self._pattern_df(pat)
+                    self._merge(df, nvars, evars, optional=False)
+                sets = cc.on_match if matched else cc.on_create
+                if sets:
+                    self._exec_set(P.SetClause(items=list(sets)))
             return
         # per-row creation: any AST-valued property (UNWIND
         # interpolation, corpus #25) means one vertex per binding row,
@@ -822,6 +838,36 @@ class _Executor:
                 )
             )
             self.summary["created_edges"] += 1
+
+    def _bound_pattern_exists(self, pat: P.PathPattern) -> bool:
+        """Did a MERGE pattern with already-bound endpoints fully match
+        BEFORE the upsert? Bound-var MERGE is single-row (node_id
+        enforces this), so resolve each node to one id and probe the
+        edge triples. A node that is neither bound nor id-addressed is
+        necessarily new → no match."""
+        ids = []
+        for np in pat.nodes:
+            if np.var and np.var in self.node_vars:
+                rows = (
+                    self.binding.select(f"{np.var}__id").distinct().limit(2).collect()
+                )
+                if len(rows) != 1:
+                    raise CypherExecutionError(
+                        f"MERGE with multi-bound variable {np.var!r}"
+                    )
+                ids.append(rows[0][0])
+            elif "id" in np.properties and not self._is_ast(np.properties["id"]):
+                ids.append(str(np.properties["id"]))
+            else:
+                return False
+        for rel, s, d in zip(pat.rels, ids, ids[1:]):
+            src, dst = (d, s) if rel.incoming else (s, d)
+            cond = (F.col("src") == src) & (F.col("dst") == dst)
+            if rel.types:
+                cond &= F.col("relationship").isin(list(rel.types))
+            if self.g.edges.filter(cond).isEmpty():
+                return False
+        return True
 
     def _refresh_bindings(self):
         """Re-join mutated vertex/edge state into the binding table so a

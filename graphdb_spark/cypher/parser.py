@@ -505,6 +505,34 @@ class Parser:
             wc.where = self.expression()
         return wc
 
+    def _set_items(self) -> list[SetPropItem]:
+        """Comma-separated SET items: n.prop = expr | n:Label[:Label…].
+        Shared by the SET clause and MERGE's ON CREATE/ON MATCH SET."""
+        items: list[SetPropItem] = []
+        while True:
+            if (
+                self.cur.kind == "name"
+                and self.peek().kind == "op"
+                and self.peek().text == ":"
+            ):
+                var = self.advance().text
+                labels = []
+                while self.at_op(":"):
+                    self.advance()
+                    labels.append(self.name())
+                items.append(SetPropItem(target=Var(var), labels=tuple(labels)))
+            else:
+                target = self._primary()
+                if not isinstance(target, (Prop, Var)):
+                    raise CypherSyntaxError("SET target must be n.prop or n:Label")
+                self.expect_op("=")
+                items.append(SetPropItem(target=target, value=self.expression()))
+            if self.at_op(","):
+                self.advance()
+                continue
+            break
+        return items
+
     def return_clause(self) -> ReturnClause:
         self.expect_kw("RETURN")
         rc = ReturnClause()
@@ -574,6 +602,27 @@ class Parser:
                 self.advance()
                 cc = CreateClause(patterns=self.pattern_list())
                 cc.merge = is_merge
+                # ON CREATE SET … / ON MATCH SET … (MERGE only; ON is
+                # contextual — a plain name token, not a keyword, so
+                # `n.on` stays a valid property)
+                while (
+                    is_merge
+                    and self.cur.kind == "name"
+                    and self.cur.text.upper() == "ON"
+                ):
+                    self.advance()
+                    if self.at_kw("CREATE"):
+                        self.advance()
+                        self.expect_kw("SET")
+                        cc.on_create.extend(self._set_items())
+                    elif self.at_kw("MATCH"):
+                        self.advance()
+                        self.expect_kw("SET")
+                        cc.on_match.extend(self._set_items())
+                    else:
+                        raise CypherSyntaxError(
+                            "expected CREATE or MATCH after ON"
+                        )
                 clauses.append(cc)
             elif self.at_kw("SET"):
                 self.advance()
@@ -590,30 +639,7 @@ class Parser:
                     self.advance()  # =
                     val = self.literal().value
                     return SetKeyValue(key=key, value=str(val))
-                sc = SetClause()
-                while True:
-                    if (
-                        self.cur.kind == "name"
-                        and self.peek().kind == "op"
-                        and self.peek().text == ":"
-                    ):
-                        var = self.advance().text
-                        labels = []
-                        while self.at_op(":"):
-                            self.advance()
-                            labels.append(self.name())
-                        sc.items.append(SetPropItem(target=Var(var), labels=tuple(labels)))
-                    else:
-                        target = self._primary()
-                        if not isinstance(target, (Prop, Var)):
-                            raise CypherSyntaxError("SET target must be n.prop or n:Label")
-                        self.expect_op("=")
-                        sc.items.append(SetPropItem(target=target, value=self.expression()))
-                    if self.at_op(","):
-                        self.advance()
-                        continue
-                    break
-                clauses.append(sc)
+                clauses.append(SetClause(items=self._set_items()))
             elif self.at_kw("REMOVE"):
                 self.advance()
                 rm = RemoveClause()

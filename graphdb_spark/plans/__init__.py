@@ -134,6 +134,9 @@ class UnwindClause:
 class CreateClause:
     patterns: list[PathPattern] = field(default_factory=list)
     merge: bool = False  # MERGE = match-or-create
+    # MERGE-only conditional SET lists (SetPropItem)
+    on_create: list = field(default_factory=list)
+    on_match: list = field(default_factory=list)
 
 
 @dataclass

@@ -324,3 +324,48 @@ def test_with_order_limit_then_expand(person_graph):
         "MATCH (p)-[:WORKS_WITH]->(c) RETURN p.name, c.name"
     )
     assert rows(df) == [("Bob", "Diana")]
+
+
+def test_merge_on_create_on_match_set(spark):
+    """ON CREATE SET fires on the creating MERGE, ON MATCH SET on the
+    matching one; MERGE binds its var in both branches."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    df = g.cypher(
+        "MERGE (n:City {id: 'nyc'}) "
+        "ON CREATE SET n.seen = 'first' ON MATCH SET n.seen = 'again' "
+        "RETURN n.seen AS seen"
+    )
+    assert rows(df) == [("first",)]
+    df = g.cypher(
+        "MERGE (n:City {id: 'nyc'}) "
+        "ON CREATE SET n.seen = 'first' ON MATCH SET n.seen = 'again' "
+        "RETURN n.seen AS seen"
+    )
+    assert rows(df) == [("again",)]
+    assert g.vertex_count() == 1
+
+
+def test_merge_edge_on_create_set(spark):
+    """Bound-endpoint edge MERGE: ON CREATE SET stamps the new edge;
+    a re-run leaves it untouched and fires ON MATCH SET instead."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    g.cypher("CREATE (:City {id: 'a'}), (:City {id: 'b'})")
+    g.cypher(
+        "MATCH (a {id: 'a'}), (b {id: 'b'}) MERGE (a)-[r:NEAR]->(b) "
+        "ON CREATE SET r.since = '2020' ON MATCH SET r.hits = 'y'"
+    )
+    props = {r["relationship"]: r["properties"] for r in g.edges.collect()}
+    assert props["NEAR"].get("since") == "2020"
+    assert "hits" not in props["NEAR"]
+    g.cypher(
+        "MATCH (a {id: 'a'}), (b {id: 'b'}) MERGE (a)-[r:NEAR]->(b) "
+        "ON CREATE SET r.since = '1999' ON MATCH SET r.hits = 'y'"
+    )
+    assert g.edge_count() == 1
+    props = {r["relationship"]: r["properties"] for r in g.edges.collect()}
+    assert props["NEAR"].get("since") == "2020"
+    assert props["NEAR"].get("hits") == "y"
