@@ -180,14 +180,33 @@ class _Executor:
                     "both" if rel.undirected else ("in" if rel.incoming else "out")
                 )
                 base_edges = self._edge_base(rel) if rel.types else self.g.edges
-                reach = T.var_length_expand(
-                    base_edges, starts, rel.min_hops, rel.max_hops or 5,
-                    t=None, direction=direction,
-                )
-                reach = reach.select(
-                    F.col("start_id").alias(f"{cur}__id__r"),
-                    F.col("id").alias("__end"),
-                )
+                reify = bool(pat.path_var) and len(pat.rels) == 1
+                if reify:
+                    # RETURN p for a var-length pattern: carry the
+                    # concrete path (one row per relationship-path)
+                    pv = pat.path_var
+                    reach = T.var_length_paths(
+                        base_edges, starts, rel.min_hops,
+                        rel.max_hops or 5, t=None, direction=direction,
+                    ).select(
+                        F.col("start_id").alias(f"{cur}__id__r"),
+                        F.col("id").alias("__end"),
+                        F.col("path").alias(f"{pv}__nodes"),
+                        F.col("rels").alias(f"{pv}__rels"),
+                    )
+                    self.path_vars[pv] = {
+                        "kind": "varlen",
+                        "nodes": f"{pv}__nodes",
+                        "rels": f"{pv}__rels",
+                    }
+                else:
+                    reach = T.var_length_expand(
+                        base_edges, starts, rel.min_hops, rel.max_hops or 5,
+                        t=None, direction=direction,
+                    ).select(
+                        F.col("start_id").alias(f"{cur}__id__r"),
+                        F.col("id").alias("__end"),
+                    )
                 df = df.join(
                     reach, F.col(f"{cur}__id") == F.col(f"{cur}__id__r")
                 ).drop(f"{cur}__id__r")
@@ -226,12 +245,12 @@ class _Executor:
             )
             df = df.join(esel, F.col(f"{cur}__id") == F.col(from_key), "inner")
             df, cur = bind_node(node, df, to_key)
-        if pat.path_var:
+        if pat.path_var and pat.path_var not in self.path_vars:
             self.path_vars[pat.path_var] = [n.var for n in pat.nodes if n.var]
         return df, set(nvars), set(evars)
 
     def _merge(self, df: DataFrame, nvars: set[str], evars: set[str],
-               optional: bool):
+               optional: bool, extra_where=None):
         if self.binding is None:
             if optional:
                 raise CypherExecutionError("OPTIONAL MATCH with no prior binding")
@@ -257,14 +276,33 @@ class _Executor:
                     for k in keys:
                         c = F.col(k) == F.col(k + "__new")
                         cond = c if cond is None else (cond & c)
+                if extra_where is not None:
+                    # cross-referencing OPTIONAL MATCH ... WHERE: the
+                    # predicate joins the match condition. Shared vars
+                    # resolve to the outer columns (equal by the join
+                    # keys); new-side-only columns are unambiguous.
+                    cond = cond & self._scoped_col(extra_where, nvars, evars)
                 joined = self.binding.join(df, cond, how)
                 self.binding = joined.drop(
                     *[c for c in joined.columns if c.endswith("__new")]
                 )
+            elif extra_where is not None:
+                cond = self._scoped_col(extra_where, nvars, evars)
+                self.binding = self.binding.join(df, cond, how)
             else:
                 self.binding = self.binding.crossJoin(df)
         self.node_vars |= nvars
         self.edge_vars |= evars
+
+    def _scoped_col(self, expr, nvars: set[str], evars: set[str]):
+        """Evaluate an expression with extra pattern vars in scope."""
+        saved_n, saved_e = self.node_vars, self.edge_vars
+        self.node_vars = saved_n | nvars
+        self.edge_vars = saved_e | evars
+        try:
+            return self._col(expr)
+        finally:
+            self.node_vars, self.edge_vars = saved_n, saved_e
 
     # ------------------------------------------------------------ expressions
 
@@ -289,6 +327,15 @@ class _Executor:
                     F.col(f"{v}__relationship").alias("relationship"),
                     F.col(f"{v}__dst").alias("dst"),
                     F.col(f"{v}__properties").alias("properties"),
+                )
+            info = self.path_vars.get(v)
+            if isinstance(info, dict) and info.get("kind") == "varlen":
+                # reified var-length path: struct of node-id array +
+                # relationship-type array + hop count
+                return F.struct(
+                    F.col(info["nodes"]).alias("nodes"),
+                    F.col(info["rels"]).alias("relationships"),
+                    F.size(F.col(info["rels"])).alias("length"),
                 )
             return F.col(v)  # UNWIND scalar
         if isinstance(expr, P.Prop):
@@ -376,14 +423,18 @@ class _Executor:
             if not numeric and isinstance(b.right, P.Lit):
                 rc = F.lit(stringify_value(b.right.value))
             return lc != rc
-        if op == "<":
-            return lc < rc
-        if op == "<=":
-            return lc <= rc
-        if op == ">":
-            return lc > rc
-        if op == ">=":
-            return lc >= rc
+        if op in ("<", "<=", ">", ">="):
+            mk = lambda le, ri: {"<": le < ri, "<=": le <= ri,
+                                 ">": le > ri, ">=": le >= ri}[op]
+            if (not numeric and isinstance(b.left, P.Prop)
+                    and isinstance(b.right, P.Prop)):
+                # prop-vs-prop ordering: numeric when both values parse
+                # (reference Json cross-numeric total order,
+                # models/src/json.rs:59-115), else lexicographic
+                ln, rn = lc.try_cast("double"), rc.try_cast("double")
+                return F.when(ln.isNotNull() & rn.isNotNull(), mk(ln, rn)
+                              ).otherwise(mk(lc, rc))
+            return mk(lc, rc)
         if op == "=~":
             # Cypher =~ is a FULL-string match (rlike alone is substring)
             pat = b.right.value if isinstance(b.right, P.Lit) else ""
@@ -453,6 +504,15 @@ class _Executor:
             return F.current_date()
         if n in ("size", "length"):
             a = f.args[0]
+            if isinstance(a, P.Var) and a.name in self.path_vars:
+                # length(p) = relationship count
+                info = self.path_vars[a.name]
+                if isinstance(info, dict):
+                    if info.get("kind") == "varlen":
+                        return F.size(F.col(info["rels"]))
+                    # shortestPath: scalar array-of-ids column
+                    return F.size(F.col(a.name)) - F.lit(1)
+                return F.lit(len(info) - 1)  # fixed pattern
             c = self._col(a)
             is_list = (
                 isinstance(a, P.ListExpr)
@@ -475,6 +535,9 @@ class _Executor:
         if n in ("nodes", "relationships"):
             pv = f.args[0].name
             info = self.path_vars.get(pv, [])
+            if isinstance(info, dict) and info.get("kind") == "varlen":
+                # distributed path: ids / relationship types as arrays
+                return F.col(info["nodes" if n == "nodes" else "rels"])
             if isinstance(info, dict):  # shortestPath binding
                 return info["node_structs"] if n == "nodes" else info["rel_types"]
             if n == "relationships":
@@ -534,25 +597,25 @@ class _Executor:
                 self._exec_shortest(pat)
                 continue
             df, nvars, evars = self._pattern_df(pat)
+            extra_where = None
             if mc.optional and mc.where is not None and i == len(mc.patterns) - 1:
-                # OPTIONAL MATCH ... WHERE: the predicate applies to the
-                # optional pattern BEFORE the left join (rows failing it
-                # become nulls, not dropped). Only pattern-local vars
-                # may appear (cross-referencing the outer row would need
-                # a post-join null-preserving rewrite).
+                # OPTIONAL MATCH ... WHERE: the predicate is part of the
+                # match, not a post-filter — rows failing it become
+                # nulls, not dropped. Pattern-local predicates push down
+                # BEFORE the left join (cheaper); predicates that
+                # cross-reference outer-row variables go INTO the join
+                # condition (null-preserving by construction).
                 refs = _expr_vars(mc.where)
                 local = nvars | evars
-                if not refs <= local:
-                    raise CypherExecutionError(
-                        "WHERE on OPTIONAL MATCH may only reference the "
-                        f"optional pattern's variables (got {refs - local})"
-                    )
-                saved_n, saved_e = self.node_vars, self.edge_vars
-                self.node_vars = saved_n | nvars
-                self.edge_vars = saved_e | evars
-                df = df.filter(self._col(mc.where))
-                self.node_vars, self.edge_vars = saved_n, saved_e
-            self._merge(df, nvars, evars, mc.optional)
+                if refs <= local:
+                    saved_n, saved_e = self.node_vars, self.edge_vars
+                    self.node_vars = saved_n | nvars
+                    self.edge_vars = saved_e | evars
+                    df = df.filter(self._col(mc.where))
+                    self.node_vars, self.edge_vars = saved_n, saved_e
+                else:
+                    extra_where = mc.where
+            self._merge(df, nvars, evars, mc.optional, extra_where=extra_where)
         if mc.where is not None and not mc.optional:
             self.binding = self.binding.filter(self._col(mc.where))
 

@@ -285,8 +285,12 @@ class Parser:
             self.cur.kind == "name"
             and self.peek().kind == "op"
             and self.peek().text == "="
-            and self.peek(2).kind == "name"
-            and self.peek(2).text.lower() in ("shortestpath", "allshortestpaths")
+            and (
+                self.peek(2).kind == "op" and self.peek(2).text == "("
+                or self.peek(2).kind == "name"
+                and self.peek(2).text.lower()
+                in ("shortestpath", "allshortestpaths")
+            )
         ):
             path_var = self.advance().text
             self.advance()  # =

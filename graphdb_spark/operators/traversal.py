@@ -183,3 +183,78 @@ def connected_components_small(edges: DataFrame, max_iter: int = 20) -> DataFram
         if changed:
             break
     return labels
+
+def var_length_paths(edges: DataFrame, start_ids: DataFrame,
+                     min_hops: int = 1, max_hops: int = 3,
+                     t: str | None = None,
+                     direction: str = "out") -> DataFrame:
+    """Path-REIFYING variable-length expansion: one row per distinct
+    relationship-path of min..max hops — (start_id, id, path
+    array<string> of vertex ids, rels array<string> of relationship
+    types, hops).
+
+    Cypher relationship-isomorphism: an edge (triple) may not repeat
+    within one path; vertices may. Row count is the true path
+    multiplicity — use :func:`var_length_expand` when only
+    reachability matters (no multiplicity explosion). Scale note: the
+    frontier is a shuffle-join per hop, bounded by max_hops; path
+    arrays are bounded (max_hops+1 ids), so row width stays small.
+    Reference analogue: the declared traversal surface
+    (queries_examples.txt var-length patterns)."""
+    e = edges if t is None else edges.filter(F.col("relationship") == t)
+    key = F.concat_ws("\x00", "src", "relationship", "dst")
+    out = e.select(
+        F.col("src").alias("from"), F.col("dst").alias("to"),
+        F.col("relationship").alias("rel"), key.alias("ekey"),
+    )
+    inn = e.select(
+        F.col("dst").alias("from"), F.col("src").alias("to"),
+        F.col("relationship").alias("rel"), key.alias("ekey"),
+    )
+    step = (
+        out if direction == "out"
+        else inn if direction == "in"
+        else out.unionByName(inn)
+    )
+    empty_arr = F.array().cast("array<string>")
+    frontier = (
+        start_ids.select(F.col(start_ids.columns[0]).alias("start_id"))
+        .distinct()
+        .select(
+            "start_id",
+            F.col("start_id").alias("id"),
+            F.array("start_id").alias("path"),
+            empty_arr.alias("rels"),
+            empty_arr.alias("ekeys"),
+        )
+    )
+    results: list[DataFrame] = []
+    for depth in range(1, max_hops + 1):
+        frontier = (
+            step.join(
+                frontier.withColumnRenamed("id", "from"), "from", "inner"
+            )
+            # no edge reuse within a path
+            .filter(~F.arrays_overlap(F.col("ekeys"), F.array(F.col("ekey"))))
+            .select(
+                "start_id",
+                F.col("to").alias("id"),
+                F.concat("path", F.array(F.col("to"))).alias("path"),
+                F.concat("rels", F.array(F.col("rel"))).alias("rels"),
+                F.concat("ekeys", F.array(F.col("ekey"))).alias("ekeys"),
+            )
+            .localCheckpoint(eager=True)  # consumed 2x/hop, see bfs()
+        )
+        if frontier.isEmpty():
+            break
+        if depth >= min_hops:
+            results.append(frontier.withColumn("hops", F.lit(depth)))
+    spark = edges.sparkSession
+    schema = ("start_id string, id string, path array<string>, "
+              "rels array<string>, hops int")
+    if not results:
+        return spark.createDataFrame([], schema)
+    res = results[0]
+    for r in results[1:]:
+        res = res.unionByName(r)
+    return res.select("start_id", "id", "path", "rels", "hops")

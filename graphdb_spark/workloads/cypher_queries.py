@@ -140,7 +140,31 @@ ORDER BY deg DESC, name
 """
 
 
+def cypher_varlen_paths(spark, sf_dir):
+    """Reified variable-length paths: MATCH p = (...)-[*1..2]->(x)
+    RETURN length(p) — one row per concrete relationship-path
+    (relationship-isomorphic), so the counts are true path
+    multiplicities (1 hop: PLACED edges; 2 hops: PLACED·CONTAINS)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH p = (c:customer {mktsegment: 'BUILDING'})-[*1..2]->(x) "
+        "RETURN length(p) AS hops, count(*) AS n ORDER BY hops"
+    )
+
+
+CYPHER_VARLEN_SQL = """
+WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     h1 AS (SELECT COUNT(*) AS n FROM orders JOIN b ON o_custkey = b.c_custkey),
+     h2 AS (SELECT COUNT(*) AS n
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+            JOIN orders ON o_orderkey = li.l_orderkey
+            JOIN b ON o_custkey = b.c_custkey)
+SELECT 1 AS hops, n FROM h1 UNION ALL SELECT 2, n FROM h2 ORDER BY hops
+"""
+
+
 QUERIES = {
+    "cypher_varlen_paths": (cypher_varlen_paths, CYPHER_VARLEN_SQL),
     "cypher_with_having": (cypher_with_having, CYPHER_WITH_HAVING_SQL),
     "cypher_where_topk": (cypher_where_topk, CYPHER_WHERE_TOPK_SQL),
     "cypher_grouped_count": (cypher_grouped_count, CYPHER_GROUPED_COUNT_SQL),

@@ -369,3 +369,48 @@ def test_merge_edge_on_create_set(spark):
     props = {r["relationship"]: r["properties"] for r in g.edges.collect()}
     assert props["NEAR"].get("since") == "2020"
     assert props["NEAR"].get("hits") == "y"
+
+
+def test_var_length_path_reification(person_graph):
+    """MATCH p = (a)-[*1..2]->(b) RETURN p — one row per concrete
+    relationship-path, with node ids, rel types, and length."""
+    df = person_graph.cypher(
+        "MATCH p = (a:Person {name: 'Alice'})-[*1..2]->(b) "
+        "RETURN b.name AS dest, nodes(p) AS ids, relationships(p) AS rels, "
+        "length(p) AS hops ORDER BY hops, dest"
+    )
+    got = {(r["dest"], tuple(r["ids"]), tuple(r["rels"]), r["hops"])
+           for r in df.collect()}
+    assert got == {
+        ("Bob", ("alice", "bob"), ("KNOWS",), 1),
+        ("Charlie", ("alice", "charlie"), ("KNOWS",), 1),
+        ("Diana", ("alice", "bob", "diana"), ("KNOWS", "WORKS_WITH"), 2),
+    }
+    # RETURN p as a whole → struct(nodes, relationships, length)
+    df2 = person_graph.cypher(
+        "MATCH p = (a:Person {name: 'Bob'})-[*1..1]->(b) RETURN p"
+    )
+    r = df2.collect()[0]["p"]
+    assert list(r["nodes"]) == ["bob", "diana"]
+    assert list(r["relationships"]) == ["WORKS_WITH"]
+    assert r["length"] == 1
+
+
+def test_optional_match_where_cross_ref(person_graph):
+    """WHERE on OPTIONAL MATCH referencing outer-row vars becomes part
+    of the left-join condition: failing matches null out, outer rows
+    are never dropped (Cypher semantics)."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[r:KNOWS]->(f) "
+        "WHERE f.age > p.age "
+        "RETURN p.name AS name, f.name AS friend ORDER BY name, friend"
+    )
+    rows_ = [tuple(r) for r in df.collect()]
+    # alice(30): bob(35) passes, charlie(28) fails -> only Bob row;
+    # everyone else has no KNOWS edge -> null friend
+    assert rows_ == [
+        ("Alice", "Bob"),
+        ("Bob", None),
+        ("Charlie", None),
+        ("Diana", None),
+    ]
