@@ -157,3 +157,89 @@ def motif_find(g, motif: str) -> DataFrame:
             continue
         items.append(P.ReturnItem(P.Var(v), alias=v))
     return ex._exec_return(P.ReturnClause(items=items))
+
+
+def aggregate_messages(vertices: DataFrame, edges: DataFrame, agg,
+                       msg_to_dst=None, msg_to_src=None) -> DataFrame:
+    """GraphFrames ``aggregateMessages`` equivalent on plain DataFrames:
+    build the triplet view (struct columns ``src``/``edge``/``dst``),
+    evaluate the message expressions per triplet, send to the chosen
+    endpoint(s), and aggregate per receiving vertex.
+
+    - ``msg_to_dst`` / ``msg_to_src``: Columns over the triplet structs,
+      e.g. ``F.col("src.properties")["age"]`` or ``F.lit(1)``.
+    - ``agg``: aggregate Column over ``F.col("msg")``, e.g.
+      ``F.sum("msg").alias("total")``.
+
+    Scale shape: two equi-joins to attach vertex structs (AQE may
+    broadcast the vertex side) + one grouped aggregation — the same
+    shuffle profile GraphX's aggregateMessages has. No reference
+    analogue (the reference has no message-passing API); this is the
+    north-star analytics surface from BASELINE.json.
+    """
+    if msg_to_dst is None and msg_to_src is None:
+        raise ValueError("at least one of msg_to_dst/msg_to_src is required")
+    vstruct = F.struct(*[F.col(c) for c in vertices.columns])
+    estruct = F.struct(*[F.col(c) for c in edges.columns])
+    vsrc = vertices.select(F.col("id").alias("__src_id"), vstruct.alias("src"))
+    vdst = vertices.select(F.col("id").alias("__dst_id"), vstruct.alias("dst"))
+    trip = (
+        edges.select(
+            estruct.alias("edge"),
+            F.col("src").alias("__src_id"),
+            F.col("dst").alias("__dst_id"),
+        )
+        .join(vsrc, "__src_id")
+        .join(vdst, "__dst_id")
+    )
+    parts = []
+    if msg_to_dst is not None:
+        parts.append(
+            trip.select(F.col("__dst_id").alias("id"), msg_to_dst.alias("msg"))
+        )
+    if msg_to_src is not None:
+        parts.append(
+            trip.select(F.col("__src_id").alias("id"), msg_to_src.alias("msg"))
+        )
+    msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return msgs.groupBy("id").agg(agg)
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """(id, community) via synchronous label propagation with a
+    deterministic tie-break: adopt the most frequent community among
+    undirected neighbors, smallest community id on ties (so results are
+    oracle-able, unlike GraphX's hash-partition-dependent LPA).
+
+    Votes are over DISTINCT neighbor pairs — parallel multi-type edges
+    don't double-vote. Each iteration is one shuffle join + grouped
+    count + windowed argmax; lineage is cut per iteration (the frontier
+    lesson from bfs())."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        )
+        .filter(F.col("id") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("id").distinct().withColumn("community", F.col("id"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("votes"), F.asc("community")
+    )
+    for _ in range(max_iter):
+        votes = (
+            und.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id", "community")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -231,6 +231,19 @@ class GraphSession:
 
         return motif_find(self, motif)
 
+    def aggregate_messages(self, agg, msg_to_dst=None, msg_to_src=None):
+        """GraphFrames aggregateMessages over the triplet view."""
+        from graphdb_spark.operators.analytics import aggregate_messages
+
+        return aggregate_messages(
+            self._v, self._e, agg, msg_to_dst=msg_to_dst, msg_to_src=msg_to_src
+        )
+
+    def label_propagation(self, max_iter: int = 5):
+        from graphdb_spark.operators.analytics import label_propagation
+
+        return label_propagation(self._e, max_iter)
+
     # ------------------------------------------------------------ counts
 
     def vertex_count(self) -> int:

@@ -75,3 +75,55 @@ def test_motif_find(person_graph):
 def test_motif_find_untyped(person_graph):
     df = AN.motif_find(person_graph, "(a)-[e]->(b)")
     assert df.count() == 3
+
+
+def test_aggregate_messages(person_graph):
+    """Sum of neighbor ages sent along both directions (the GraphFrames
+    aggregateMessages doc example)."""
+    from pyspark.sql import functions as F
+
+    res = person_graph.aggregate_messages(
+        F.sum(F.col("msg").cast("double")).alias("age_sum"),
+        msg_to_dst=F.col("src.properties")["age"],
+        msg_to_src=F.col("dst.properties")["age"],
+    )
+    got = {r["id"]: r["age_sum"] for r in res.collect()}
+    # alice(30)->bob(35), alice->charlie(28), bob->diana(32)
+    assert got == {
+        "alice": 35.0 + 28.0,  # from bob + charlie (dst side)
+        "bob": 30.0 + 32.0,    # from alice (src side) + diana (dst side)
+        "charlie": 30.0,
+        "diana": 35.0,
+    }
+
+
+def test_aggregate_messages_degree(person_graph):
+    """msg=1 to both endpoints + count == undirected degree."""
+    from pyspark.sql import functions as F
+
+    res = person_graph.aggregate_messages(
+        F.count(F.lit(1)).alias("deg"),
+        msg_to_dst=F.lit(1),
+        msg_to_src=F.lit(1),
+    )
+    got = {r["id"]: r["deg"] for r in res.collect()}
+    assert got == {"alice": 2, "bob": 2, "charlie": 1, "diana": 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: LPA with deterministic
+    min-id tie-break separates the communities."""
+    from graphdb_spark.operators.analytics import label_propagation
+
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    bridge = [("a3", "b1")]
+    e = spark.createDataFrame(
+        [(s, "E", d, {}) for s, d in tri1 + tri2 + bridge],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    labels = {r["id"]: r["community"] for r in
+              label_propagation(e, max_iter=4).collect()}
+    assert labels["a1"] == labels["a2"] == labels["a3"]
+    assert labels["b1"] == labels["b2"] == labels["b3"]
+    assert labels["a1"] != labels["b1"]
