@@ -11,6 +11,9 @@ table schema (event_id, ts, user_id, event_type, value, props):
 - ``dedup_stream``: dropDuplicatesWithinWatermark on event_id
 - ``last_state_per_user``: stateful last-event compaction via
   applyInPandasWithState (custom stateful operator pattern)
+- ``graph_updates``: a change-log stream folded into live graph state
+  (foreachBatch micro-batch mutation — the streaming twin of the
+  reference's WAL-replicated command loop)
 
 All transformations are expressed on unbounded DataFrames, so the
 exact same plan runs in batch mode (tests exercise both).
@@ -23,6 +26,12 @@ from graphdb_spark.streaming.events import (
     stream_events_from_files,
     windowed_counts,
 )
+from graphdb_spark.streaming.graph_updates import (
+    CHANGE_SCHEMA,
+    apply_change_stream,
+    change_stream_from_files,
+    fold_changes,
+)
 
 __all__ = [
     "stream_events_from_files",
@@ -30,4 +39,8 @@ __all__ = [
     "sessionized",
     "dedup_stream",
     "last_state_per_user",
+    "CHANGE_SCHEMA",
+    "fold_changes",
+    "apply_change_stream",
+    "change_stream_from_files",
 ]

@@ -495,8 +495,64 @@ ORDER BY triangles DESC, id ASC LIMIT 10
 """
 
 
+def g_label_prop_communities(spark, sf_dir):
+    """Deterministic label propagation (2 synchronous iterations,
+    min-id tie-break) on the F6 graph; community sizes, top 10.
+    Oracle: the same two iterations unrolled as SQL (grouped votes +
+    windowed argmax per round)."""
+    from graphdb_spark.operators.analytics import label_propagation
+
+    g = graph_session(spark, sf_dir)
+    return (
+        label_propagation(g.edges, max_iter=2)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "community")
+        .limit(10)
+    )
+
+
+G_LABEL_PROP_SQL = """
+WITH e AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+), und AS (
+  SELECT DISTINCT id, nbr FROM (
+    SELECT src AS id, dst AS nbr FROM e UNION ALL SELECT dst, src FROM e
+  ) WHERE id <> nbr
+), l0 AS (
+  SELECT DISTINCT id AS vid, id AS comm FROM und
+), v1 AS (
+  SELECT u.id, l.comm, COUNT(*) AS c FROM und u JOIN l0 l ON u.nbr = l.vid
+  GROUP BY 1, 2
+), l1 AS (
+  SELECT id AS vid, comm FROM (
+    SELECT id, comm,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, comm) AS rn
+    FROM v1
+  ) WHERE rn = 1
+), v2 AS (
+  SELECT u.id, l.comm, COUNT(*) AS c FROM und u JOIN l1 l ON u.nbr = l.vid
+  GROUP BY 1, 2
+), l2 AS (
+  SELECT id AS vid, comm FROM (
+    SELECT id, comm,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, comm) AS rn
+    FROM v2
+  ) WHERE rn = 1
+)
+SELECT comm AS community, COUNT(*) AS n FROM l2
+GROUP BY 1 ORDER BY n DESC, community LIMIT 10
+"""
+
+
 QUERIES = {
     "g_bfs_reachability": (g_bfs_reachability, G_BFS_SQL),
+    "g_label_prop_communities": (g_label_prop_communities, G_LABEL_PROP_SQL),
     "g_var_length_count": (g_var_length_count, G_VAR_LENGTH_SQL),
     "g_pagerank_top": (g_pagerank_top, None),
     "g_triangle_top": (g_triangle_top, G_TRIANGLE_SQL),

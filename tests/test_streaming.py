@@ -136,3 +136,69 @@ def test_stream_stream_interval_join(spark, tmp_path, batch_events):
     rows_ = spark.sql("SELECT user_id, purchase_id FROM ssj").collect()
     assert len(rows_) == 2 and all(r["user_id"] == 20 for r in rows_)
     q.stop()
+
+
+def _mk_changes(spark, rows):
+    from graphdb_spark.streaming.graph_updates import CHANGE_SCHEMA
+
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def test_fold_changes_batch(spark):
+    """Batch fold: last-writer-wins, cascade delete, endpoint
+    validation — the mutations semantics amortized over a batch."""
+    import datetime as dt
+
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.streaming.graph_updates import fold_changes
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    g = GraphSession(spark)
+    fold_changes(g, _mk_changes(spark, [
+        (t(1), "vertex", "upsert", "a", "Person", None, None, None, {"v": "1"}),
+        (t(2), "vertex", "upsert", "a", "Person", None, None, None, {"v": "2"}),
+        (t(1), "vertex", "upsert", "b", "Person", None, None, None, {}),
+        (t(1), "vertex", "upsert", "c", "Person", None, None, None, {}),
+        (t(3), "edge", "upsert", None, None, "a", "KNOWS", "b", {}),
+        # dangling edge: 'z' never exists -> dropped by validation
+        (t(3), "edge", "upsert", None, None, "a", "KNOWS", "z", {}),
+    ]))
+    assert g.vertex_count() == 3 and g.edge_count() == 1
+    # within-batch LWW: the t=2 properties won
+    props = {r["id"]: r["properties"] for r in g.vertices.collect()}
+    assert props["a"] == {"v": "2"}
+    # second batch: delete b cascades to the a-KNOWS-b edge
+    fold_changes(g, _mk_changes(spark, [
+        (t(4), "vertex", "delete", "b", None, None, None, None, None),
+    ]))
+    assert g.vertex_count() == 2 and g.edge_count() == 0
+
+
+def test_apply_change_stream(spark, tmp_path):
+    """True streaming run: change files drained with availableNow fold
+    into session state via foreachBatch."""
+    import datetime as dt
+
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.streaming.graph_updates import (
+        apply_change_stream,
+        change_stream_from_files,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    src = str(tmp_path / "changes")
+    _mk_changes(spark, [
+        (t(1), "vertex", "upsert", "x", "Node", None, None, None, {}),
+        (t(1), "vertex", "upsert", "y", "Node", None, None, None, {}),
+        (t(2), "edge", "upsert", None, None, "x", "LINKS", "y", {"w": "1"}),
+    ]).write.mode("overwrite").parquet(src)
+
+    g = GraphSession(spark)
+    q = apply_change_stream(
+        g, change_stream_from_files(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert g.vertex_count() == 2
+    assert g.edge_count() == 1
+    assert g.edges.collect()[0]["properties"] == {"w": "1"}
