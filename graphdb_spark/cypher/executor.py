@@ -124,9 +124,11 @@ class _Executor:
                 raise CypherExecutionError(
                     "expression property values are only supported in CREATE"
                 )
-            v = v.filter(
-                F.col("properties").getItem(k) == stringify_value(val)
-            )
+            c = F.col("properties").getItem(k)
+            if k == "id":
+                # promoted identity, same rule as _prop_col
+                c = F.coalesce(c, F.col("id"))
+            v = v.filter(c == stringify_value(val))
         return v.select(
             F.col("id").alias(f"{var}__id"),
             F.col("label").alias(f"{var}__label"),
@@ -651,6 +653,30 @@ class _Executor:
                 "shortestPath endpoints must resolve to single vertices"
             )
         direction = "both" if rel.undirected else ("in" if rel.incoming else "out")
+        if pat.all_paths:
+            # allShortestPaths: one binding row per minimal-length path,
+            # bound through the reified-path (varlen) machinery so
+            # nodes(p)/relationships(p)/length(p)/RETURN p all work
+            pv = pat.path_var or self._fresh("_path")
+            base = self._edge_base(rel) if rel.types else self.g.edges
+            paths = T.all_shortest_paths(
+                base, ida[0], idb[0],
+                max_depth=rel.max_hops or 5, t=None, direction=direction,
+            )
+            row_df = paths.select(
+                F.col("path").alias(f"{pv}__nodes"),
+                F.col("rels").alias(f"{pv}__rels"),
+            )
+            self.path_vars[pv] = {
+                "kind": "varlen",
+                "nodes": f"{pv}__nodes",
+                "rels": f"{pv}__rels",
+            }
+            if self.binding is None:
+                self.binding = row_df
+            else:
+                self.binding = self.binding.crossJoin(row_df)
+            return
         path = T.shortest_path(
             self.g.edges, ida[0], idb[0],
             max_depth=rel.max_hops or 5,

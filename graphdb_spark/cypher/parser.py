@@ -294,13 +294,16 @@ class Parser:
         ):
             path_var = self.advance().text
             self.advance()  # =
+        all_paths = False
         if self.cur.kind == "name" and self.cur.text.lower() in (
             "shortestpath", "allshortestpaths",
         ):
+            all_paths = self.cur.text.lower() == "allshortestpaths"
             self.advance()
             shortest = True
             self.expect_op("(")
-        p = PathPattern(path_var=path_var, shortest=shortest)
+        p = PathPattern(path_var=path_var, shortest=shortest,
+                        all_paths=all_paths)
         p.nodes.append(self.node_pattern())
         while self.at_op("-", "<-"):
             p.rels.append(self.rel_pattern())

@@ -258,3 +258,60 @@ def var_length_paths(edges: DataFrame, start_ids: DataFrame,
     for r in results[1:]:
         res = res.unionByName(r)
     return res.select("start_id", "id", "path", "rels", "hops")
+
+
+def all_shortest_paths(edges: DataFrame, src_id: str, dst_id: str,
+                       max_depth: int = 5, t: str | None = None,
+                       direction: str = "both") -> DataFrame:
+    """ALL shortest paths src→dst: one row per path — (path
+    array<string> of vertex ids, rels array<string> of relationship
+    types, hops int). Declared surface: allShortestPaths(...)
+    (queries_examples.txt shortest-path family).
+
+    Level-synchronous BFS that keeps EVERY arrival at a node's minimal
+    depth (so parallel shortest routes survive) while pruning nodes
+    reached at earlier depths — polynomial frontier growth, unlike
+    blind path enumeration. Same per-hop shuffle-join + eager
+    localCheckpoint shape as bfs()."""
+    spark = edges.sparkSession
+    e = edges if t is None else edges.filter(F.col("relationship") == t)
+    out = e.select(F.col("src").alias("from"), F.col("dst").alias("to"),
+                   F.col("relationship").alias("rel"))
+    inn = e.select(F.col("dst").alias("from"), F.col("src").alias("to"),
+                   F.col("relationship").alias("rel"))
+    step = (
+        out if direction == "out"
+        else inn if direction == "in"
+        else out.unionByName(inn)
+    )
+    empty_schema = "path array<string>, rels array<string>, hops int"
+    if src_id == dst_id:
+        return spark.createDataFrame([([src_id], [], 0)], empty_schema)
+    frontier = spark.createDataFrame(
+        [(src_id, [src_id], [])],
+        "id string, path array<string>, rels array<string>",
+    )
+    visited = frontier.select("id")
+    for depth in range(1, max_depth + 1):
+        expanded = (
+            step.join(frontier.withColumnRenamed("id", "from"), "from", "inner")
+            .select(
+                F.col("to").alias("id"),
+                F.concat("path", F.array(F.col("to"))).alias("path"),
+                F.concat("rels", F.array(F.col("rel"))).alias("rels"),
+            )
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        hits = expanded.filter(F.col("id") == dst_id)
+        if not hits.isEmpty():
+            return hits.select("path", "rels", F.lit(depth).alias("hops"))
+        if expanded.isEmpty():
+            break
+        visited = (
+            visited.unionByName(expanded.select("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        frontier = expanded
+    return spark.createDataFrame([], empty_schema)

@@ -46,6 +46,7 @@ class PathPattern:
     nodes: list[NodePattern] = field(default_factory=list)
     rels: list[RelPattern] = field(default_factory=list)
     shortest: bool = False  # shortestPath(...)
+    all_paths: bool = False  # allShortestPaths(...)
 
 
 # ---------------------------------------------------------------- expressions

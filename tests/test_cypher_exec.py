@@ -414,3 +414,28 @@ def test_optional_match_where_cross_ref(person_graph):
         ("Charlie", None),
         ("Diana", None),
     ]
+
+
+def test_all_shortest_paths(spark):
+    """allShortestPaths returns every minimal-length path (diamond:
+    two 2-hop routes a->d), with nodes/relationships/length support."""
+    from graphdb_spark.session import GraphSession
+
+    v = spark.createDataFrame(
+        [(i, "N", {}) for i in ["a", "b", "c", "d"]],
+        "id string, label string, properties map<string,string>",
+    )
+    e = spark.createDataFrame(
+        [("a", "E", "b", {}), ("a", "E", "c", {}),
+         ("b", "E", "d", {}), ("c", "E", "d", {}),
+         # longer detour must not appear
+         ("a", "E", "x_widens_nothing", {})],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    g = GraphSession(spark, v, e)
+    df = g.cypher(
+        "MATCH p = allShortestPaths((a {id: 'a'})-[*..4]->(d {id: 'd'})) "
+        "RETURN nodes(p) AS ids, length(p) AS hops"
+    )
+    got = sorted((tuple(r["ids"]), r["hops"]) for r in df.collect())
+    assert got == [(("a", "b", "d"), 2), (("a", "c", "d"), 2)]
