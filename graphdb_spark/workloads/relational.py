@@ -604,7 +604,404 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume
+    by year (two independent nation lookups via lineitem's suppkey and
+    the order's custkey — both dimension joins broadcast under AQE)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    df = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        df.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _dsum(
+                dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount"))),
+                "revenue",
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1993-10-01"))
+        & (F.col("o_orderdate") < F.lit("1994-01-01"))
+    )
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            _dsum(
+                dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount"))),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal,
+  CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — left join
+    keeping zero-order customers, two-level aggregation."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue ratio — conditional aggregation
+    over a fact-dimension join, single-row result."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    disc = dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.round(F.sum(promo), 2).cast("double")
+                / F.round(F.sum(disc), 2).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0
+  * CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+  / CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — grouped
+    revenue view + max-revenue scalar (kept distributed via a
+    broadcast-joined 1-row max, no collect)."""
+    t = load_tables(spark, sf_dir)
+    revs = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(
+                dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount"))),
+                "total_revenue",
+            )
+        )
+    )
+    mx = revs.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revs.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below
+    20% of their part's average quantity. The avg compare is done in
+    exact decimals (qty*5*n < sum_qty ⟺ qty < 0.2*avg) so both
+    engines agree bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(dec2(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk")).filter(
+        dec2(F.col("l_quantity")) * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        (F.round(F.sum(dec2(F.col("l_extendedprice"))), 2).cast("double") / 7.0)
+        .alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+       / 7.0 AS avg_yearly
+FROM li JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery — orders
+    whose total quantity exceeds a threshold, with customer detail."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(dec2(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select(
+            F.col("l_orderkey").alias("big_ok"),
+            F.round(F.col("sum_qty"), 2).cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("big_ok"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey AS big_ok,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+) ON o_orderkey = big_ok
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges (the OR-of-ANDs pushdown test)."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _dsum(
+                dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount"))),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: anti-join (customers with no orders) above the
+    average positive balance, grouped by nation. The avg compare is
+    exact-decimal (bal*n > sum ⟺ bal > avg) for cross-engine
+    determinism."""
+    t = load_tables(spark, sf_dir)
+    pos = t["customer"].filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        F.sum(dec2(F.col("c_acctbal"))).alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_bal"),
+    )
+    rich = (
+        t["customer"]
+        .join(F.broadcast(stats))
+        .filter(dec2(F.col("c_acctbal")) * F.col("n_bal") > F.col("sum_bal"))
+    )
+    no_orders = rich.join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(dec2(F.col("c_acctbal")), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS n_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_global_sales": (q22_global_sales, Q22_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q12_shipmode": (q12_shipmode, Q12_SQL),
