@@ -133,3 +133,65 @@ def lsh_bucket_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rn") <= k)
         .select("query_id", F.col("rn").cast("int").alias("rn"), "neighbor_id", "cos_sim")
     )
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is coarse-quantized to its
+    nearest centroid cell; a query probes its ``n_probe`` nearest cells
+    and scores exactly only within them — the classic FAISS-style scale
+    path (cells shrink the candidate set by ~n_cells/n_probe).
+
+    Centroids here are the vectors with id < n_cells (deterministic and
+    replayable in the SQL oracle); at real scale you'd k-means them —
+    the assignment/probe/score mechanics are identical and that's what
+    this operator exercises. Cell assignment is a broadcast cross-join
+    (N × n_cells) + windowed argmax; ties broken by centroid id."""
+    from pyspark.sql.window import Window
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cents = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+    )
+    scored_cells = emb.crossJoin(F.broadcast(cents)).select(
+        "vid", "vec", "cid",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("ccos"),
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        scored_cells.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vid", "vec", "cid")
+    )
+    probes = (
+        scored_cells.filter(F.col("vid").isin(query_ids))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= n_probe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("cid").alias("pcid"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, F.col("pcid") == F.col("cid"))
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("int").alias("rn"),
+                "neighbor_id", "cos_sim")
+    )

@@ -191,7 +191,65 @@ FROM dist GROUP BY label ORDER BY label
 """
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN top-5: coarse-quantize to 16 centroid cells, probe
+    the 2 nearest cells per query, exact cosine within them."""
+    e = _emb(spark, sf_dir)
+    return S.ivf_topk(e, QUERY_IDS, k=5, n_cells=16, n_probe=2).orderBy(
+        "query_id", "rn"
+    )
+
+
+_IVF_COS = (
+    "ROUND({dot} / (sqrt({qa}) * sqrt({qb})), 6)"
+)
+
+
+def _ivf_sql(n_cells: int = 16, n_probe: int = 2) -> str:
+    cos_cell = _IVF_COS.format(
+        dot=_DOT.format(a="e.vec", b="c.cvec", dim=DIM),
+        qa=_SQ_SUM.format(v="e.vec"),
+        qb=_SQ_SUM.format(v="c.cvec"),
+    )
+    cos_cand = _IVF_COS.format(
+        dot=_DOT.format(a="p.qvec", b="a.vec", dim=DIM),
+        qa=_SQ_SUM.format(v="p.qvec"),
+        qb=_SQ_SUM.format(v="a.vec"),
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id AS vid, embedding AS vec FROM embeddings
+), cents AS (
+  SELECT vid AS cid, vec AS cvec FROM emb WHERE vid < {n_cells}
+), scored_cells AS (
+  SELECT e.vid, e.vec, c.cid, {cos_cell} AS ccos
+  FROM emb e CROSS JOIN cents c
+), ranked_cells AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+            ORDER BY ccos DESC, cid ASC) AS arn
+  FROM scored_cells
+), assign AS (
+  SELECT vid, vec, cid FROM ranked_cells WHERE arn = 1
+), probes AS (
+  SELECT vid AS query_id, vec AS qvec, cid AS pcid
+  FROM ranked_cells
+  WHERE arn <= {n_probe} AND vid IN ({", ".join(map(str, QUERY_IDS))})
+), cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id, {cos_cand} AS cos_sim
+  FROM probes p JOIN assign a ON p.pcid = a.cid
+  WHERE p.query_id != a.vid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM cand
+)
+SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, cos_sim
+FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
 QUERIES = {
+    "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "emb_norms": (emb_norms, EMB_NORMS_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _lsh_sql()),

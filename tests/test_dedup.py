@@ -91,3 +91,30 @@ def test_lsh_bucket_recall_subset(spark):
     lsh = S.lsh_bucket_topk(e, [0], k=1, n_planes=4, dim=16).collect()
     # near-identical vectors share all sign buckets -> LSH must find it
     assert lsh and lsh[0]["neighbor_id"] == 99
+
+
+def test_embedding_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN: structure is (query, rn, neighbor, cos); top-1
+    within probed cells must agree with brute force whenever the true
+    top-1 lives in a probed cell — sanity-check recall > 0 and exact
+    scoring inside cells."""
+    from graphdb_spark.operators.similarity import cosine_topk, ivf_topk
+    from graphdb_spark.sources.tpch import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    qids = [0, 1, 2]
+    ivf = ivf_topk(e, qids, k=5, n_cells=16, n_probe=2)
+    rows = ivf.collect()
+    assert {r["query_id"] for r in rows} == set(qids)
+    assert all(1 <= r["rn"] <= 5 for r in rows)
+    # every IVF hit must carry the exact cosine score (subset of brute)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(e, qids, k=50).collect()
+    }
+    overlap = [
+        r for r in rows if (r["query_id"], r["neighbor_id"]) in brute
+    ]
+    assert overlap, "IVF found nothing from the brute-force top-50"
+    for r in overlap:
+        assert abs(r["cos_sim"] - brute[(r["query_id"], r["neighbor_id"])]) < 1e-9
