@@ -61,6 +61,15 @@ def _expr_vars(e) -> set[str]:
         return out
     if isinstance(e, P.ListComp):
         return _expr_vars(e.source) | (_expr_vars(e.expr) - {e.var})
+    if isinstance(e, P.PatternPred):
+        out = set()
+        for n in e.pattern.nodes:
+            if n.var:
+                out.add(n.var)
+        for r in e.pattern.rels:
+            if r.var:
+                out.add(r.var)
+        return out
     return set()
 
 
@@ -619,7 +628,71 @@ class _Executor:
                     extra_where = mc.where
             self._merge(df, nvars, evars, mc.optional, extra_where=extra_where)
         if mc.where is not None and not mc.optional:
-            self.binding = self.binding.filter(self._col(mc.where))
+            preds, residual = self._split_pattern_preds(mc.where)
+            for pp_pat, positive in preds:
+                self._apply_pattern_pred(pp_pat, positive)
+            if residual is not None:
+                self.binding = self.binding.filter(self._col(residual))
+
+    def _split_pattern_preds(self, expr):
+        """Split top-level conjunctive pattern predicates out of a WHERE
+        expression: returns ([(pattern, positive)], residual_expr).
+        Pattern predicates under OR/XOR are not supported (they can't
+        lower to a single semi-join)."""
+        if isinstance(expr, P.PatternPred):
+            return [(expr.pattern, True)], None
+        if (
+            isinstance(expr, P.UnaryOp)
+            and expr.op == "NOT"
+            and isinstance(expr.operand, P.PatternPred)
+        ):
+            return [(expr.operand.pattern, False)], None
+        if isinstance(expr, P.BinOp) and expr.op == "AND":
+            lp, lres = self._split_pattern_preds(expr.left)
+            rp, rres = self._split_pattern_preds(expr.right)
+            if lres is None:
+                res = rres
+            elif rres is None:
+                res = lres
+            else:
+                res = P.BinOp("AND", lres, rres)
+            return lp + rp, res
+        return [], expr
+
+    def _apply_pattern_pred(self, pat: P.PathPattern, positive: bool):
+        """WHERE (a)-[:T]->(b): existential subpattern as a semi-join
+        on the shared variables' identity columns (anti-join for NOT).
+        The subpattern's own variables stay out of scope (existential).
+        Declared Cypher surface beyond the reference's executor; the
+        reference's Pattern combinators (pattern_match.rs:8-62) only
+        test one entity at a time."""
+        df, nvars, evars = self._pattern_df(pat)
+        shared = [
+            v for v in nvars | evars
+            if f"{v}__id" in self.binding.columns
+            or f"{v}__src" in self.binding.columns
+        ]
+        if not shared:
+            raise CypherExecutionError(
+                "pattern predicate must share at least one variable "
+                "with the enclosing MATCH"
+            )
+        keys = []
+        for v in shared:
+            keys += (
+                [f"{v}__id"]
+                if v in nvars
+                else [f"{v}__src", f"{v}__relationship", f"{v}__dst"]
+            )
+        probe = df.select(
+            *[F.col(k).alias(k + "__pp") for k in keys]
+        ).dropDuplicates()
+        cond = None
+        for k in keys:
+            c = F.col(k) == F.col(k + "__pp")
+            cond = c if cond is None else cond & c
+        how = "left_semi" if positive else "left_anti"
+        self.binding = self.binding.join(probe, cond, how)
 
     def _resolve_endpoint(self, np: P.NodePattern) -> list[str]:
         """Endpoint ids for shortestPath: from the current binding if

@@ -36,6 +36,7 @@ from graphdb_spark.plans import (
     NodePattern,
     OrderItem,
     PathPattern,
+    PatternPred,
     Prop,
     RelPattern,
     RemoveClause,
@@ -401,6 +402,18 @@ class Parser:
         if t.kind in ("str", "num") or self.at_kw("TRUE", "FALSE", "NULL"):
             return self.literal()
         if self.at_op("("):
+            # pattern predicate? (a)-[:T]->(b) in WHERE — try-parse a
+            # path pattern with backtracking; only a pattern with at
+            # least one relationship wins (a bare parenthesized name is
+            # an expression, and "(a) - 1" is arithmetic)
+            save = self.i
+            try:
+                pat = self.path_pattern()
+                if pat.rels:
+                    return PatternPred(pat)
+            except CypherSyntaxError:
+                pass
+            self.i = save
             self.advance()
             e = self.expression()
             self.expect_op(")")

@@ -103,6 +103,15 @@ class ListComp:
     expr: object = None
 
 
+@dataclass
+class PatternPred:
+    """Pattern predicate in WHERE: (a)-[:T]->(b) — existential
+    subpattern, true when at least one match exists. Lowered to a
+    semi-join (anti-join under NOT)."""
+
+    pattern: object = None  # PathPattern
+
+
 # ---------------------------------------------------------------- clauses
 
 

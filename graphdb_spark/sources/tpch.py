@@ -26,7 +26,16 @@ TABLES = (
 ).split()
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # memoized per (session, dir): parquet footer reads + schema
+    # analysis otherwise repeat on every query of a bench/gate run
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     out = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
@@ -37,7 +46,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # 1.7e18 ns (observed ±1ms vs DuckDB's native ns read)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[t] = df
-    return out
+    _TABLE_CACHE[key] = dict(out)
+    return dict(out)
 
 
 def _cust_vertices(customer: DataFrame) -> DataFrame:

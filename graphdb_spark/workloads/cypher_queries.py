@@ -163,8 +163,28 @@ SELECT 1 AS hops, n FROM h1 UNION ALL SELECT 2, n FROM h2 ORDER BY hops
 """
 
 
+def cypher_pattern_predicate(spark, sf_dir):
+    """WHERE NOT (c)-[:PLACED]->() — existential pattern predicate
+    lowered to an anti-join (customers with no orders, per segment)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer) WHERE NOT (c)-[:PLACED]->() "
+        "RETURN c.mktsegment AS segment, count(c) AS n ORDER BY segment"
+    )
+
+
+CYPHER_PATTERN_PRED_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY segment
+"""
+
+
 QUERIES = {
     "cypher_varlen_paths": (cypher_varlen_paths, CYPHER_VARLEN_SQL),
+    "cypher_pattern_predicate": (cypher_pattern_predicate,
+                                 CYPHER_PATTERN_PRED_SQL),
     "cypher_with_having": (cypher_with_having, CYPHER_WITH_HAVING_SQL),
     "cypher_where_topk": (cypher_where_topk, CYPHER_WHERE_TOPK_SQL),
     "cypher_grouped_count": (cypher_grouped_count, CYPHER_GROUPED_COUNT_SQL),

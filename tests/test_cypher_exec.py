@@ -439,3 +439,33 @@ def test_all_shortest_paths(spark):
     )
     got = sorted((tuple(r["ids"]), r["hops"]) for r in df.collect())
     assert got == [(("a", "b", "d"), 2), (("a", "c", "d"), 2)]
+
+
+def test_pattern_predicate_where(person_graph):
+    """WHERE (p)-[:KNOWS]->() — existential semi-join; NOT form is an
+    anti-join; conjunction with scalar predicates splits cleanly."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE (p)-[:KNOWS]->() "
+        "RETURN p.name AS name ORDER BY name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Alice"]
+
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE NOT (p)-[:KNOWS]->() "
+        "RETURN p.name AS name ORDER BY name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Bob", "Charlie", "Diana"]
+
+    # cross-variable: which people KNOW the person named Bob?
+    df = person_graph.cypher(
+        "MATCH (p:Person), (q:Person {name: 'Bob'}) "
+        "WHERE (p)-[:KNOWS]->(q) RETURN p.name AS name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Alice"]
+
+    # conjunction with a scalar predicate
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE (p)-[:WORKS_WITH]->() AND p.age > 30 "
+        "RETURN p.name AS name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Bob"]

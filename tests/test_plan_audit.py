@@ -94,3 +94,45 @@ def test_cypher_where_prunes_via_filters(spark, sf_dir):
     assert "Filter" in opt
     # label filter + property filter both present pre-shuffle
     assert "customer" in opt
+
+
+def test_q7_broadcasts_dimensions(spark, sf_dir):
+    """Q7's nation/supplier lookups must be broadcast joins; only the
+    lineitem-orders-customer fact joins may shuffle."""
+    from graphdb_spark.workloads.relational import q7_nation_volume
+
+    plan = plan_of(q7_nation_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # shipdate range filter pushed into the fact scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q19_disjunction_pushdown(spark, sf_dir):
+    """OR-of-ANDs: at minimum the joint Or predicate must reach the
+    part scan (brand/size), and the join must broadcast the part side."""
+    from graphdb_spark.workloads.relational import q19_disjunctive_revenue
+
+    plan = plan_of(q19_disjunctive_revenue(spark, sf_dir))
+    assert "Or(" in plan or "Or (" in plan  # pushed disjunction
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_broadcast(spark, sf_dir):
+    """IVF: the N x n_cells scoring must broadcast the centroid side —
+    never shuffle the full embedding table against 16 rows."""
+    from graphdb_spark.workloads.embeddings import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_propagation_no_cartesian(spark, sf_dir):
+    """LPA's vote join is an equi-join on the neighbor id — a cartesian
+    in the plan means the join key was lost."""
+    from graphdb_spark.operators.analytics import label_propagation
+    from graphdb_spark.workloads.graph import graph_session
+
+    g = graph_session(spark, sf_dir)
+    plan = plan_of(label_propagation(g.edges, max_iter=1))
+    assert "CartesianProduct" not in plan
