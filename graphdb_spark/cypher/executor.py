@@ -70,6 +70,13 @@ def _expr_vars(e) -> set[str]:
             if r.var:
                 out.add(r.var)
         return out
+    if isinstance(e, P.CaseExpr):
+        out = set()
+        for cond, res in e.whens:
+            out |= _expr_vars(cond) | _expr_vars(res)
+        if e.default is not None:
+            out |= _expr_vars(e.default)
+        return out
     return set()
 
 
@@ -378,6 +385,14 @@ class _Executor:
             return self._binop(expr)
         if isinstance(expr, P.Func):
             return self._func(expr)
+        if isinstance(expr, P.CaseExpr):
+            out = None
+            for cond, res in expr.whens:
+                c, r = self._col(cond), self._col(res)
+                out = F.when(c, r) if out is None else out.when(c, r)
+            if expr.default is not None:
+                out = out.otherwise(self._col(expr.default))
+            return out
         raise CypherExecutionError(f"cannot translate {expr!r}")
 
     def _prop_col(self, p: P.Prop):

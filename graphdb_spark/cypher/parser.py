@@ -23,6 +23,7 @@ import re
 
 from graphdb_spark.plans import (
     BinOp,
+    CaseExpr,
     CreateClause,
     CypherStatement,
     DeleteClause,
@@ -56,7 +57,8 @@ KEYWORDS = {
     "REMOVE", "DELETE", "DETACH", "UNWIND", "AS", "ORDER", "BY", "SKIP",
     "LIMIT", "DISTINCT", "AND", "OR", "NOT", "XOR", "IN", "CONTAINS",
     "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE", "ASC",
-    "ASCENDING", "DESC", "DESCENDING",
+    "ASCENDING", "DESC", "DESCENDING", "CASE", "WHEN", "THEN", "ELSE",
+    "END",
 }
 
 _TOKEN_RE = re.compile(
@@ -401,6 +403,8 @@ class Parser:
         t = self.cur
         if t.kind in ("str", "num") or self.at_kw("TRUE", "FALSE", "NULL"):
             return self.literal()
+        if self.at_kw("CASE"):
+            return self._case()
         if self.at_op("("):
             # pattern predicate? (a)-[:T]->(b) in WHERE — try-parse a
             # path pattern with backtracking; only a pattern with at
@@ -478,6 +482,31 @@ class Parser:
                     return Prop(nm, key)
                 return Var(nm)
         raise CypherSyntaxError(f"unexpected token {t!r} in expression")
+
+    def _case(self):
+        """CASE [operand] WHEN v THEN r ... [ELSE d] END. The simple
+        (operand) form desugars to the generic form at parse time:
+        WHEN operand = v THEN r."""
+        self.expect_kw("CASE")
+        operand = None
+        if not self.at_kw("WHEN"):
+            operand = self.expression()
+        whens = []
+        while self.at_kw("WHEN"):
+            self.advance()
+            test = self.expression()
+            if operand is not None:
+                test = BinOp("=", operand, test)
+            self.expect_kw("THEN")
+            whens.append((test, self.expression()))
+        if not whens:
+            raise CypherSyntaxError("CASE needs at least one WHEN")
+        default = None
+        if self.at_kw("ELSE"):
+            self.advance()
+            default = self.expression()
+        self.expect_kw("END")
+        return CaseExpr(whens=whens, default=default)
 
     # ------------------------------------------------------------ clauses
 

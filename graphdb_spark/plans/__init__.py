@@ -104,6 +104,15 @@ class ListComp:
 
 
 @dataclass
+class CaseExpr:
+    """Generic CASE WHEN cond THEN result ... ELSE default END (simple
+    CASE is desugared to this at parse time)."""
+
+    whens: list = field(default_factory=list)  # [(cond_expr, result_expr)]
+    default: object = None
+
+
+@dataclass
 class PatternPred:
     """Pattern predicate in WHERE: (a)-[:T]->(b) — existential
     subpattern, true when at least one match exists. Lowered to a

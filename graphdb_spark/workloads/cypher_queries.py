@@ -181,7 +181,29 @@ GROUP BY 1 ORDER BY segment
 """
 
 
+def cypher_case_banding(spark, sf_dir):
+    """CASE expression as an implicit grouping key (order price
+    bands)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (o:order) RETURN "
+        "CASE WHEN o.totalprice > 200000 THEN 'high' "
+        "WHEN o.totalprice > 100000 THEN 'mid' ELSE 'low' END AS band, "
+        "count(o) AS n ORDER BY band"
+    )
+
+
+CYPHER_CASE_SQL = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY band
+"""
+
+
 QUERIES = {
+    "cypher_case_banding": (cypher_case_banding, CYPHER_CASE_SQL),
     "cypher_varlen_paths": (cypher_varlen_paths, CYPHER_VARLEN_SQL),
     "cypher_pattern_predicate": (cypher_pattern_predicate,
                                  CYPHER_PATTERN_PRED_SQL),

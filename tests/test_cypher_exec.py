@@ -469,3 +469,25 @@ def test_pattern_predicate_where(person_graph):
         "RETURN p.name AS name"
     )
     assert [r["name"] for r in df.collect()] == ["Bob"]
+
+
+def test_case_expressions(person_graph):
+    """Generic CASE WHEN and simple CASE (desugared at parse time)."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) RETURN p.name AS name, "
+        "CASE WHEN p.age > 33 THEN 'senior' WHEN p.age > 29 THEN 'mid' "
+        "ELSE 'junior' END AS band ORDER BY name"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "mid"), ("Bob", "senior"),
+        ("Charlie", "junior"), ("Diana", "mid"),
+    ]
+    # simple form: CASE operand WHEN value THEN ...; missing ELSE -> null
+    df = person_graph.cypher(
+        "MATCH (p:Person) RETURN p.name AS name, "
+        "CASE p.active WHEN 'true' THEN 1 WHEN 'false' THEN 0 END AS act "
+        "ORDER BY name"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0), ("Diana", None),
+    ]
