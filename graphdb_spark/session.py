@@ -189,6 +189,14 @@ class GraphSession:
         head = q.split(None, 1)[0].upper() if q else ""
         if head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE"):
             return self.sql(q)
+        if head in ("QUERY", "MUTATION", "SUBSCRIPTION") or q.startswith("{"):
+            # GraphQL front-end: detected like the reference
+            # (query_parser.rs:33-51 tries a GraphQL parse) and, like
+            # the reference, parse-only — the REST path returns a mock
+            # (rest_api/src/lib.rs:274-284). We return the structured
+            # detection result instead of executing.
+            return {"language": "graphql", "status": "parse_only",
+                    "query": q}
         raise ValueError(f"cannot detect query language for: {q[:60]!r}")
 
     # ------------------------------------------------------------ analytics

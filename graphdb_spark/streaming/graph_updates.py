@@ -107,9 +107,14 @@ def fold_changes(g, batch: DataFrame) -> None:
 
 
 def apply_change_stream(g, changes: DataFrame, checkpoint_dir: str,
-                        available_now: bool = True):
+                        available_now: bool = True, on_update=None):
     """Attach a streaming change-log to the session: every micro-batch
     is folded into the graph state via :func:`fold_changes`.
+
+    ``on_update(g, batch_id)``, if given, runs after each fold —
+    the hook for continuous derived views (refresh degree counts,
+    re-run a registered traversal, write a downstream sink) over the
+    just-updated state.
 
     With ``available_now=True`` the query drains all currently
     available input and stops (test/replay mode); otherwise it runs
@@ -120,6 +125,8 @@ def apply_change_stream(g, changes: DataFrame, checkpoint_dir: str,
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         fold_changes(g, batch_df)
+        if on_update is not None:
+            on_update(g, _batch_id)
 
     writer = (
         changes.writeStream.foreachBatch(_apply)

@@ -31,3 +31,13 @@ def test_facade_analytics(person_graph):
     comps = {r["id"]: r["component"] for r in person_graph.connected_components().collect()}
     assert len(set(comps.values())) == 1  # one connected component
     assert person_graph.find("(a)-[e:KNOWS]->(b)").count() == 2
+
+
+def test_execute_detects_graphql(person_graph):
+    """GraphQL detection parity: the reference detects GraphQL
+    (query_parser.rs:33-51) but never executes it (REST mock) — we
+    return the structured detection result."""
+    res = person_graph.execute("query { person { name } }")
+    assert res["language"] == "graphql" and res["status"] == "parse_only"
+    res = person_graph.execute("{ person { name } }")
+    assert res["language"] == "graphql"

@@ -202,3 +202,35 @@ def test_apply_change_stream(spark, tmp_path):
     assert g.vertex_count() == 2
     assert g.edge_count() == 1
     assert g.edges.collect()[0]["properties"] == {"w": "1"}
+
+
+def test_change_stream_on_update_hook(spark, tmp_path):
+    """on_update runs after each fold over the fresh state —
+    continuous derived views over streaming graph updates."""
+    import datetime as dt
+
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.streaming.graph_updates import (
+        apply_change_stream,
+        change_stream_from_files,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    src = str(tmp_path / "changes_hook")
+    _mk_changes(spark, [
+        (t(1), "vertex", "upsert", "x", "Node", None, None, None, {}),
+        (t(1), "vertex", "upsert", "y", "Node", None, None, None, {}),
+        (t(2), "edge", "upsert", None, None, "x", "LINKS", "y", {}),
+    ]).write.mode("overwrite").parquet(src)
+
+    seen = []
+    g = GraphSession(spark)
+    q = apply_change_stream(
+        g, change_stream_from_files(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt_hook"),
+        on_update=lambda gs, bid: seen.append(
+            (bid, gs.vertex_count(), gs.edge_count())
+        ),
+    )
+    q.awaitTermination(120)
+    assert seen and seen[-1][1:] == (2, 1)
