@@ -246,3 +246,57 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def near_dup_clusters(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      min_est: float = 0.25,
+                      max_iter: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs above
+    ``min_est`` become edges; connected components via iterative min-id
+    propagation; canonical doc = smallest doc_id in the cluster.
+    Returns (doc_id, canonical) for every document that has at least
+    one near-duplicate. This is the training-pipeline step after
+    candidate generation: pick one representative per duplicate group.
+
+    Iterates to the true fixpoint (converges in O(cluster diameter)
+    shuffle joins — near-dup clusters are shallow), so the result is
+    deterministic and replayable as a recursive SQL closure. Scale
+    shape: candidate edges only (never all-pairs); each iteration is
+    one equi-join + grouped min."""
+    pairs = minhash_lsh_candidates(docs, text_col, id_col, k).filter(
+        F.col("est_jaccard") >= min_est
+    )
+    sym = (
+        pairs.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("nbr"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("id"), F.col("doc_a").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("id").distinct().withColumn("canonical", F.col("id"))
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("canonical").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("canonical"), F.coalesce("nmin", F.col("canonical"))
+                ).alias("canonical"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("id").alias(id_col), "canonical")

@@ -221,6 +221,86 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH pairs -> connected
+    components (min-id fixpoint) -> per-cluster canonical + size. The
+    full training-pipeline dedup step (pick one representative per
+    duplicate group), oracle-checked against a recursive-CTE closure
+    over the same deterministic signatures."""
+    d = _docs(spark, sf_dir, spread=True)
+    labels = dedup.near_dup_clusters(d, min_est=0.25)
+    return (
+        labels.groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), F.asc("canonical"))
+        .limit(20)
+    )
+
+
+def _cluster_sql(min_est: float = 0.25) -> str:
+    """Recursive-closure twin of near_dup_clusters: every doc's
+    canonical = MIN over its transitive candidate neighborhood."""
+    base = _minhash_sql().rsplit("SELECT doc_a", 1)[0]  # WITH sh/sig/bands/cand
+    h = _H64.format(x="shingle")
+    n = len(dedup.MINHASH_PERMS)
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+{base.rstrip()}, pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(({matches}) AS DOUBLE) / {n}.0, 6) >= {min_est}
+), sym AS (
+  SELECT doc_a AS id, doc_b AS nbr FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(id, x) AS (
+    SELECT id, id FROM (SELECT DISTINCT id FROM sym)
+    UNION
+    SELECT s.id, r.x FROM sym s JOIN r ON s.nbr = r.id
+  ) SELECT id, x FROM r
+), labels AS (
+  SELECT id, MIN(x) AS canonical FROM reach GROUP BY id
+)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY canonical
+ORDER BY cluster_size DESC, canonical ASC LIMIT 20
+"""
+
+
+def sample_mix(spark, sf_dir):
+    """Deterministic hash-based stratified sampling — the data-mixing
+    step of a training pipeline: per-language keep-rates applied via
+    h64(doc_id) % 100 < rate (no RNG, fully replayable; at scale this
+    is a pure filter, no shuffle). Reports kept/total per language."""
+    d = _docs(spark, sf_dir)
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(20)
+    )
+    keep = (T.h64(F.col("doc_id").cast("string")) % 100) < rate
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(keep.cast("long")).alias("kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_MIX_SQL = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS total,
+  CAST(SUM(CASE WHEN {_H64.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
+    (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END)
+    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """Per-doc 32-bit SimHash signatures."""
     d = _docs(spark, sf_dir, spread=True)
@@ -307,6 +387,8 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_cluster_canonical": (dedup_cluster_canonical, _cluster_sql()),
+    "sample_mix": (sample_mix, SAMPLE_MIX_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
 }

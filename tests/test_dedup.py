@@ -118,3 +118,21 @@ def test_embedding_ivf_topk(spark, sf_dir):
     assert overlap, "IVF found nothing from the brute-force top-50"
     for r in overlap:
         assert abs(r["cos_sim"] - brute[(r["query_id"], r["neighbor_id"])]) < 1e-9
+
+
+def test_near_dup_clusters(spark):
+    """Three exact-ish duplicates + one unique doc: duplicates cluster
+    under the min doc_id; the unique doc stays out."""
+    from graphdb_spark.operators.dedup import near_dup_clusters
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, txt + " extra"),
+         (9, "completely different content about spark clusters at scale")],
+        "doc_id bigint, text string",
+    )
+    labels = {r["doc_id"]: r["canonical"]
+              for r in near_dup_clusters(docs, min_est=0.2).collect()}
+    assert labels[1] == labels[2] == 1
+    assert labels.get(3, 1) == 1  # banding usually catches the near-dup
+    assert 9 not in labels
