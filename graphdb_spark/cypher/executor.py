@@ -654,14 +654,26 @@ class _Executor:
         expression: returns ([(pattern, positive)], residual_expr).
         Pattern predicates under OR/XOR are not supported (they can't
         lower to a single semi-join)."""
-        if isinstance(expr, P.PatternPred):
-            return [(expr.pattern, True)], None
-        if (
-            isinstance(expr, P.UnaryOp)
-            and expr.op == "NOT"
-            and isinstance(expr.operand, P.PatternPred)
-        ):
-            return [(expr.operand.pattern, False)], None
+        def as_pattern(e):
+            # exists((a)-[:T]->(b)) is sugar for the bare pattern pred
+            if isinstance(e, P.PatternPred):
+                return e.pattern
+            if (
+                isinstance(e, P.Func)
+                and e.name == "exists"
+                and len(e.args) == 1
+                and isinstance(e.args[0], P.PatternPred)
+            ):
+                return e.args[0].pattern
+            return None
+
+        pat = as_pattern(expr)
+        if pat is not None:
+            return [(pat, True)], None
+        if isinstance(expr, P.UnaryOp) and expr.op == "NOT":
+            pat = as_pattern(expr.operand)
+            if pat is not None:
+                return [(pat, False)], None
         if isinstance(expr, P.BinOp) and expr.op == "AND":
             lp, lres = self._split_pattern_preds(expr.left)
             rp, rres = self._split_pattern_preds(expr.right)

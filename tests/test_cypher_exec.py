@@ -491,3 +491,18 @@ def test_case_expressions(person_graph):
     assert [tuple(r) for r in df.collect()] == [
         ("Alice", 1), ("Bob", 1), ("Charlie", 0), ("Diana", None),
     ]
+
+
+def test_exists_pattern_function(person_graph):
+    """exists((p)-[:KNOWS]->()) — function sugar for the pattern
+    predicate, both polarities."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE exists((p)-[:KNOWS]->()) "
+        "RETURN p.name AS name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Alice"]
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE NOT exists((p)-[:WORKS_WITH]->()) "
+        "RETURN p.name AS name ORDER BY name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Alice", "Charlie", "Diana"]
