@@ -38,6 +38,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "text_stats",
     "ann_bruteforce_topk",
 ]
