@@ -70,6 +70,8 @@ def _expr_vars(e) -> set[str]:
             if r.var:
                 out.add(r.var)
         return out
+    if isinstance(e, P.FieldAccess):
+        return _expr_vars(e.expr)
     if isinstance(e, P.CaseExpr):
         out = set()
         for cond, res in e.whens:
@@ -385,6 +387,8 @@ class _Executor:
             return self._binop(expr)
         if isinstance(expr, P.Func):
             return self._func(expr)
+        if isinstance(expr, P.FieldAccess):
+            return self._col(expr.expr)[expr.key]
         if isinstance(expr, P.CaseExpr):
             out = None
             for cond, res in expr.whens:
@@ -578,6 +582,61 @@ class _Executor:
                 )
                 for v in info
             ])
+        if n == "range":
+            # range(start, stop[, step]) — inclusive like Cypher
+            args = [self._col(a).cast("long") for a in f.args]
+            return F.sequence(*args)
+        if n == "properties":
+            v = f.args[0].name
+            return F.col(f"{v}__properties")
+        if n in ("startnode", "endnode"):
+            v = f.args[0].name
+            end = F.col(f"{v}__src" if n == "startnode" else f"{v}__dst")
+            return F.struct(
+                end.alias("id"),
+                F.lit(None).cast("string").alias("label"),
+                F.create_map().cast("map<string,string>").alias("properties"),
+            )
+        if n == "trim":
+            return F.trim(self._col(f.args[0]))
+        if n == "replace":
+            return F.replace(*[self._col(a) for a in f.args[:3]])
+        if n == "substring":
+            # Cypher is 0-based; Spark substring is 1-based
+            s = self._col(f.args[0])
+            start = self._col(f.args[1]).cast("int") + F.lit(1)
+            if len(f.args) > 2:
+                return F.substring(s, start, self._col(f.args[2]).cast("int"))
+            return F.substring(s, start, F.lit(2147483647))
+        if n == "split":
+            return F.split(self._col(f.args[0]),
+                           F.lit(f.args[1].value) if isinstance(f.args[1], P.Lit)
+                           else self._col(f.args[1]))
+        if n == "left":
+            return F.substring(self._col(f.args[0]), 1,
+                               self._col(f.args[1]).cast("int"))
+        if n == "right":
+            s = self._col(f.args[0])
+            k = self._col(f.args[1]).cast("int")
+            return F.substring(s, -k, k)
+        if n == "reverse":
+            return F.reverse(self._col(f.args[0]))
+        if n in ("ceil", "ceiling"):
+            return F.ceil(self._col(f.args[0], numeric_hint=True))
+        if n == "floor":
+            return F.floor(self._col(f.args[0], numeric_hint=True))
+        if n == "sqrt":
+            return F.sqrt(self._col(f.args[0], numeric_hint=True))
+        if n == "sign":
+            return F.signum(self._col(f.args[0], numeric_hint=True)).cast("int")
+        if n in ("head",):
+            return F.element_at(self._col(f.args[0]), 1)
+        if n in ("last",):
+            return F.element_at(self._col(f.args[0]), -1)
+        if n in ("tail",):
+            c = self._col(f.args[0])
+            # length must not overflow int when added to start
+            return F.slice(c, F.lit(2), F.greatest(F.size(c) - 1, F.lit(0)))
         raise CypherExecutionError(f"unknown function {n}")
 
     def _count_target(self, arg):
@@ -872,7 +931,13 @@ class _Executor:
             )
             return
         if self.binding is None:
-            raise CypherExecutionError("UNWIND of expression needs a binding")
+            # UNWIND of a constant expression (e.g. range(1, 10)) with
+            # no prior clause: seed a one-row binding to explode over
+            self.binding = self.g.spark.range(1).select(
+                F.explode(col).alias(uc.var)
+            )
+            self.scalar_vars.add(uc.var)
+            return
         self.binding = self.binding.withColumn(uc.var, F.explode(col))
         self.scalar_vars.add(uc.var)
 

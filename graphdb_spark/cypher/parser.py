@@ -24,6 +24,7 @@ import re
 from graphdb_spark.plans import (
     BinOp,
     CaseExpr,
+    FieldAccess,
     CreateClause,
     CypherStatement,
     DeleteClause,
@@ -473,7 +474,12 @@ class Parser:
                             continue
                         break
                 self.expect_op(")")
-                return Func(fname.lower(), args, distinct)
+                fn = Func(fname.lower(), args, distinct)
+                out = fn
+                while self.at_op(".") and self.peek().kind in ("name", "kw"):
+                    self.advance()
+                    out = FieldAccess(out, self.advance().text)
+                return out
             if t.kind == "name":
                 nm = self.advance().text
                 if self.at_op(".") and self.peek().kind in ("name", "kw"):

@@ -104,6 +104,15 @@ class ListComp:
 
 
 @dataclass
+class FieldAccess:
+    """Postfix .key access on a non-variable expression
+    (startNode(r).id, head(nodes(p)).name)."""
+
+    expr: object = None
+    key: str = ""
+
+
+@dataclass
 class CaseExpr:
     """Generic CASE WHEN cond THEN result ... ELSE default END (simple
     CASE is desugared to this at parse time)."""

@@ -506,3 +506,40 @@ def test_exists_pattern_function(person_graph):
         "RETURN p.name AS name ORDER BY name"
     )
     assert [r["name"] for r in df.collect()] == ["Alice", "Charlie", "Diana"]
+
+
+def test_scalar_function_surface(person_graph):
+    """range/properties/startNode/endNode/substring/split/head/last +
+    math scalars — the remaining standard-Cypher function surface."""
+    df = person_graph.cypher(
+        "UNWIND range(1, 3) AS x RETURN x ORDER BY x")
+    assert [r["x"] for r in df.collect()] == [1, 2, 3]
+
+    df = person_graph.cypher(
+        "MATCH (p:Person {name: 'Alice'}) RETURN properties(p) AS m")
+    assert df.collect()[0]["m"]["age"] == "30"
+
+    df = person_graph.cypher(
+        "MATCH ()-[r:WORKS_WITH]->() "
+        "RETURN startNode(r).id AS s, endNode(r).id AS e")
+    assert [tuple(r) for r in df.collect()] == [("bob", "diana")]
+
+    df = person_graph.cypher(
+        "MATCH (p:Person {name: 'Alice'}) RETURN "
+        "substring(p.name, 0, 2) AS sub, left(p.name, 1) AS l, "
+        "right(p.name, 3) AS r, reverse(p.name) AS rev, "
+        "split(p.name, 'l') AS parts, trim('  x ') AS t"
+    )
+    row = df.collect()[0]
+    assert (row["sub"], row["l"], row["r"], row["rev"], row["t"]) == (
+        "Al", "A", "ice", "ecilA", "x")
+    assert list(row["parts"]) == ["A", "ice"]
+
+    df = person_graph.cypher(
+        "RETURN head(range(5, 9)) AS h, last(range(5, 9)) AS la, "
+        "tail(range(1, 3)) AS tl, ceil(1.2) AS c, floor(1.8) AS f, "
+        "sqrt(9.0) AS sq, sign(-3) AS sg"
+    )
+    row = df.collect()[0]
+    assert (row["h"], row["la"], list(row["tl"])) == (5, 9, [2, 3])
+    assert (row["c"], row["f"], row["sq"], row["sg"]) == (2, 1, 3.0, -1)
