@@ -315,3 +315,69 @@ def all_shortest_paths(edges: DataFrame, src_id: str, dst_id: str,
         )
         frontier = expanded
     return spark.createDataFrame([], empty_schema)
+
+
+def connected_components_large(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): converges in
+    O(log n) rounds regardless of graph DIAMETER — the 100 TB path
+    where min-label propagation (connected_components_small, O(diameter)
+    rounds) degrades on chain-like graphs. (id, component) with
+    component = min vertex id (lexicographic, same order as the small
+    variant).
+
+    Each round: per-node min over neighbors (one grouped agg) + two
+    conditional edge rewrites + dedup — all equi-shuffles on vertex id,
+    no broadcast requirement, frontier-free (no driver-side growth)."""
+    pairs = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def min_nbr(p):
+        return (
+            p.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+
+    def sym(p):
+        return (
+            p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        mins = min_nbr(pairs)
+        # large-star: hook every larger neighbor to u's min
+        large = (
+            pairs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ls = sym(large.unionByName(mins.select("u", F.col("m").alias("v"))))
+        mins2 = min_nbr(ls)
+        # small-star: hook every smaller-or-equal neighbor to the min
+        small = (
+            ls.filter(F.col("v") < F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_pairs = sym(
+            small.unionByName(mins2.select("u", F.col("m").alias("v")))
+        ).localCheckpoint(eager=True)
+        converged = (
+            new_pairs.exceptAll(pairs).isEmpty()
+            and pairs.exceptAll(new_pairs).isEmpty()
+        )
+        pairs = new_pairs
+        if converged:
+            break
+    return min_nbr(pairs).select(
+        F.col("u").alias("id"), F.col("m").alias("component")
+    )

@@ -228,7 +228,16 @@ class GraphSession:
 
         return triangle_count(self._e)
 
-    def connected_components(self, max_iter: int = 20):
+    def connected_components(self, max_iter: int = 20, algorithm: str = "small"):
+        """'small' = min-label propagation (O(diameter) rounds);
+        'large' = large-star/small-star (O(log n) rounds, the
+        100 TB / high-diameter path)."""
+        if algorithm == "large":
+            from graphdb_spark.operators.traversal import (
+                connected_components_large,
+            )
+
+            return connected_components_large(self._e, max_iter)
         from graphdb_spark.operators.traversal import connected_components_small
 
         return connected_components_small(self._e, max_iter)

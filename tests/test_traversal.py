@@ -90,3 +90,28 @@ def test_connected_components(spark):
     )
     got = {r["id"]: r["component"] for r in T.connected_components_small(e).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "p": "p", "q": "p"}
+
+
+def test_connected_components_large_matches_small(spark):
+    """large-star/small-star CC agrees with min-label propagation on a
+    long chain (the diameter killer), two bridged cliques, and a star."""
+    from graphdb_spark.operators.traversal import (
+        connected_components_large,
+        connected_components_small,
+    )
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(15)]
+    cliques = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+               ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1")]
+    star = [("hub", f"s{i}") for i in range(5)]
+    for name, pairs in [("chain", chain), ("cliques", cliques), ("star", star)]:
+        e = spark.createDataFrame(
+            [(s, "E", d, {}) for s, d in pairs],
+            "src string, relationship string, dst string, "
+            "properties map<string,string>",
+        )
+        small = {r["id"]: r["component"]
+                 for r in connected_components_small(e, max_iter=30).collect()}
+        large = {r["id"]: r["component"]
+                 for r in connected_components_large(e).collect()}
+        assert small == large, name
