@@ -100,6 +100,25 @@ def execute_cypher(g, query: str):
     if isinstance(stmt, P.DeleteKeyValue):
         g.kv_delete(stmt.key)
         return {"status": "ok", "deleted_key": stmt.key}
+    if isinstance(stmt, P.UnionStatement):
+        dfs = []
+        for part in stmt.parts:
+            res = _Executor(g).run(part)
+            if not isinstance(res, DataFrame):
+                raise CypherExecutionError(
+                    "every UNION arm must end in RETURN"
+                )
+            dfs.append(res)
+        cols = set(dfs[0].columns)
+        for d in dfs[1:]:
+            if set(d.columns) != cols:
+                raise CypherExecutionError(
+                    "UNION arms must return the same column names"
+                )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out if stmt.union_all else out.dropDuplicates()
     return _Executor(g).run(stmt)
 
 

@@ -48,6 +48,7 @@ from graphdb_spark.plans import (
     SetKeyValue,
     SetPropItem,
     UnaryOp,
+    UnionStatement,
     UnwindClause,
     Var,
     WithClause,
@@ -59,7 +60,7 @@ KEYWORDS = {
     "LIMIT", "DISTINCT", "AND", "OR", "NOT", "XOR", "IN", "CONTAINS",
     "STARTS", "ENDS", "WITH", "IS", "NULL", "TRUE", "FALSE", "ASC",
     "ASCENDING", "DESC", "DESCENDING", "CASE", "WHEN", "THEN", "ELSE",
-    "END",
+    "END", "UNION", "ALL",
 }
 
 _TOKEN_RE = re.compile(
@@ -633,6 +634,8 @@ class Parser:
         clauses = []
         saw_match = False
         while not self.cur.kind == "eof" and not self.at_op(";"):
+            if self.at_kw("UNION"):
+                break  # handled by parse_statement
             if self.at_kw("MATCH") or (self.at_kw("OPTIONAL") and self.peek().text == "MATCH"):
                 optional = False
                 if self.at_kw("OPTIONAL"):
@@ -746,6 +749,21 @@ class Parser:
 def parse_statement(text: str):
     p = Parser(text)
     stmt = p.statement()
+    if p.at_kw("UNION"):
+        parts, all_flags = [stmt], []
+        while p.at_kw("UNION"):
+            p.advance()
+            is_all = False
+            if p.at_kw("ALL"):
+                p.advance()
+                is_all = True
+            all_flags.append(is_all)
+            parts.append(p.statement())
+        if len(set(all_flags)) > 1:
+            raise CypherSyntaxError(
+                "cannot mix UNION and UNION ALL in one query"
+            )
+        stmt = UnionStatement(parts=parts, union_all=all_flags[0])
     if p.cur.kind != "eof" and not p.at_op(";"):
         raise CypherSyntaxError(f"trailing input at {p.cur!r}")
     return stmt

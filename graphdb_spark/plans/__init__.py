@@ -219,6 +219,16 @@ class CypherStatement:
     clauses: list = field(default_factory=list)
 
 
+@dataclass
+class UnionStatement:
+    """RETURN ... UNION [ALL] MATCH ... RETURN ... — results combined
+    by column name; DISTINCT across the whole result unless ALL
+    (Cypher forbids mixing the two forms)."""
+
+    parts: list = field(default_factory=list)  # CypherStatement
+    union_all: bool = False
+
+
 # KV statements (reference cypher_parser.rs:780-804 surface)
 
 

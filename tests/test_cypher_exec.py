@@ -543,3 +543,17 @@ def test_scalar_function_surface(person_graph):
     row = df.collect()[0]
     assert (row["h"], row["la"], list(row["tl"])) == (5, 9, [2, 3])
     assert (row["c"], row["f"], row["sq"], row["sg"]) == (2, 1, 3.0, -1)
+
+
+def test_union_statements(person_graph):
+    """UNION dedupes across arms; UNION ALL keeps multiplicity."""
+    df = person_graph.cypher(
+        "MATCH (p:Person) WHERE p.age > 30 RETURN p.name AS name "
+        "UNION MATCH (p:Person {name: 'Bob'}) RETURN p.name AS name"
+    )
+    assert sorted(r["name"] for r in df.collect()) == ["Bob", "Diana"]
+    df = person_graph.cypher(
+        "MATCH (p:Person {name: 'Bob'}) RETURN p.name AS name "
+        "UNION ALL MATCH (p:Person {name: 'Bob'}) RETURN p.name AS name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Bob", "Bob"]
