@@ -202,8 +202,27 @@ FROM orders GROUP BY 1 ORDER BY band
 """
 
 
+def cypher_union(spark, sf_dir):
+    """UNION across two MATCH arms (distinct by name)."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (c:customer) WHERE c.acctbal > 9900 RETURN c.name AS name "
+        "UNION MATCH (c:customer) WHERE c.acctbal < -900 "
+        "RETURN c.name AS name"
+    ).orderBy("name")
+
+
+CYPHER_UNION_SQL = """
+SELECT c_name AS name FROM customer WHERE c_acctbal > 9900
+UNION
+SELECT c_name FROM customer WHERE c_acctbal < -900
+ORDER BY name
+"""
+
+
 QUERIES = {
     "cypher_case_banding": (cypher_case_banding, CYPHER_CASE_SQL),
+    "cypher_union": (cypher_union, CYPHER_UNION_SQL),
     "cypher_varlen_paths": (cypher_varlen_paths, CYPHER_VARLEN_SQL),
     "cypher_pattern_predicate": (cypher_pattern_predicate,
                                  CYPHER_PATTERN_PRED_SQL),
