@@ -27,6 +27,9 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the default 200 shuffle partitions means 200-task stages on
+        # kB-sized test shuffles — pure scheduler overhead at gate SFs
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass  # immutable conf on some deployments; sources handle both
     return spark
