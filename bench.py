@@ -74,9 +74,10 @@ def main():
     spark = build_spark("graphdb_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as entry_mod
+    import __spark_entry__ as entry_mod  # noqa: F401  (oracle path below)
+    from graphdb_spark import workloads
 
-    queries = entry_mod.queries()
+    queries = workloads.all_unpacked_queries()
 
     # warm-up: materialize the graph cache + JIT (not timed)
     from graphdb_spark.workloads.graph import graph_session
@@ -116,7 +117,7 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        oracles = entry_mod.oracle_sql()
+        oracles = workloads.all_unpacked_oracles()
         oracle_timings = {}
         for name in HEADLINE:
             sql = oracles.get(name)

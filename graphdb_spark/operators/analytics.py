@@ -82,10 +82,14 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
             ).alias("rank"),
         )
-        # dangling mass: renormalize so sum(rank) == n (GraphX-like)
-        total = new_ranks.agg(F.sum("rank")).collect()[0][0]
-        new_ranks = new_ranks.withColumn(
-            "rank", F.col("rank") * F.lit(n / total)
+        # dangling mass: renormalize so sum(rank) == n (GraphX-like).
+        # The 1-row total stays IN the plan (broadcast crossJoin) — no
+        # driver round-trip per iteration, so iterations pipeline into
+        # one job between checkpoints instead of 2×iterations jobs.
+        total = new_ranks.agg(F.sum("rank").alias("__total"))
+        new_ranks = new_ranks.crossJoin(F.broadcast(total)).select(
+            "id",
+            (F.col("rank") * F.lit(float(n)) / F.col("__total")).alias("rank"),
         )
         ranks = (
             new_ranks.localCheckpoint(eager=True)

@@ -29,6 +29,26 @@ ALL_MODULES = (relational, graph, cypher_queries, temporal, text, embeddings)
 
 
 def all_queries():
+    """The DRIVER-facing registry: ≤50 gate entries (the driver's
+    correctness gate evaluates at most 50 — see workloads/gate.py),
+    with related queries packed into oracle-checked suites so every
+    one of the 76 underlying queries is still driver-verified."""
+    from graphdb_spark.workloads.gate import GATE
+
+    return {name: fn for name, (fn, _sql) in GATE.items()}
+
+
+def all_oracles():
+    from graphdb_spark.workloads.gate import GATE
+
+    return {
+        name: sql for name, (_fn, sql) in GATE.items() if sql is not None
+    }
+
+
+def all_unpacked_queries():
+    """Every individual workload query (76) — used by bench.py and the
+    per-query local parity tests; the driver sees the packed gate."""
     out = {}
     for m in ALL_MODULES:
         for name, (fn, _sql) in m.QUERIES.items():
@@ -37,7 +57,7 @@ def all_queries():
     return out
 
 
-def all_oracles():
+def all_unpacked_oracles():
     out = {}
     for m in ALL_MODULES:
         for name, (_fn, sql) in m.QUERIES.items():

@@ -420,8 +420,10 @@ GROUP BY start_id ORDER BY start_id
 
 def g_pagerank_top(spark, sf_dir):
     """PageRank over the F6 graph (operators/analytics.pagerank) —
-    iterative power method; rows-only check (renormalized FP ranks
-    aren't SQL-replayable bit-exactly)."""
+    iterative power method, deterministic for fixed iterations; the
+    oracle unrolls the same 5 iterations as chained DuckDB CTEs (the
+    LPA trick) with matching IEEE expression shapes, and both sides
+    round to 6 decimals to absorb float-sum ordering ULPs."""
     from graphdb_spark.operators.analytics import pagerank
 
     g = graph_session(spark, sf_dir)
@@ -431,6 +433,49 @@ def g_pagerank_top(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """DuckDB twin of analytics.pagerank on the F6 edge list: rank0=1,
+    rank_{i+1} = ((1 - 0.85d) + 0.85d * contrib) * n / total, with the
+    damping literals CAST to DOUBLE so both engines compute the same
+    IEEE constants (DuckDB decimal literals would differ by 1 ULP)."""
+    sql = """WITH edges_all AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+), verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges_all UNION ALL SELECT dst FROM edges_all
+  )
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts
+), outd AS (
+  SELECT src, COUNT(*) AS out_degree FROM edges_all GROUP BY src
+), r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)"""
+    for i in range(iterations):
+        sql += f""",
+c{i + 1} AS (
+  SELECT e.dst AS id, SUM(r.rank / o.out_degree) AS contrib
+  FROM edges_all e
+  JOIN outd o ON e.src = o.src
+  JOIN r{i} r ON e.src = r.id
+  GROUP BY e.dst
+), u{i + 1} AS (
+  SELECT v.id,
+         (1.0 - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0.0) AS rank
+  FROM verts v LEFT JOIN c{i + 1} c ON v.id = c.id
+), r{i + 1} AS (
+  SELECT id, rank * (SELECT n FROM nn) / (SELECT SUM(rank) FROM u{i + 1}) AS rank
+  FROM u{i + 1}
+)"""
+    sql += f"""
+SELECT id, ROUND(rank, 6) AS rank FROM r{iterations}
+ORDER BY rank DESC, id ASC LIMIT 20"""
+    return sql
 
 
 def _cooccur_edges(spark, sf_dir):
@@ -554,7 +599,7 @@ QUERIES = {
     "g_bfs_reachability": (g_bfs_reachability, G_BFS_SQL),
     "g_label_prop_communities": (g_label_prop_communities, G_LABEL_PROP_SQL),
     "g_var_length_count": (g_var_length_count, G_VAR_LENGTH_SQL),
-    "g_pagerank_top": (g_pagerank_top, None),
+    "g_pagerank_top": (g_pagerank_top, _pagerank_sql()),
     "g_triangle_top": (g_triangle_top, G_TRIANGLE_SQL),
     "g_vertex_counts": (g_vertex_counts, G_VERTEX_COUNTS_SQL),
     "g_edge_counts": (g_edge_counts, G_EDGE_COUNTS_SQL),

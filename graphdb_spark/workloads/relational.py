@@ -488,9 +488,14 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 def approx_distinct_sketch(spark, sf_dir):
-    """HyperLogLog sketch surface (approx_count_distinct) — engines
-    implement different HLL variants, so this is a rows-only check
-    (no oracle); the exact twin `distinct_agg` is oracle-checked."""
+    """HyperLogLog sketch surface (approx_count_distinct). Engines
+    implement different HLL variants, so the sketch VALUE can't be
+    oracle-matched — instead the output carries the exact
+    COUNT(DISTINCT) plus ``within_bound`` = (|approx-exact|/exact <=
+    0.05, vs the requested rsd of 0.02), and the DuckDB twin emits the
+    exact count with a constant 1: the hash match then asserts both
+    the exact count AND that Spark's sketch landed inside its
+    documented error bound."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
@@ -499,16 +504,27 @@ def approx_distinct_sketch(spark, sf_dir):
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
-        .withColumn(
-            "rel_err",
-            F.round(
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                / F.col("exact_parts"),
-                4,
-            ),
+                / F.col("exact_parts")
+                <= 0.05
+            )
+            .cast("bigint")
+            .alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+  CAST(1 AS BIGINT) AS within_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def q4_order_priority(spark, sf_dir):
@@ -1006,7 +1022,7 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q12_shipmode": (q12_shipmode, Q12_SQL),
     "cube_counts": (cube_counts, CUBE_SQL),
-    "approx_distinct_sketch": (approx_distinct_sketch, None),
+    "approx_distinct_sketch": (approx_distinct_sketch, APPROX_DISTINCT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_topk": (q3_shipping_topk, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),

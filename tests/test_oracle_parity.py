@@ -108,6 +108,50 @@ def test_all_queries_match_oracle(spark, entry_mod, duck):
     )
 
 
+def test_all_unpacked_queries_match_oracle(spark, duck):
+    """Every individual workload query (including suite constituents)
+    against its own oracle — friendlier diffs than the packed gate."""
+    from graphdb_spark import workloads
+
+    qs = workloads.all_unpacked_queries()
+    oracles = workloads.all_unpacked_oracles()
+    assert len(qs) >= 76
+    failures = {}
+    for name, fn in qs.items():
+        sql = oracles.get(name)
+        if sql is None:
+            assert fn(spark, SF_DIR).count() >= 0
+            continue
+        try:
+            problems = compare(fn(spark, SF_DIR), duck.sql(sql))
+        except Exception as e:  # noqa: BLE001
+            problems = [f"exception: {type(e).__name__}: {e}"]
+        if problems:
+            failures[name] = problems
+    assert not failures, "\n".join(
+        f"{k}: {v}" for k, v in failures.items()
+    )
+
+
+def test_gate_covers_every_query_within_cap(entry_mod):
+    """The driver gate evaluates ≤50 entries; every individual query
+    must be verified by exactly one gate entry (itself or a suite)."""
+    from graphdb_spark import workloads
+    from graphdb_spark.workloads.gate import CONSTITUENTS
+
+    gate = entry_mod.queries()
+    assert len(gate) <= 50
+    covered = [t for tags in CONSTITUENTS.values() for t in tags]
+    assert sorted(covered) == sorted(set(covered)), "double-covered tag"
+    missing = set(workloads.all_unpacked_queries()) - set(covered)
+    assert not missing, f"queries not covered by any gate entry: {missing}"
+    # every gate entry is oracle-backed — no rows-only rows left
+    oracles = entry_mod.oracle_sql()
+    assert set(gate) == set(oracles), (
+        f"gate entries without oracle: {set(gate) - set(oracles)}"
+    )
+
+
 def test_entry_smoke(spark, entry_mod):
     df = entry_mod.entry(spark)
     assert df.count() > 0
