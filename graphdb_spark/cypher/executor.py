@@ -152,10 +152,24 @@ class _Executor:
                   P.ListComp)
         )
 
+    @staticmethod
+    def _label_match(col, lbl: str):
+        """Multi-label membership: the label column is a colon-joined
+        list (SET n:Extra appends ':Extra'), so pattern labels match by
+        element, not whole-string equality. Spelled as equality /
+        startswith / contains / endswith — each a parquet-pushable
+        string predicate, unlike array_contains(split(...))."""
+        return (
+            (col == lbl)
+            | col.startswith(lbl + ":")
+            | col.contains(":" + lbl + ":")
+            | col.endswith(":" + lbl)
+        )
+
     def _node_df(self, np: P.NodePattern, var: str) -> DataFrame:
         v = self.g.vertices
         if np.label is not None:
-            v = v.filter(F.col("label") == np.label)
+            v = v.filter(self._label_match(F.col("label"), np.label))
         for k, val in np.properties.items():
             if self._is_ast(val):
                 raise CypherExecutionError(
@@ -486,8 +500,12 @@ class _Executor:
             return mk(lc, rc)
         if op == "=~":
             # Cypher =~ is a FULL-string match (rlike alone is substring)
-            pat = b.right.value if isinstance(b.right, P.Lit) else ""
-            return lc.rlike(f"^(?:{pat})$")
+            if isinstance(b.right, P.Lit):
+                return lc.rlike(f"^(?:{b.right.value})$")
+            # dynamic pattern (n.name =~ m.pattern): build the anchored
+            # regex as a column — silently matching nothing would be a
+            # wrong-results trap (ADVICE r1)
+            return F.rlike(lc, F.concat(F.lit("^(?:"), rc, F.lit(")$")))
         if op == "CONTAINS":
             return lc.contains(rc)
         if op == "STARTS_WITH":
@@ -960,7 +978,7 @@ class _Executor:
         self.binding = self.binding.withColumn(uc.var, F.explode(col))
         self.scalar_vars.add(uc.var)
 
-    def _exec_create(self, cc: P.CreateClause):
+    def _exec_create(self, cc: P.CreateClause, upsert: bool = False):
         self.mutated = True
         if getattr(cc, "merge", False):
             # MERGE = match-or-create, pattern by pattern: if the full
@@ -977,7 +995,9 @@ class _Executor:
                     if not matched:
                         # only create on miss — recreating on match would
                         # reset the matched edge's properties
-                        self._exec_create(P.CreateClause(patterns=[pat]))
+                        self._exec_create(
+                            P.CreateClause(patterns=[pat]), upsert=True
+                        )
                     unbound = pat_vars - (self.node_vars | self.edge_vars)
                     if unbound or any(
                         r.var and r.var not in self.edge_vars
@@ -992,7 +1012,9 @@ class _Executor:
                     except CypherExecutionError:
                         matched = False
                     if not matched:
-                        self._exec_create(P.CreateClause(patterns=[pat]))
+                        self._exec_create(
+                            P.CreateClause(patterns=[pat]), upsert=True
+                        )
                         df, nvars, evars = self._pattern_df(pat)
                     self._merge(df, nvars, evars, optional=False)
                 sets = cc.on_match if matched else cc.on_create
@@ -1082,18 +1104,38 @@ class _Executor:
                 new_edges.append((src, rel.types[0], dst, dict(rel.properties)))
                 prev = nxt
         if new_vertices:
-            self.g.set_state(
-                vertices=self.g.vertices.unionByName(
-                    self.g.spark.createDataFrame(
-                        [
-                            (i, l, normalize_properties(p))
-                            for i, l, p in new_vertices
-                        ],
-                        "id string, label string, properties map<string,string>",
-                    )
-                )
+            new_df = self.g.spark.createDataFrame(
+                [(i, l, normalize_properties(p)) for i, l, p in new_vertices],
+                "id string, label string, properties map<string,string>",
             )
-            self.summary["created_vertices"] += len(new_vertices)
+            if upsert:
+                # MERGE create path: a pattern node whose id already
+                # exists (e.g. MERGE (a {id:'x'})-[:R]->(b {id:'y'})
+                # with both nodes present but no edge) must REUSE the
+                # existing vertex — appending would duplicate the id
+                # and fan out every later join (ADVICE r1)
+                new_df = new_df.join(
+                    self.g.vertices.select("id"), "id", "left_anti"
+                ).localCheckpoint(eager=True)
+                n_added = new_df.count()
+            else:
+                # plain CREATE mirrors reference create_vertex: an
+                # explicit id that already exists is an error
+                # (rdb/datastore.rs:261-270), never a silent duplicate
+                explicit = [i for i, _l, p in new_vertices if "id" in p]
+                if explicit and (
+                    self.g.vertices.filter(F.col("id").isin(explicit))
+                    .limit(1).count() > 0
+                ):
+                    raise CypherExecutionError(
+                        f"CREATE: vertex id already exists among {explicit!r}"
+                    )
+                n_added = len(new_vertices)
+            if n_added:
+                self.g.set_state(
+                    vertices=self.g.vertices.unionByName(new_df)
+                )
+            self.summary["created_vertices"] += n_added
         for src, rel_t, dst, props in new_edges:
             self.g.set_state(
                 edges=self.g.edges.filter(
@@ -1244,32 +1286,37 @@ class _Executor:
                     self.g.set_state(vertices=patched)
                 self.summary["properties_set"] += 1
                 continue
+            # literal value: pass the binding DataFrame straight to the
+            # mutation (join-based) — collecting matched ids to the
+            # driver and rebuilding an isin would OOM on a 10^8-row
+            # match (ADVICE/VERDICT r1)
             val = item.value.value
             if p.var in self.edge_vars:
                 keys = self.binding.select(
                     F.col(f"{p.var}__src").alias("src"),
                     F.col(f"{p.var}__relationship").alias("relationship"),
                     F.col(f"{p.var}__dst").alias("dst"),
-                ).distinct()
-                from graphdb_spark.algebra import Q
-
-                trips = [tuple(r) for r in keys.collect()]
-                M.set_properties(self.g, Q.specific_edges(*trips), p.key, val)
+                )
+                M.set_edge_properties_df(self.g, keys, p.key, val)
             else:
-                from graphdb_spark.algebra import Q
-
-                ids = [r[0] for r in self._ids_for(p.var).collect()]
-                M.set_properties(self.g, Q.specific_vertices(*ids), p.key, val)
+                M.set_vertex_properties_df(
+                    self.g, self._ids_for(p.var), p.key, val
+                )
             self.summary["properties_set"] += 1
         self._refresh_bindings()
 
     def _exec_remove(self, rm: P.RemoveClause):
         self.mutated = True
-        from graphdb_spark.algebra import Q
-
         for p in rm.items:
-            ids = [r[0] for r in self._ids_for(p.var).collect()]
-            M.remove_property(self.g, Q.specific_vertices(*ids), p.key)
+            if p.var in self.edge_vars:
+                keys = self.binding.select(
+                    F.col(f"{p.var}__src").alias("src"),
+                    F.col(f"{p.var}__relationship").alias("relationship"),
+                    F.col(f"{p.var}__dst").alias("dst"),
+                )
+                M.remove_edge_property_df(self.g, keys, p.key)
+            else:
+                M.remove_vertex_property_df(self.g, self._ids_for(p.var), p.key)
         self._refresh_bindings()
 
     def _exec_delete(self, dc: P.DeleteClause):

@@ -113,59 +113,84 @@ def delete(g: GraphSession, q: A.Query) -> GraphSession:
     raise A.OperationOnQueryError(f"cannot delete a {kind.value} query")
 
 
-def set_properties(g: GraphSession, q: A.Query, name: str, value) -> GraphSession:
-    """Set one property on everything the query selects
-    (rdb/datastore.rs:342-362)."""
-    kind = q.output_type()
-    sval = stringify_value(value)
-    patch = F.map_concat(
+def _patch_expr(name: str, sval: str):
+    return F.map_concat(
         F.map_filter(
             F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>")),
             lambda k, _: k != F.lit(name),
         ),
         F.create_map(F.lit(name), F.lit(sval)),
     )
+
+
+def set_vertex_properties_df(g: GraphSession, ids_df: DataFrame,
+                             name: str, value) -> GraphSession:
+    """DataFrame-first SET: mark matched ids via join (never a driver
+    collect / isin literal — the match may be 10^8 rows at scale)."""
+    patch = _patch_expr(name, stringify_value(value))
+    ids = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+    marked = g.vertices.join(ids.withColumn("__hit", F.lit(True)), "id", "left")
+    v = marked.withColumn(
+        "properties", F.when(F.col("__hit"), patch).otherwise(F.col("properties"))
+    ).drop("__hit")
+    return g.set_state(vertices=v)
+
+
+def set_edge_properties_df(g: GraphSession, keys_df: DataFrame,
+                           name: str, value) -> GraphSession:
+    patch = _patch_expr(name, stringify_value(value))
+    keys = keys_df.select("src", "relationship", "dst").distinct().withColumn(
+        "__hit", F.lit(True)
+    )
+    marked = g.edges.join(keys, ["src", "relationship", "dst"], "left")
+    e = marked.withColumn(
+        "properties", F.when(F.col("__hit"), patch).otherwise(F.col("properties"))
+    ).drop("__hit")
+    return g.set_state(edges=e)
+
+
+def set_properties(g: GraphSession, q: A.Query, name: str, value) -> GraphSession:
+    """Set one property on everything the query selects
+    (rdb/datastore.rs:342-362)."""
+    kind = q.output_type()
     if kind == A.OutputType.VERTICES:
-        ids = g.df(q).select("id").distinct()
-        marked = g.vertices.join(
-            ids.withColumn("__hit", F.lit(True)), "id", "left"
-        )
-        v = marked.withColumn(
-            "properties", F.when(F.col("__hit"), patch).otherwise(F.col("properties"))
-        ).drop("__hit")
-        return g.set_state(vertices=v)
+        return set_vertex_properties_df(g, g.df(q).select("id"), name, value)
     if kind == A.OutputType.EDGES:
-        keys = g.df(q).select("src", "relationship", "dst").withColumn(
-            "__hit", F.lit(True)
-        )
-        marked = g.edges.join(keys, ["src", "relationship", "dst"], "left")
-        e = marked.withColumn(
-            "properties", F.when(F.col("__hit"), patch).otherwise(F.col("properties"))
-        ).drop("__hit")
-        return g.set_state(edges=e)
+        return set_edge_properties_df(g, g.df(q), name, value)
     raise A.OperationOnQueryError(f"cannot set properties on a {kind.value} query")
+
+
+def remove_vertex_property_df(g: GraphSession, ids_df: DataFrame,
+                              name: str) -> GraphSession:
+    strip = F.map_filter(F.col("properties"), lambda k, _: k != F.lit(name))
+    ids = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+    marked = g.vertices.join(ids.withColumn("__hit", F.lit(True)), "id", "left")
+    v = marked.withColumn(
+        "properties", F.when(F.col("__hit"), strip).otherwise(F.col("properties"))
+    ).drop("__hit")
+    return g.set_state(vertices=v)
+
+
+def remove_edge_property_df(g: GraphSession, keys_df: DataFrame,
+                            name: str) -> GraphSession:
+    strip = F.map_filter(F.col("properties"), lambda k, _: k != F.lit(name))
+    keys = keys_df.select("src", "relationship", "dst").distinct().withColumn(
+        "__hit", F.lit(True)
+    )
+    marked = g.edges.join(keys, ["src", "relationship", "dst"], "left")
+    e = marked.withColumn(
+        "properties", F.when(F.col("__hit"), strip).otherwise(F.col("properties"))
+    ).drop("__hit")
+    return g.set_state(edges=e)
 
 
 def remove_property(g: GraphSession, q: A.Query, name: str) -> GraphSession:
     """REMOVE n.prop (queries_examples.txt:140-143)."""
     kind = q.output_type()
-    strip = F.map_filter(F.col("properties"), lambda k, _: k != F.lit(name))
     if kind == A.OutputType.VERTICES:
-        ids = g.df(q).select("id").withColumn("__hit", F.lit(True))
-        marked = g.vertices.join(ids, "id", "left")
-        v = marked.withColumn(
-            "properties", F.when(F.col("__hit"), strip).otherwise(F.col("properties"))
-        ).drop("__hit")
-        return g.set_state(vertices=v)
+        return remove_vertex_property_df(g, g.df(q).select("id"), name)
     if kind == A.OutputType.EDGES:
-        keys = g.df(q).select("src", "relationship", "dst").withColumn(
-            "__hit", F.lit(True)
-        )
-        marked = g.edges.join(keys, ["src", "relationship", "dst"], "left")
-        e = marked.withColumn(
-            "properties", F.when(F.col("__hit"), strip).otherwise(F.col("properties"))
-        ).drop("__hit")
-        return g.set_state(edges=e)
+        return remove_edge_property_df(g, g.df(q), name)
     raise A.OperationOnQueryError(f"cannot remove properties on a {kind.value} query")
 
 

@@ -116,7 +116,19 @@ def var_length_expand(edges: DataFrame, start_ids: DataFrame,
     """Variable-length expansion -[:T*min..max]-> : (start_id, id,
     hops) for every vertex reachable in min..max hops (minimal hop
     count per (start, end), matching path-existence semantics without
-    path multiplicity explosion)."""
+    path multiplicity explosion).
+
+    min_hops > 1 routes through :func:`var_length_paths` (exact
+    relationship-isomorphic enumeration) and dedups to the minimal
+    in-window hop count: the minimal-hop BFS below would DROP an
+    endpoint that is also reachable in fewer than min_hops hops
+    (diamond a->b, a->x->b with [*2..3] must still return b)."""
+    if min_hops > 1:
+        return (
+            var_length_paths(edges, start_ids, min_hops, max_hops, t, direction)
+            .groupBy("start_id", "id")
+            .agg(F.min("hops").alias("hops"))
+        )
     step = _edges_step(edges, t, direction)
     frontier = start_ids.select(
         F.col(start_ids.columns[0]).alias("start_id")

@@ -229,11 +229,19 @@ class Translator:
 
         if isinstance(q, A.Include):
             up = self._compile(q.inner, outs)
-            # cache: the stage is consumed twice (emitted + downstream)
-            if up.df is not None:
-                up.df.cache()
+            # the stage is consumed twice (emitted + downstream):
+            # materialize via lazy localCheckpoint, NOT .cache() — cache
+            # entries live in the CacheManager until explicitly
+            # unpersisted, so repeated Include queries on a long-lived
+            # session would accumulate executor storage without bound
+            # (ADVICE r1); checkpoint RDDs are GC-cleaned once the
+            # DataFrame is dropped
+            df = up.df
+            if df is not None:
+                df = df.localCheckpoint(eager=False)
+            up = QueryOutput(up.kind, df, up.count)
             outs.append(up)
-            return QueryOutput(up.kind, up.df, up.count)
+            return QueryOutput(up.kind, df, up.count)
 
         if isinstance(q, A.Count):
             up = self._compile(q.inner, outs)

@@ -138,8 +138,6 @@ def test_corpus_full_sequence(g):
     # -- 17. add a label
     out = g.cypher('MATCH (p:Person {id: "alice"}) SET p:Employee RETURN labels(p)')
     assert rows(out)[0][0] == ["Person", "Employee"]
-    # restore plain label for later steps matching on :Person exact label
-    g.cypher('MATCH (p {id: "alice"}) SET p.marker = 1')  # touch to keep shape
 
     # -- 18. REMOVE + RETURN sees it
     out = g.cypher('MATCH (p:Person {id: "bob"}) REMOVE p.score RETURN p')
@@ -184,8 +182,10 @@ def test_corpus_full_sequence(g):
         "collect(p.age) AS all_ages"
     )
     names, ages = rows(out)[0]
-    assert sorted(names) == ["Bob", "Diana"]  # alice is Person:Employee now
-    assert sorted(ages) == ["32", "35"]
+    # multi-label semantics (ADVICE r1 fix): alice is Person:Employee,
+    # and :Person matches label MEMBERSHIP, so she still matches here
+    assert sorted(names) == ["Alice", "Bob", "Diana"]
+    assert sorted(ages) == ["31", "32", "35"]
 
     # -- 25. UNWIND batch create with per-row property interpolation
     out = g.cypher(

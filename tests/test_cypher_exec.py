@@ -557,3 +557,101 @@ def test_union_statements(person_graph):
         "UNION ALL MATCH (p:Person {name: 'Bob'}) RETURN p.name AS name"
     )
     assert [r["name"] for r in df.collect()] == ["Bob", "Bob"]
+
+
+# ---------------------------------------------------------------- ADVICE r1
+
+
+def test_set_label_then_match_original_label(spark):
+    """ADVICE r1: after SET n:Extra the label column is 'City:Extra';
+    MATCH (n:City) must still find the node (element membership, not
+    whole-string equality), and MATCH (n:Extra) must too."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    g.cypher("CREATE (n:City {id: 'c1', name: 'Oslo'})")
+    g.cypher("MATCH (n:City) SET n:Extra")
+    assert g.vertices.collect()[0]["label"] == "City:Extra"
+    assert rows(g.cypher("MATCH (n:City) RETURN n.name")) == [("Oslo",)]
+    assert rows(g.cypher("MATCH (n:Extra) RETURN n.name")) == [("Oslo",)]
+    # no false positives on substrings of a label element
+    assert g.cypher("MATCH (n:Cit) RETURN n.name").count() == 0
+    assert g.cypher("MATCH (n:xtra) RETURN n.name").count() == 0
+
+
+def test_merge_rel_between_existing_nodes_no_duplicate_ids(spark):
+    """ADVICE r1: MERGE (a {id:'x'})-[:R]->(b {id:'y'}) where both
+    nodes exist but the edge doesn't must create ONLY the edge —
+    appending new vertex rows with the same ids would violate id
+    uniqueness and fan out every later join."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    g.cypher("CREATE (:N {id: 'x', name: 'X'})")
+    g.cypher("CREATE (:N {id: 'y', name: 'Y'})")
+    out = g.cypher("MERGE (a:N {id: 'x'})-[:R]->(b:N {id: 'y'})")
+    assert out["created_edges"] == 1
+    assert out["created_vertices"] == 0
+    assert g.vertices.count() == 2
+    assert g.vertices.select("id").distinct().count() == 2
+    # original properties survive (match wins over pattern props)
+    got = {r["id"]: r["properties"].get("name") for r in g.vertices.collect()}
+    assert got == {"x": "X", "y": "Y"}
+    # idempotent re-MERGE
+    g.cypher("MERGE (a:N {id: 'x'})-[:R]->(b:N {id: 'y'})")
+    assert g.vertices.count() == 2 and g.edges.count() == 1
+
+
+def test_create_existing_id_raises(spark):
+    """Plain CREATE with an existing explicit id mirrors reference
+    create_vertex (rdb/datastore.rs:261-270): error, never a silent
+    duplicate."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    g.cypher("CREATE (:P {id: 'dup'})")
+    with pytest.raises(CypherExecutionError):
+        g.cypher("CREATE (:P {id: 'dup'})")
+
+
+def test_regex_dynamic_pattern_column(spark):
+    """ADVICE r1: n.name =~ n.pat must evaluate the regex per row, not
+    silently compile an empty pattern."""
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)
+    g.cypher("CREATE (:D {id: 'd1', name: 'alpha', pat: 'al.*'})")
+    g.cypher("CREATE (:D {id: 'd2', name: 'beta', pat: 'al.*'})")
+    g.cypher("CREATE (:D {id: 'd3', name: 'gamma', pat: 'gam+a'})")
+    df = g.cypher(
+        "MATCH (n:D) WHERE n.name =~ n.pat RETURN n.name ORDER BY n.name"
+    )
+    assert rows(df) == [("alpha",), ("gamma",)]
+
+
+def test_set_large_match_no_driver_materialization(spark):
+    """VERDICT r1 item 3: SET over a large MATCH must flow through a
+    join, not a collect()-built isin of every matched id."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.session import GraphSession
+
+    n = 100_000
+    v = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("id"),
+        F.lit("Bulk").alias("label"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("properties"),
+    )
+    e = spark.createDataFrame(
+        [], "src string, relationship string, dst string, properties map<string,string>"
+    )
+    g = GraphSession(spark, v, e)
+    g.cypher("MATCH (n:Bulk) SET n.flag = '1'")
+    # correctness: every vertex patched
+    assert (
+        g.vertices.filter(F.col("properties").getItem("flag") == "1").count()
+        == n
+    )
+    # no 100k-literal isin in the plan (a join keeps the plan tiny)
+    plan = g.vertices._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000 and plan.count("v9999") <= 1

@@ -82,6 +82,31 @@ def test_var_length_expand(spark, chain_graph):
     assert got2 == {"c", "x", "d"}
 
 
+def test_var_length_expand_diamond_min_hops(spark):
+    """ADVICE r1: with min_hops>1, an endpoint ALSO reachable in fewer
+    hops must still match via its longer path (a->b, a->x->b, [*2..3]
+    returns b); minimal-hop pruning alone would drop it."""
+    e = spark.createDataFrame(
+        [("a", "E", "b", {}), ("a", "E", "x", {}), ("x", "E", "b", {})],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    starts = spark.createDataFrame([("a",)], "id string")
+    got = {
+        (r["id"]): r["hops"]
+        for r in T.var_length_expand(e, starts, 2, 3).collect()
+    }
+    assert got == {"b": 2}
+    # and with direction=both, the single edge a-b may NOT be bounced
+    # back over (relationship-isomorphism): a-[*2..2]-(b) for lone a->b
+    lone = spark.createDataFrame(
+        [("a", "E", "b", {})],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    assert (
+        T.var_length_expand(lone, starts, 2, 2, direction="both").count() == 0
+    )
+
+
 def test_connected_components(spark):
     edges = [("a", "E", "b"), ("b", "E", "c"), ("p", "E", "q")]
     e = spark.createDataFrame(
