@@ -30,6 +30,15 @@ def _configure(spark: SparkSession) -> SparkSession:
         # the default 200 shuffle partitions means 200-task stages on
         # kB-sized test shuffles — pure scheduler overhead at gate SFs
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # let AQE coalesce small shuffles by SIZE, not parallelism —
+        # otherwise every tiny shuffle still launches ~32 tasks
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 << 20)
+        )
     except Exception:
         pass  # immutable conf on some deployments; sources handle both
     return spark

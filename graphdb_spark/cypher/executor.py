@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from graphdb_spark import plans as P
 from graphdb_spark.cypher.parser import CypherSyntaxError, parse_cypher
-from graphdb_spark.datamodel import normalize_properties, stringify_value
+from graphdb_spark.datamodel import (
+    local_df,
+    normalize_properties,
+    stringify_value,
+)
 from graphdb_spark.operators import mutations as M
 from graphdb_spark.operators import traversal as T
 
@@ -880,7 +884,8 @@ class _Executor:
             direction=direction,
         )
         pv = pat.path_var or self._fresh("_path")
-        row_df = self.g.spark.createDataFrame(
+        row_df = local_df(
+            self.g.spark,
             [(path,)] if path is not None else [],
             f"{pv} array<string>",
         )
@@ -953,14 +958,14 @@ class _Executor:
             vals = uc.expr.value
             if all(isinstance(v, dict) for v in vals) and vals:
                 rows = [(normalize_properties(v),) for v in vals]
-                df = self.g.spark.createDataFrame(
-                    rows, f"{uc.var} map<string,string>"
+                df = local_df(
+                    self.g.spark, rows, f"{uc.var} map<string,string>"
                 )
             else:
-                df = self.g.spark.createDataFrame(
-                    [(v,) for v in vals], f"{uc.var} string"
+                df = local_df(
+                    self.g.spark, [(v,) for v in vals], f"{uc.var} string"
                 ) if all(isinstance(v, str) for v in vals) else (
-                    self.g.spark.createDataFrame([(v,) for v in vals], [uc.var])
+                    local_df(self.g.spark, [(v,) for v in vals], [uc.var])
                 )
             self.scalar_vars.add(uc.var)
             self.binding = (
@@ -1104,7 +1109,8 @@ class _Executor:
                 new_edges.append((src, rel.types[0], dst, dict(rel.properties)))
                 prev = nxt
         if new_vertices:
-            new_df = self.g.spark.createDataFrame(
+            new_df = local_df(
+                self.g.spark,
                 [(i, l, normalize_properties(p)) for i, l, p in new_vertices],
                 "id string, label string, properties map<string,string>",
             )

@@ -65,9 +65,17 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         .join(out_deg.withColumnRenamed("id", "src"), "src")
         .localCheckpoint(eager=True)
     )
+    # links/ranks are checkpoint-RDDs without size stats — Spark would
+    # shuffle the full link table every iteration; the rank table is
+    # exactly n rows, so broadcast it while provably small
+    from graphdb_spark.operators.traversal import _maybe_broadcast
+
     for i in range(iterations):
         contribs = (
-            links.join(ranks.withColumnRenamed("id", "src"), "src")
+            links.join(
+                _maybe_broadcast(ranks.withColumnRenamed("id", "src"), n),
+                "src",
+            )
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("out_degree")).alias("c"),
@@ -75,7 +83,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = verts.join(contribs, "id", "left").select(
+        new_ranks = verts.join(_maybe_broadcast(contribs, n), "id", "left").select(
             "id",
             (
                 F.lit(1 - damping)
@@ -230,13 +238,24 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = und.select("id").distinct().withColumn("community", F.col("id"))
+    from graphdb_spark.operators.traversal import _maybe_broadcast
+
+    labels = (
+        und.select("id").distinct().withColumn("community", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    n_labels = labels.count()
     w = Window.partitionBy("id").orderBy(
         F.desc("votes"), F.asc("community")
     )
     for _ in range(max_iter):
         votes = (
-            und.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            und.join(
+                _maybe_broadcast(
+                    labels.withColumnRenamed("id", "nbr"), n_labels
+                ),
+                "nbr",
+            )
             .groupBy("id", "community")
             .agg(F.count(F.lit(1)).alias("votes"))
         )

@@ -108,12 +108,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
-                           min_est: float = 0.0) -> DataFrame:
+                           min_est: float = 0.0,
+                           sig: DataFrame | None = None) -> DataFrame:
     """MinHash LSH: band the 16-slot signature into 4 bands of 4; any
     pair sharing a band key is a candidate; estimated similarity =
     fraction of agreeing signature slots. At scale the band join
-    touches only colliding buckets (no cross join anywhere)."""
-    sig = minhash_signatures(docs, text_col, id_col, k).cache()
+    touches only colliding buckets (no cross join anywhere).
+
+    ``sig``: optionally a precomputed signature table (the
+    sketch-store pattern — real pipelines persist per-doc minhash
+    signatures once and reuse them across dedup jobs); when absent the
+    signatures are computed and materialized here (localCheckpoint,
+    GC-reclaimed — a bare .cache() would pin executor storage until an
+    explicit unpersist)."""
+    if sig is None:
+        sig = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(
+            eager=False
+        )
     mh_cols = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
     # explode bands into (band_key, doc) rows and self-join ONCE on the
     # key — one shuffle instead of N_BANDS joins + union + dedup; the
@@ -251,7 +262,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 def near_dup_clusters(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       min_est: float = 0.25,
-                      max_iter: int = 20) -> DataFrame:
+                      max_iter: int = 20,
+                      sig: DataFrame | None = None) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs above
     ``min_est`` become edges; connected components via iterative min-id
     propagation; canonical doc = smallest doc_id in the cluster.
@@ -264,7 +276,7 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
     deterministic and replayable as a recursive SQL closure. Scale
     shape: candidate edges only (never all-pairs); each iteration is
     one equi-join + grouped min."""
-    pairs = minhash_lsh_candidates(docs, text_col, id_col, k).filter(
+    pairs = minhash_lsh_candidates(docs, text_col, id_col, k, sig=sig).filter(
         F.col("est_jaccard") >= min_est
     )
     sym = (
@@ -272,31 +284,53 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
         .unionByName(
             pairs.select(F.col("doc_b").alias("id"), F.col("doc_a").alias("nbr"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    labels = sym.select("id").distinct().withColumn("canonical", F.col("id"))
+    # labels/sym are checkpoint-RDD-backed (no size stats): Spark would
+    # SMJ-shuffle both sides every iteration. Label tables are bounded
+    # by the duplicate-doc count — broadcast them while provably small,
+    # and right-size the checkpointed partitions to the measured counts
+    # (same adaptive rules as operators.traversal).
+    from graphdb_spark.operators.traversal import _maybe_broadcast, _rightsize
+
+    sym = _rightsize(sym, sym.count())
+    # iteration 0 fused into the init: label = min(id, min neighbor) —
+    # one grouped agg instead of identity labels + a full join round
+    labels = (
+        sym.groupBy("id")
+        .agg(F.least(F.col("id"), F.min("nbr")).alias("canonical"))
+        .localCheckpoint(eager=False)
+    )
+    n_labels = labels.count()
+    labels = _rightsize(labels, n_labels)
     for _ in range(max_iter):
         prop = (
-            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            sym.join(
+                _maybe_broadcast(
+                    labels.withColumnRenamed("id", "nbr"), n_labels
+                ),
+                "nbr",
+            )
             .groupBy("id")
             .agg(F.min("canonical").alias("nmin"))
         )
+        prop = _maybe_broadcast(prop, n_labels)  # ≤ one row per id
+        # carry a changed flag (min-propagation only lowers labels), so
+        # ONE lazy-checkpoint + count job both materializes the
+        # iteration and answers convergence — the old eager checkpoint
+        # + self-join diff + isEmpty was 2 jobs and an extra shuffle
+        nxt = F.least(F.col("canonical"), F.coalesce("nmin", F.col("canonical")))
         new_labels = (
             labels.join(prop, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("canonical"), F.coalesce("nmin", F.col("canonical"))
-                ).alias("canonical"),
+                nxt.alias("canonical"),
+                (nxt < F.col("canonical")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.canonical") != F.col("o.canonical"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        n_changed = new_labels.filter(F.col("__chg")).count()
+        labels = _rightsize(new_labels, n_labels).drop("__chg")
+        if n_changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), "canonical")

@@ -54,19 +54,49 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_image_bytes(payload: bytes, fake: bool):
-    """STUB: real decode needs PIL/opencv (absent in this container).
-    fake=True → deterministic pseudo-decode from md5(payload)."""
-    if not fake:
+    """Real decode via PIL when importable (width/height, 8×8 average-
+    hash as phash, 16-dim grayscale block-mean embedding — all
+    deterministic); fake=True → deterministic pseudo-decode from
+    md5(payload). Without PIL and without fake, raises — never a
+    silent wrong answer."""
+    if fake:
+        h = hashlib.md5(payload or b"").digest()
+        width = 64 + h[0]
+        height = 64 + h[1]
+        phash = int.from_bytes(h[2:10], "big", signed=True)
+        emb = [((b / 255.0) - 0.5) for b in h]  # 16-dim fake embedding
+        return width, height, phash, emb
+    Image = _pil()
+    if Image is None:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv; pass fake=True for the "
-            "deterministic test decoder"
+            "image decoding requires PIL (pillow); pass fake=True for "
+            "the deterministic test decoder"
         )
-    h = hashlib.md5(payload or b"").digest()
-    width = 64 + h[0]
-    height = 64 + h[1]
-    phash = int.from_bytes(h[2:10], "big", signed=True)
-    emb = [((b / 255.0) - 0.5) for b in h]  # 16-dim fake embedding
+    import io
+
+    img = Image.open(io.BytesIO(payload or b""))
+    width, height = img.size
+    gray = img.convert("L")
+    # 8x8 average hash
+    small = list(gray.resize((8, 8)).getdata())
+    mean = sum(small) / 64.0
+    bits = 0
+    for px in small:
+        bits = (bits << 1) | (1 if px >= mean else 0)
+    phash = bits - (1 << 64) if bits >= (1 << 63) else bits
+    # 4x4 block-mean embedding, centered to [-0.5, 0.5)
+    blocks = list(gray.resize((4, 4)).getdata())
+    emb = [(px / 255.0) - 0.5 for px in blocks]
     return width, height, phash, emb
 
 

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphdb_spark import algebra as A
-from graphdb_spark.datamodel import normalize_properties, stringify_value
+from graphdb_spark.datamodel import (
+    local_df,
+    normalize_properties,
+    stringify_value,
+)
 from graphdb_spark.session import GraphSession
 
 
@@ -39,14 +43,14 @@ class InvalidEdgeError(ValueError):
 
 
 def _vrow(spark, vid, label, props):
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(vid, label, normalize_properties(props))],
         "id string, label string, properties map<string,string>",
     )
 
 
 def _erow(spark, src, rel, dst, props):
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(src, rel, dst, normalize_properties(props))],
         "src string, relationship string, dst string, properties map<string,string>",
     )
@@ -204,15 +208,16 @@ def bulk_insert(g: GraphSession, vertices: list[tuple] | None = None,
     if vertices:
         rows = [(i, l, normalize_properties(p)) for i, l, p in vertices]
         v = v.unionByName(
-            g.spark.createDataFrame(
-                rows, "id string, label string, properties map<string,string>"
+            local_df(
+                g.spark, rows,
+                "id string, label string, properties map<string,string>",
             )
         )
     if edges:
         rows = [(s, r, d, normalize_properties(p)) for s, r, d, p in edges]
         e = e.unionByName(
-            g.spark.createDataFrame(
-                rows,
+            local_df(
+                g.spark, rows,
                 "src string, relationship string, dst string, "
                 "properties map<string,string>",
             )

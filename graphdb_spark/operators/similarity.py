@@ -135,27 +135,59 @@ def lsh_bucket_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, n_cells: int,
+                     vec_col: str = "embedding", seed: int = 42,
+                     max_iter: int = 20) -> DataFrame:
+    """Learned IVF centroids via pyspark.ml KMeans (fixed seed —
+    deterministic for a given partitioning). Fit on L2-NORMALIZED
+    vectors (spherical k-means): cell assignment downstream is by
+    cosine, and Euclidean k-means on the unit sphere is the consistent
+    objective — fitting raw vectors optimizes the wrong metric and
+    measurably hurts recall. Returns (cid, cvec)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = F.col(vec_col).cast("array<double>")
+    unit = F.transform(vec, lambda x: x / _norm(vec))
+    data = embeddings.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(data)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        centers, "cid bigint, cvec array<double>"
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_cells: int = 16, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroid_mode: str = "deterministic") -> DataFrame:
     """IVF (inverted-file) ANN: every vector is coarse-quantized to its
     nearest centroid cell; a query probes its ``n_probe`` nearest cells
     and scores exactly only within them — the classic FAISS-style scale
     path (cells shrink the candidate set by ~n_cells/n_probe).
 
-    Centroids here are the vectors with id < n_cells (deterministic and
-    replayable in the SQL oracle); at real scale you'd k-means them —
-    the assignment/probe/score mechanics are identical and that's what
-    this operator exercises. Cell assignment is a broadcast cross-join
-    (N × n_cells) + windowed argmax; ties broken by centroid id."""
+    centroid_mode:
+    - "deterministic": centroids are the vectors with id < n_cells —
+      replayable bit-for-bit in the SQL oracle (the correctness gate).
+    - "kmeans": pyspark.ml KMeans centroids (fixed seed) — the quality
+      path; better-balanced cells mean higher recall at the same
+      n_probe (see test_similarity recall comparison).
+    Assignment/probe/score mechanics are identical in both modes. Cell
+    assignment is a broadcast cross-join (N × n_cells) + windowed
+    argmax; ties broken by centroid id."""
     from pyspark.sql.window import Window
 
     emb = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    cents = emb.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cid"), F.col("vec").alias("cvec")
-    )
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(embeddings, n_cells, vec_col)
+    else:
+        cents = emb.filter(F.col("vid") < n_cells).select(
+            F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+        )
     scored_cells = emb.crossJoin(F.broadcast(cents)).select(
         "vid", "vec", "cid",
         F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("ccos"),

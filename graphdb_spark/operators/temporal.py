@@ -19,6 +19,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from graphdb_spark.datamodel import local_df
+
 
 @dataclass(frozen=True)
 class TimeWindow:
@@ -46,7 +48,8 @@ class ChangeLog:
 
     @classmethod
     def from_rows(cls, spark, rows: list[tuple]) -> "ChangeLog":
-        df = spark.createDataFrame(
+        df = local_df(
+            spark,
             rows,
             "timestamp timestamp, kind string, entity_id string, "
             "src string, dst string, "

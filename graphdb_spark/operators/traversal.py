@@ -26,7 +26,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from graphdb_spark.datamodel import local_df
+
 CHECKPOINT_EVERY = 3
+
+# Frontiers/visited sets live in localCheckpoint RDDs, which carry NO
+# size statistics — Spark assumes worst-case size and plans a
+# SortMergeJoin that SHUFFLES THE FULL EDGE TABLE every hop (measured:
+# 10× the broadcast plan at sf0.1). We know the exact frontier count
+# from the per-hop probe job, so hint broadcast while it's provably
+# small and fall back to the shuffle join only when it genuinely grows
+# past what an executor should hold (the AQE decision, made with
+# better information).
+BROADCAST_MAX_ROWS = 2_000_000
+
+# ~1M narrow rows per partition keeps partitions in the tens-of-MB
+# range; checkpointed frontiers inherit the shuffle partition count
+# (localCheckpoint bypasses AQE coalescing), so a 10-row frontier
+# would otherwise occupy 32 near-empty partitions and every broadcast
+# build / rescan would pay 32 task launches for nothing.
+ROWS_PER_PARTITION = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, rows: int) -> DataFrame:
+    return F.broadcast(df) if rows <= BROADCAST_MAX_ROWS else df
+
+
+def _rightsize(df: DataFrame, rows: int) -> DataFrame:
+    """Coalesce a just-materialized (checkpointed) DataFrame to a
+    partition count matching its MEASURED size — a narrow op over the
+    cached blocks, no shuffle, no job."""
+    cur = df.rdd.getNumPartitions()
+    want = max(1, min(cur, rows // ROWS_PER_PARTITION + 1))
+    return df.coalesce(want) if want < cur else df
 
 
 def _edges_step(edges: DataFrame, t: str | None, direction: str) -> DataFrame:
@@ -47,25 +79,38 @@ def bfs(edges: DataFrame, start_id: str, max_depth: int = 5,
     max_depth hops of start_id, depth = first (minimal) hop count."""
     spark = edges.sparkSession
     step = _edges_step(edges, t, direction)
-    visited = spark.createDataFrame([(start_id, 0)], "id string, depth int")
+    visited = local_df(spark, [(start_id, 0)], "id string, depth int")
     frontier = visited
+    n_frontier, n_visited = 1, 1
     for depth in range(1, max_depth + 1):
         nxt = (
             step.join(
-                frontier.select(F.col("id").alias("from")), "from", "inner"
+                _maybe_broadcast(
+                    frontier.select(F.col("id").alias("from")), n_frontier
+                ),
+                "from",
+                "inner",
             )
             .select(F.col("to").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(
+                _maybe_broadcast(visited.select("id"), n_visited),
+                "id",
+                "left_anti",
+            )
             .withColumn("depth", F.lit(depth))
         )
-        # eager checkpoint each frontier: it is consumed three times
-        # (isEmpty probe, visited union, next hop's join) — without
-        # materialization every consumer recomputes the whole prefix
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # lazy checkpoint + count: ONE job both materializes the
+        # frontier (consumed twice more: visited union, next hop's
+        # join) and answers the emptiness probe — an eager checkpoint
+        # plus a separate isEmpty() would be two jobs per depth
+        nxt = nxt.localCheckpoint(eager=False)
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
+        nxt = _rightsize(nxt, n_frontier)
         visited = visited.unionByName(nxt)
+        n_visited += n_frontier
         frontier = nxt
     return visited
 
@@ -81,31 +126,39 @@ def shortest_path(edges: DataFrame, src_id: str, dst_id: str,
     path (min over array<string> comparison)."""
     spark = edges.sparkSession
     step = _edges_step(edges, t, direction)
-    frontier = spark.createDataFrame(
-        [(src_id, [src_id])], "id string, path array<string>"
+    frontier = local_df(
+        spark, [(src_id, [src_id])], "id string, path array<string>"
     )
     visited = frontier.select("id")
+    n_frontier, n_visited = 1, 1
     if src_id == dst_id:
         return [src_id]
     for depth in range(1, max_depth + 1):
         expanded = (
-            step.join(frontier.withColumnRenamed("id", "from"), "from", "inner")
+            step.join(
+                _maybe_broadcast(
+                    frontier.withColumnRenamed("id", "from"), n_frontier
+                ),
+                "from",
+                "inner",
+            )
             .select(
                 F.col("to").alias("id"),
                 F.concat(F.col("path"), F.array(F.col("to"))).alias("path"),
             )
-            .join(visited, "id", "left_anti")
+            .join(_maybe_broadcast(visited, n_visited), "id", "left_anti")
             .groupBy("id")
             .agg(F.min("path").alias("path"))
+            .localCheckpoint(eager=False)
         )
-        if depth % CHECKPOINT_EVERY == 0:
-            expanded = expanded.localCheckpoint(eager=True)
         hit = expanded.filter(F.col("id") == dst_id).select("path").collect()
         if hit:
             return list(hit[0][0])
-        if expanded.isEmpty():
+        n_frontier = expanded.count()  # cheap: checkpoint materialized
+        if n_frontier == 0:
             return None
         visited = visited.unionByName(expanded.select("id")).distinct()
+        n_visited += n_frontier
         frontier = expanded
     return None
 
@@ -133,23 +186,38 @@ def var_length_expand(edges: DataFrame, start_ids: DataFrame,
     frontier = start_ids.select(
         F.col(start_ids.columns[0]).alias("start_id")
     ).withColumn("id", F.col("start_id")).withColumn("hops", F.lit(0))
+    frontier = frontier.localCheckpoint(eager=False)
+    n_frontier = frontier.count()
     visited = frontier.select("start_id", "id", "hops")
+    n_visited = n_frontier
     for depth in range(1, max_hops + 1):
         nxt = (
             step.join(
-                frontier.select("start_id", F.col("id").alias("from")),
+                _maybe_broadcast(
+                    frontier.select("start_id", F.col("id").alias("from")),
+                    n_frontier,
+                ),
                 "from",
                 "inner",
             )
             .select("start_id", F.col("to").alias("id"))
             .distinct()
-            .join(visited.select("start_id", "id"), ["start_id", "id"], "left_anti")
+            .join(
+                _maybe_broadcast(
+                    visited.select("start_id", "id"), n_visited
+                ),
+                ["start_id", "id"],
+                "left_anti",
+            )
             .withColumn("hops", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)  # consumed 3x, see bfs()
-        if nxt.isEmpty():
+        nxt = nxt.localCheckpoint(eager=False)  # 1 job: materialize+probe
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
+        nxt = _rightsize(nxt, n_frontier)
         visited = visited.unionByName(nxt)
+        n_visited += n_frontier
         frontier = nxt
     return visited.filter(
         (F.col("hops") >= min_hops) & (F.col("hops") <= max_hops)
@@ -240,11 +308,17 @@ def var_length_paths(edges: DataFrame, start_ids: DataFrame,
             empty_arr.alias("ekeys"),
         )
     )
+    frontier = frontier.localCheckpoint(eager=False)
+    n_frontier = frontier.count()
     results: list[DataFrame] = []
     for depth in range(1, max_hops + 1):
         frontier = (
             step.join(
-                frontier.withColumnRenamed("id", "from"), "from", "inner"
+                _maybe_broadcast(
+                    frontier.withColumnRenamed("id", "from"), n_frontier
+                ),
+                "from",
+                "inner",
             )
             # no edge reuse within a path
             .filter(~F.arrays_overlap(F.col("ekeys"), F.array(F.col("ekey"))))
@@ -255,17 +329,19 @@ def var_length_paths(edges: DataFrame, start_ids: DataFrame,
                 F.concat("rels", F.array(F.col("rel"))).alias("rels"),
                 F.concat("ekeys", F.array(F.col("ekey"))).alias("ekeys"),
             )
-            .localCheckpoint(eager=True)  # consumed 2x/hop, see bfs()
+            .localCheckpoint(eager=False)  # 1 job: materialize+probe
         )
-        if frontier.isEmpty():
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
+        frontier = _rightsize(frontier, n_frontier)
         if depth >= min_hops:
             results.append(frontier.withColumn("hops", F.lit(depth)))
     spark = edges.sparkSession
     schema = ("start_id string, id string, path array<string>, "
               "rels array<string>, hops int")
     if not results:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     res = results[0]
     for r in results[1:]:
         res = res.unionByName(r)
@@ -298,35 +374,44 @@ def all_shortest_paths(edges: DataFrame, src_id: str, dst_id: str,
     )
     empty_schema = "path array<string>, rels array<string>, hops int"
     if src_id == dst_id:
-        return spark.createDataFrame([([src_id], [], 0)], empty_schema)
-    frontier = spark.createDataFrame(
-        [(src_id, [src_id], [])],
+        return local_df(spark, [([src_id], [], 0)], empty_schema)
+    frontier = local_df(
+        spark, [(src_id, [src_id], [])],
         "id string, path array<string>, rels array<string>",
     )
     visited = frontier.select("id")
+    n_frontier, n_visited = 1, 1
     for depth in range(1, max_depth + 1):
         expanded = (
-            step.join(frontier.withColumnRenamed("id", "from"), "from", "inner")
+            step.join(
+                _maybe_broadcast(
+                    frontier.withColumnRenamed("id", "from"), n_frontier
+                ),
+                "from",
+                "inner",
+            )
             .select(
                 F.col("to").alias("id"),
                 F.concat("path", F.array(F.col("to"))).alias("path"),
                 F.concat("rels", F.array(F.col("rel"))).alias("rels"),
             )
-            .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(_maybe_broadcast(visited, n_visited), "id", "left_anti")
+            .localCheckpoint(eager=False)
         )
+        n_frontier = expanded.count()
         hits = expanded.filter(F.col("id") == dst_id)
-        if not hits.isEmpty():
+        if not hits.isEmpty():  # cheap: checkpoint materialized
             return hits.select("path", "rels", F.lit(depth).alias("hops"))
-        if expanded.isEmpty():
+        if n_frontier == 0:
             break
         visited = (
             visited.unionByName(expanded.select("id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_visited += n_frontier
         frontier = expanded
-    return spark.createDataFrame([], empty_schema)
+    return local_df(spark, [], empty_schema)
 
 
 def connected_components_large(edges: DataFrame, max_iter: int = 30) -> DataFrame:

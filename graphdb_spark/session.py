@@ -22,6 +22,7 @@ from graphdb_spark.datamodel import (
     VERTEX_SCHEMA,
     empty_edges,
     empty_vertices,
+    local_df,
 )
 from graphdb_spark.translator import NotIndexedError, QueryOutput, Translator
 
@@ -47,7 +48,17 @@ def build_spark(app_name: str = "graphdb_spark", master: str | None = None,
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing: without this AQE keeps ~defaultParallelism
+        # partitions even for kB-sized shuffles — hundreds of no-op tasks
+        # per small query; with it, partition count follows data volume
+        # (the behavior you want at every scale; Spark docs recommend it)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64 MB dimension tables are comfortably broadcastable on any
+        # sane executor; the 10 MB default forces shuffle joins for
+        # mid-size vertex/dim tables that fit in memory many times over
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata's events.ts is parquet TIMESTAMP(NANOS) which
         # Spark rejects by default; read as long, normalized in sources.tpch
@@ -66,13 +77,14 @@ class GraphSession:
         self.spark = spark
         self._v = vertices if vertices is not None else empty_vertices(spark)
         self._e = edges if edges is not None else empty_edges(spark)
-        self._kv = spark.createDataFrame([], "key string, value string")
+        self._kv = local_df(spark, [], "key string, value string")
         # index_property registry: we never *need* indexes (scans + pushdown
         # replace them) but keep the API + a strict conformance mode in which
         # unindexed property queries raise like the reference
         # (rdb/datastore.rs:82-100, tests/indexing.rs:32-48).
         self.strict_indexing = strict_indexing
         self._indexed: set[str] = set()
+        self._mutation_count = 0
         self._register_views()
 
     # ------------------------------------------------------------ state
@@ -98,18 +110,28 @@ class GraphSession:
                   kv: DataFrame | None = None):
         """Swap in new state after a mutation (read-your-writes).
 
-        Each swap localCheckpoints the new state (lazily): without
-        this, chained mutations build an ever-deeper union/join lineage
-        and every later query re-evaluates the whole mutation history —
-        the SURVEY §7.3 'mutations on immutable data' hazard. At
+        Every few swaps the new state is localCheckpointed (lazily):
+        without periodic cuts, chained mutations build an ever-deeper
+        union/join lineage and every later query re-evaluates the whole
+        mutation history — the SURVEY §7.3 'mutations on immutable
+        data' hazard. Checkpointing EVERY swap would instead copy the
+        full table per mutation (a bulk append of 10k rows re-
+        materializing 10^8 resident rows); every 3rd keeps lineage
+        depth bounded at the cost of re-running ≤2 cheap deltas. At
         production scale the same role is played by the Delta commit.
         """
+        self._mutation_count += 1
+        cut = self._mutation_count % 3 == 0
+
+        def _cp(df):
+            return df.localCheckpoint(eager=False) if cut else df
+
         if vertices is not None:
-            self._v = vertices.localCheckpoint(eager=False)
+            self._v = _cp(vertices)
         if edges is not None:
-            self._e = edges.localCheckpoint(eager=False)
+            self._e = _cp(edges)
         if kv is not None:
-            self._kv = kv.localCheckpoint(eager=False)
+            self._kv = _cp(kv)
         self._register_views()
         return self
 
@@ -286,7 +308,7 @@ class GraphSession:
 
     def kv_insert(self, key: str, value: str):
         """storage_engine.rs:1233-1239 insert; last-writer-wins."""
-        new = self.spark.createDataFrame([(key, value)], "key string, value string")
+        new = local_df(self.spark, [(key, value)], "key string, value string")
         merged = self._kv.filter(F.col("key") != key).unionByName(new)
         return self.set_state(kv=merged)
 
@@ -306,7 +328,7 @@ class GraphSession:
         return self.set_state(
             vertices=empty_vertices(self.spark),
             edges=empty_edges(self.spark),
-            kv=self.spark.createDataFrame([], "key string, value string"),
+            kv=local_df(self.spark, [], "key string, value string"),
         )
 
 

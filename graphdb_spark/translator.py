@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from graphdb_spark import algebra as A
 from graphdb_spark.datamodel import stringify_value
+from graphdb_spark.datamodel import local_df
 
 
 @dataclass
@@ -76,7 +77,7 @@ class Translator:
         out = self.run(q)[-1]
         if out.kind == A.OutputType.COUNT:
             spark = self.v.sparkSession
-            return spark.createDataFrame([(out.count,)], "count bigint")
+            return local_df(spark, [(out.count,)], "count bigint")
         return out.df
 
     # ------------------------------------------------------------ core
@@ -129,7 +130,8 @@ class Translator:
 
         if isinstance(q, A.SpecificEdge):
             spark = E.sparkSession
-            probe = spark.createDataFrame(
+            probe = local_df(
+                spark,
                 list(q.edges) or [("", "", "")],
                 "src string, relationship string, dst string",
             )

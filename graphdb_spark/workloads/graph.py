@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from graphdb_spark.algebra import Q
 from graphdb_spark.session import GraphSession
 from graphdb_spark.sources.tpch import tpch_graph
+from graphdb_spark.datamodel import local_df
 
 _GRAPH_CACHE: dict = {}
 
@@ -22,7 +23,13 @@ _GRAPH_CACHE: dict = {}
 def graph_session(spark, sf_dir) -> GraphSession:
     """Memoized per sf_dir; vertices/edges cached for repeated queries
     (the reference keeps the graph resident in its daemons — our
-    equivalent is a cached DataFrame pair)."""
+    equivalent is a cached DataFrame pair).
+
+    The cache keeps its natural ~parallelism partitioning: compute-
+    bound scans (multi-hop joins, distincts) want the full core count;
+    measured at sf0.1, shrinking the cache to byte-sized partitions
+    made every compute query 3-4× slower for a ~0.1 s/task saving on
+    the tiny ones."""
     key = (id(spark.sparkContext), sf_dir)
     if key not in _GRAPH_CACHE:
         v, e = tpch_graph(spark, sf_dir)
@@ -169,7 +176,7 @@ def g_two_hop_count(spark, sf_dir):
         .count()
     )
     n = g.get(q)[-1].count
-    return spark.createDataFrame([(n,)], "n bigint")
+    return local_df(spark, [(n,)], "n bigint")
 
 
 G_TWO_HOP_SQL = """
@@ -229,7 +236,8 @@ def g_property_presence(spark, sf_dir):
     without_seg = g.get(
         Q.range_vertices(t="order").without_property("mktsegment").count()
     )[-1].count
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [("with_segment", with_seg), ("orders_without_segment", without_seg)],
         "bucket string, n bigint",
     )
@@ -382,8 +390,8 @@ def g_var_length_count(spark, sf_dir):
     from graphdb_spark.operators.traversal import var_length_expand
 
     g = graph_session(spark, sf_dir)
-    starts = spark.createDataFrame(
-        [(f"c_{i}",) for i in range(1, 6)], "id string"
+    starts = local_df(
+        spark, [(f"c_{i}",) for i in range(1, 6)], "id string"
     )
     return (
         var_length_expand(g.edges, starts, 1, 2, direction="out")

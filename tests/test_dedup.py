@@ -136,3 +136,35 @@ def test_near_dup_clusters(spark):
     assert labels[1] == labels[2] == 1
     assert labels.get(3, 1) == 1  # banding usually catches the near-dup
     assert 9 not in labels
+
+
+def test_ivf_kmeans_centroids_recall(spark, sf_dir):
+    """KMeans-centroid IVF (quality path) vs deterministic-centroid
+    IVF (oracle path): same probe budget, recall@5 against brute force
+    must not degrade — learned, balanced cells should match or beat
+    arbitrary id<n_cells centroids."""
+    from graphdb_spark.operators.similarity import cosine_topk, ivf_topk
+    from graphdb_spark.sources.tpch import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    # query ids well away from 0..n_cells: in deterministic mode those
+    # ids ARE the centroids, and a query probing its own cell scores a
+    # biased, trivially-high recall
+    qids = [50, 150, 250, 350, 450]
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(e, qids, k=5).collect()
+    }
+
+    def recall(mode):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                e, qids, k=5, n_cells=8, n_probe=2, centroid_mode=mode
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_det, r_km = recall("deterministic"), recall("kmeans")
+    assert r_km >= r_det, f"kmeans recall {r_km} < deterministic {r_det}"
+    assert r_km > 0.3, f"kmeans IVF recall suspiciously low: {r_km}"

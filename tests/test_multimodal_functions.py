@@ -116,3 +116,29 @@ def test_sql_statement_introspection():
     assert parse_statement_info("").kind == "empty"
     assert parse_statement_info("DROP TABLE t").kind == "unsupported"
     assert parse_statement_info("gibberish").kind == "unknown"
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="pillow not installed in this container",
+)
+def test_decode_images_real_png(spark):
+    """Real decode path: a genuine 2x3 red PNG through mapInPandas
+    (exercised only where pillow exists; the deterministic fake covers
+    the plumbing elsewhere)."""
+    import io
+
+    from PIL import Image
+
+    import graphdb_spark.operators.multimodal as MM
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 3), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(buf.getvalue()), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.decode_images(media, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (2, 3)
+    assert row["n_bytes"] > 0
+    assert len(row["embedding"]) == 16
