@@ -44,8 +44,14 @@ def build_spark(app_name: str = "graphdb_spark", master: str | None = None,
         b = b.master(f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # local-mode driver == the whole "cluster": the 1g default heap
+    # GC-thrashes (GCLocker retry crashes) on >SF0.1 shuffles; only
+    # effective before the JVM launches, so set it here, not per-query
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     return (
-        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # size-based coalescing: without this AQE keeps ~defaultParallelism
@@ -184,7 +190,27 @@ class GraphSession:
         return Translator(
             self._v, self._e,
             strict_indexing=self.strict_indexing, indexed=self._indexed,
+            hot_endpoints=getattr(self, "_hot_endpoints", None),
         )
+
+    def enable_skew_salting(self, threshold: int = 1000):
+        """Profile edge-endpoint skew (partitioning.hot_keys) and make
+        every subsequent pipe hop split super-node keys onto a
+        broadcast path (translator skew-aware hop). The hot-key lists
+        are tiny by definition (few keys exceed the threshold) and are
+        materialized once per call; re-call after heavy mutation."""
+        from graphdb_spark.partitioning import hot_keys
+
+        self._hot_endpoints = {}
+        for key in ("src", "dst"):
+            hk = (
+                hot_keys(self._e, key, threshold)
+                .select(F.col(key).alias("id"))
+                .localCheckpoint(eager=True)
+            )
+            if hk.count() > 0:
+                self._hot_endpoints[key] = hk
+        return self
 
     def sql(self, query: str) -> DataFrame:
         """SQL passthrough over the registered views (SURVEY.md §7 M5)."""

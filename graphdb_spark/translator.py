@@ -56,11 +56,15 @@ class Translator:
     """Compiles Query trees against a (vertices, edges) DataFrame pair."""
 
     def __init__(self, vertices: DataFrame, edges: DataFrame,
-                 strict_indexing: bool = False, indexed: set | None = None):
+                 strict_indexing: bool = False, indexed: set | None = None,
+                 hot_endpoints: dict | None = None):
         self.v = vertices
         self.e = edges
         self.strict_indexing = strict_indexing
         self.indexed = indexed if indexed is not None else set()
+        # skew profile: {"src": hot-src-id DF, "dst": hot-dst-id DF}
+        # (GraphSession.enable_skew_salting) — hops split hot keys out
+        self.hot_endpoints = hot_endpoints or {}
 
     # ------------------------------------------------------------ public
 
@@ -165,7 +169,27 @@ class Translator:
                 if small_frontier:
                     ids = F.broadcast(ids)
                 key = "src" if q.direction == A.Direction.OUT else "dst"
-                df = E.join(ids, E[key] == ids["id"], "left_semi")
+                hot = self.hot_endpoints.get(key)
+                if hot is not None and not small_frontier:
+                    # skew-aware hop (enable_skew_salting): a super-node
+                    # key would put its 10^n edge rows in ONE shuffle
+                    # partition. Split the frontier: the few hot ids go
+                    # through a BROADCAST semi-join (no partitioning of
+                    # the edge table by key at all — stronger than
+                    # salting for a semi-join, where the probe side is
+                    # just an id list), the cold tail through the
+                    # normal shuffle join. Union of disjoint halves.
+                    hot_ids = ids.join(F.broadcast(hot), "id", "left_semi")
+                    cold_ids = ids.join(F.broadcast(hot), "id", "left_anti")
+                    df = E.join(
+                        F.broadcast(hot_ids),
+                        E[key] == hot_ids["id"],
+                        "left_semi",
+                    ).unionByName(
+                        E.join(cold_ids, E[key] == cold_ids["id"], "left_semi")
+                    )
+                else:
+                    df = E.join(ids, E[key] == ids["id"], "left_semi")
                 if q.t is not None:
                     df = df.filter(F.col("relationship") == F.lit(q.t))
                 if q.limit is not None:
