@@ -135,6 +135,66 @@ def lsh_bucket_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
+                         n_bands: int = 2, band_planes: int = 6,
+                         dim: int = 64, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the vector-space twin
+    of MinHash-LSH dedup (reference scope: near-dup removal in a
+    training-data pipeline). Banded random-hyperplane LSH: each vector
+    gets one sign-bit bucket per band (bands use disjoint hyperplane
+    sets); any pair sharing a bucket in ANY band is a candidate; exact
+    cosine is computed only for candidates and kept when >= threshold.
+
+    Scale shape (the reason this isn't a crossJoin): one shuffle on
+    (band, bucket) for the self-join — quadratic only WITHIN buckets —
+    plus one pair-key dedup shuffle. Adding bands raises recall at
+    linear candidate cost, exactly like MinHash banding. Returns
+    (id_a, id_b, cos_sim) with id_a < id_b."""
+    planes = hyperplanes(dim, n_bands * band_planes)
+
+    def band_bits(vec, band):
+        bits = []
+        for i in range(band_planes):
+            plane = planes[band * band_planes + i]
+            arr = F.array(*[F.lit(c) for c in plane])
+            bits.append(
+                F.when(_dot(vec, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
+                * F.lit(2 ** i)
+            )
+        return sum(bits).cast("bigint")
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    keyed = emb.select(
+        "vid", "vec",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_bits(F.col("vec"), b).alias("bucket"))
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select("vid", "vec", F.col("bk.band").alias("band"),
+             F.col("bk.bucket").alias("bucket"))
+    a = keyed.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+                     "band", "bucket")
+    b = keyed.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+                     "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # same pair can collide in several bands — dedup BEFORE scoring
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def kmeans_centroids(embeddings: DataFrame, n_cells: int,
                      vec_col: str = "embedding", seed: int = 42,
                      max_iter: int = 20) -> DataFrame:

@@ -248,8 +248,59 @@ FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
 """
 
 
+def emb_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (banded hyperplane-LSH
+    candidates, exact cosine >= 0.35) — the vector twin of
+    dedup_minhash_lsh, ordered for determinism."""
+    e = _emb(spark, sf_dir)
+    return S.cosine_neardup_pairs(
+        e, threshold=0.35, n_bands=2, band_planes=6, dim=DIM
+    ).orderBy("id_a", "id_b")
+
+
+def _neardup_sql(threshold: float = 0.35, n_bands: int = 2,
+                 band_planes: int = 6) -> str:
+    planes = S.hyperplanes(DIM, n_bands * band_planes)
+    plane_lits = [
+        "[" + ", ".join(f"{c:.1f}" for c in row) + "]" for row in planes
+    ]
+
+    def bits(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_DOT.format(a='embedding', b=plane_lits[band * band_planes + i], dim=DIM)} >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i in range(band_planes)
+        )
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id AS vid, embedding AS vec, {b} AS band, "
+        f"CAST(({bits(b)}) AS BIGINT) AS bucket FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH keyed AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid
+), scored AS (
+  SELECT c.id_a, c.id_b,
+    ROUND({_DOT.format(a='ea.embedding', b='eb.embedding', dim=DIM)}
+      / (sqrt({_SQ_SUM.format(v='ea.embedding')}) * sqrt({_SQ_SUM.format(v='eb.embedding')})), 6)
+      AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= {threshold} ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
+    "emb_cosine_neardup": (emb_cosine_neardup, _neardup_sql()),
     "emb_norms": (emb_norms, EMB_NORMS_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _lsh_sql()),

@@ -1,5 +1,5 @@
-"""The driver-facing correctness-gate registry: 48 entries covering
-all 76 workload queries.
+"""The driver-facing correctness-gate registry: 49 entries covering
+all 77 workload queries.
 
 Round 1 evidence (CORRECTNESS_r01.json) shows the driver evaluates at
 most 50 ``queries()`` entries — it recorded exactly the first 50 of 76
@@ -181,6 +181,7 @@ def build_gate() -> dict:
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")
+    keep(E, "emb_cosine_neardup")
     suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist")
 
     assert len(gate) <= 50, f"driver gate cap exceeded: {len(gate)}"

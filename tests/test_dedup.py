@@ -168,3 +168,24 @@ def test_ivf_kmeans_centroids_recall(spark, sf_dir):
     r_det, r_km = recall("deterministic"), recall("kmeans")
     assert r_km >= r_det, f"kmeans recall {r_km} < deterministic {r_det}"
     assert r_km > 0.3, f"kmeans IVF recall suspiciously low: {r_km}"
+
+
+def test_cosine_neardup_pairs(spark):
+    """Embedding-cosine near-dup: planted near-duplicates land in the
+    same LSH buckets and survive the exact-cosine threshold; orthogonal
+    vectors never pair; output is (id_a < id_b, cos_sim)."""
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((90, [x + 0.01 for x in rows[0][1]]))   # near-dup of 0
+    rows.append((91, [x * 1.5 for x in rows[5][1]]))    # scaled dup of 5
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in S.cosine_neardup_pairs(
+               e, threshold=0.95, n_bands=2, band_planes=4, dim=16
+           ).collect()}
+    assert (0, 90) in got and got[(0, 90)] > 0.99
+    assert (5, 91) in got and got[(5, 91)] == 1.0   # scale-invariant
+    assert all(a < b for a, b in got)
+    assert all(v >= 0.95 for v in got.values())
