@@ -234,3 +234,74 @@ def test_change_stream_on_update_hook(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert seen and seen[-1][1:] == (2, 1)
+
+
+def test_continuous_query_view(spark, tmp_path):
+    """Streaming-native traversal: a pipe-algebra query re-evaluated
+    over the folded state per micro-batch, snapshot published to a
+    parquet view dir."""
+    import datetime as dt
+
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.streaming.graph_updates import (
+        change_stream_from_files,
+        continuous_query_view,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    src = str(tmp_path / "cqv_changes")
+    _mk_changes(spark, [
+        (t(1), "vertex", "upsert", "a", "Node", None, None, None, {}),
+        (t(1), "vertex", "upsert", "b", "Node", None, None, None, {}),
+        (t(1), "vertex", "upsert", "c", "Node", None, None, None, {}),
+        (t(2), "edge", "upsert", None, None, "a", "L", "b", {}),
+        (t(3), "edge", "upsert", None, None, "b", "L", "c", {}),
+    ]).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "cqv_view")
+    g = GraphSession(spark)
+    q = continuous_query_view(
+        g, change_stream_from_files(spark, src),
+        checkpoint_dir=str(tmp_path / "cqv_ckpt"),
+        query_fn=lambda g2: g2.df(
+            Q.specific_vertices("a").outbound().inbound()
+            .outbound().inbound()
+        ),
+        sink_dir=sink,
+    )
+    q.awaitTermination(120)
+    # two-hop traversal from 'a' over the streamed-in graph: reaches c
+    got = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {"c"}
+
+
+def test_incremental_degree_view(spark, tmp_path):
+    """Delta-maintained degrees from the change stream: running
+    totals reflect adds and deletes without any graph recompute."""
+    import datetime as dt
+
+    from graphdb_spark.streaming.graph_updates import (
+        change_stream_from_files,
+        incremental_degree_view,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    src = str(tmp_path / "idv_changes")
+    _mk_changes(spark, [
+        (t(1), "edge", "upsert", None, None, "a", "L", "b", {}),
+        (t(2), "edge", "upsert", None, None, "a", "L", "c", {}),
+        (t(3), "edge", "upsert", None, None, "b", "L", "c", {}),
+        (t(4), "edge", "delete", None, None, "a", "L", "b", {}),
+    ]).write.mode("overwrite").parquet(src)
+
+    deg = incremental_degree_view(change_stream_from_files(spark, src))
+    q = (
+        deg.writeStream.format("memory").queryName("idv")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: (r["out_degree"], r["in_degree"])
+           for r in spark.sql("SELECT * FROM idv").collect()}
+    # a->b was deleted: a keeps out=1 (a->c), b's in-degree nets to 0
+    assert got == {"a": (1, 0), "b": (1, 0), "c": (0, 2)}
