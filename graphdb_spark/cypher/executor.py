@@ -228,7 +228,22 @@ class _Executor:
                 var,
             )
 
+        # Reify the concrete path when the pattern has a path variable
+        # and exactly ONE var-length rel. Pure var-length patterns bind
+        # the traversal's (path, rels) arrays directly; MIXED patterns
+        # (fixed rels around the var-length one) compose the full-path
+        # arrays from the fixed hops' id/type columns plus the
+        # var-length segment (NOTES r1 gap: only single-rel patterns
+        # reified before).
+        n_varlen = sum(1 for r in pat.rels if r.min_hops is not None)
+        want_reify = bool(pat.path_var) and n_varlen == 1
+        mixed_reify = want_reify and len(pat.rels) > 1
+        path_nodes_parts: list = []
+        path_rel_parts: list = []
+
         df, cur = bind_node(pat.nodes[0], None)
+        if mixed_reify:
+            path_nodes_parts.append(F.array(F.col(f"{cur}__id")))
         for rel, node in zip(pat.rels, pat.nodes[1:]):
             if rel.min_hops is not None:
                 # var-length: expand (start,end,hops); no edge binding
@@ -237,8 +252,24 @@ class _Executor:
                     "both" if rel.undirected else ("in" if rel.incoming else "out")
                 )
                 base_edges = self._edge_base(rel) if rel.types else self.g.edges
-                reify = bool(pat.path_var) and len(pat.rels) == 1
-                if reify:
+                if mixed_reify:
+                    # pattern-order segment: path = [start, ..., end];
+                    # drop the leading start id (already contributed by
+                    # the preceding fixed hop), keep rel types whole
+                    reach = T.var_length_paths(
+                        base_edges, starts, rel.min_hops,
+                        rel.max_hops or 5, t=None, direction=direction,
+                    ).select(
+                        F.col("start_id").alias(f"{cur}__id__r"),
+                        F.col("id").alias("__end"),
+                        F.expr(
+                            "slice(path, 2, size(path) - 1)"
+                        ).alias("__seg_nodes"),
+                        F.col("rels").alias("__seg_rels"),
+                    )
+                    path_nodes_parts.append(F.col("__seg_nodes"))
+                    path_rel_parts.append(F.col("__seg_rels"))
+                elif want_reify:
                     # RETURN p for a var-length pattern: carry the
                     # concrete path (one row per relationship-path)
                     pv = pat.path_var
@@ -302,6 +333,23 @@ class _Executor:
             )
             df = df.join(esel, F.col(f"{cur}__id") == F.col(from_key), "inner")
             df, cur = bind_node(node, df, to_key)
+            if mixed_reify:
+                path_rel_parts.append(
+                    F.array(F.col(f"{evar}__relationship"))
+                )
+                path_nodes_parts.append(F.array(F.col(f"{cur}__id")))
+        if mixed_reify:
+            pv = pat.path_var
+            df = (
+                df.withColumn(f"{pv}__nodes", F.concat(*path_nodes_parts))
+                .withColumn(f"{pv}__rels", F.concat(*path_rel_parts))
+                .drop("__seg_nodes", "__seg_rels")
+            )
+            self.path_vars[pv] = {
+                "kind": "varlen",
+                "nodes": f"{pv}__nodes",
+                "rels": f"{pv}__rels",
+            }
         if pat.path_var and pat.path_var not in self.path_vars:
             self.path_vars[pat.path_var] = [n.var for n in pat.nodes if n.var]
         return df, set(nvars), set(evars)

@@ -1,0 +1,72 @@
+"""sf1 (10x sf0.1) parity spot-check — VERDICT r1 item 9.
+
+Runs the 15 TPC-H shapes + the dedup pipeline (+ the new
+embedding-cosine near-dup) on the synthesized sf1 dataset
+(scripts/make_sf1.py), Spark vs DuckDB on the same parquet, using the
+exact compare (row count + schema + canonicalized values) from the
+local gate replica. Proves the cross-engine exactness tricks
+(decimal-exact sums, portable hash, sequential-double dot products)
+hold at another 10x.
+
+Usage: python scripts/sf1_parity.py [sf_dir]   (default /tmp/sf1synth)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+TPCH = (
+    "q1_pricing_summary q3_shipping_topk q4_order_priority "
+    "q5_region_revenue q6_forecast_revenue q7_nation_volume "
+    "q10_returned_items q12_shipmode q13_order_distribution "
+    "q14_promo_revenue q15_top_supplier q17_small_qty_revenue "
+    "q18_large_volume q19_disjunctive_revenue q22_global_sales"
+).split()
+DEDUP = (
+    "dedup_exact dedup_minhash_lsh dedup_simhash dedup_simhash_pairs "
+    "dedup_ngram_jaccard dedup_cluster_canonical emb_cosine_neardup"
+).split()
+
+
+def main(sf_dir: str = "/tmp/sf1synth") -> int:
+    from test_oracle_parity import TABLES, compare
+
+    from graphdb_spark import workloads
+    from graphdb_spark.session import build_spark
+
+    spark = build_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = workloads.all_unpacked_queries()
+    oracles = workloads.all_unpacked_oracles()
+    failures = {}
+    for name in TPCH + DEDUP:
+        t0 = time.time()
+        try:
+            problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
+        except Exception as e:  # noqa: BLE001
+            problems = [f"exception: {type(e).__name__}: {e}"]
+        dt = time.time() - t0
+        status = "OK" if not problems else "FAIL"
+        print(f"{name:28s} {status:4s} {dt:7.2f}s"
+              + ("" if not problems else f"  {problems}"))
+        if problems:
+            failures[name] = problems
+    spark.stop()
+    print(f"\n{len(TPCH + DEDUP) - len(failures)}/{len(TPCH + DEDUP)} parity"
+          f" at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(*sys.argv[1:]))

@@ -655,3 +655,31 @@ def test_set_large_match_no_driver_materialization(spark):
     # no 100k-literal isin in the plan (a join keeps the plan tiny)
     plan = g.vertices._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 200_000 and plan.count("v9999") <= 1
+
+
+def test_mixed_fixed_varlen_path_reification(person_graph):
+    """MATCH p = (a)-[:KNOWS]->(b)-[*1..2]->(c) — a fixed rel AND a
+    var-length rel in one pattern now reify: nodes(p)/relationships(p)
+    compose the fixed hop with the var-length segment in pattern order
+    (r1 limitation: only single-rel patterns carried a concrete path)."""
+    df = person_graph.cypher(
+        "MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)-[*1..2]->(c) "
+        "RETURN c.name AS dest, nodes(p) AS ids, relationships(p) AS rels, "
+        "length(p) AS hops"
+    )
+    got = {(r["dest"], tuple(r["ids"]), tuple(r["rels"]), r["hops"])
+           for r in df.collect()}
+    # only bob has onward edges: alice-KNOWS->bob-WORKS_WITH->diana
+    assert got == {
+        ("Diana", ("alice", "bob", "diana"), ("KNOWS", "WORKS_WITH"), 2),
+    }
+    # var-length segment FIRST, fixed rel after
+    df2 = person_graph.cypher(
+        "MATCH p = (a {name: 'Alice'})-[*1..1]->(b)-[:WORKS_WITH]->(c) "
+        "RETURN nodes(p) AS ids, relationships(p) AS rels, length(p) AS hops"
+    )
+    got2 = {(tuple(r["ids"]), tuple(r["rels"]), r["hops"])
+            for r in df2.collect()}
+    assert got2 == {
+        (("alice", "bob", "diana"), ("KNOWS", "WORKS_WITH"), 2),
+    }
