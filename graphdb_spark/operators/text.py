@@ -135,3 +135,61 @@ def shingles(text: Column, k: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
     return F.array_distinct(sh)
+
+
+def chunk_texts(text: Column, k: int = 8) -> Column:
+    """Non-overlapping k-token chunks as array<string> — the
+    "paragraph" unit for line/passage-level dedup (CCNet-style
+    boilerplate removal). Pure array expressions: no explode, no
+    shuffle, until the caller chooses to explode for the corpus-wide
+    frequency count. The trailing partial chunk is kept (slice
+    truncates past the end on both engines)."""
+    toks = tokens(text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+
+
+def ngram_texts(text: Column, k: int = 8) -> Column:
+    """Sliding k-token n-grams (stride 1, NOT distinct) — the
+    contamination-check unit. Caller must filter token_count >= k;
+    shorter docs would yield one truncated gram."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+# ---- PII detection / redaction -------------------------------------
+# Patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): literal classes, bounded repeats,
+# \d and ASCII \b only — no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token); order matters for
+    # redaction (SSN before phone: both are digit-dash shapes)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (JVM regexp_extract_all)."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.size(
+        F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+    ).cast("bigint")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its type token, applying the
+    patterns in PII_PATTERNS order (deterministic; the DuckDB twin
+    chains regexp_replace(..., 'g') in the same order)."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -20,12 +20,15 @@ from graphdb_spark.workloads import (
     cypher_queries,
     embeddings,
     graph,
+    pipeline,
     relational,
     temporal,
     text,
 )
 
-ALL_MODULES = (relational, graph, cypher_queries, temporal, text, embeddings)
+ALL_MODULES = (
+    relational, graph, cypher_queries, temporal, text, pipeline, embeddings,
+)
 
 
 def all_queries():

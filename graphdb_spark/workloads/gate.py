@@ -33,6 +33,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
                       dedup_simhash_pairs
 - emb_stats_suite:    emb_norms, emb_centroid_dist
+- pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
+                      contamination_overlap
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from graphdb_spark.workloads import (
     cypher_queries,
     embeddings,
     graph,
+    pipeline,
     relational,
     temporal,
     text,
@@ -93,6 +96,10 @@ COLS = {
     "dedup_simhash_pairs": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
     "emb_norms": [("label", "int"), ("n", "bigint"), ("min_norm", "double"), ("max_norm", "double")],
     "emb_centroid_dist": [("label", "int"), ("n", "bigint"), ("min_dist", "double"), ("max_dist", "double")],
+    "boilerplate_chunks": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_boiler", "bigint"), ("boiler_ratio", "double")],
+    "pii_redaction": [("doc_id", "bigint"), ("n_email", "bigint"), ("n_ssn", "bigint"), ("n_ipv4", "bigint"), ("n_phone", "bigint"), ("red_fp", "bigint")],
+    "seq_packing": [("source", "string"), ("bin", "bigint"), ("n_docs", "bigint"), ("bin_tokens", "bigint")],
+    "contamination_overlap": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_hit", "bigint"), ("contamination", "double")],
 }
 
 
@@ -178,6 +185,10 @@ def build_gate() -> dict:
           "dedup_simhash_pairs")
     keep(X, "dedup_cluster_canonical")
     keep(X, "sample_mix")
+    # -- training-data pipeline (boilerplate / PII / packing /
+    #    contamination — one packed suite, see workloads/pipeline.py)
+    suite("pipeline_suite", pipeline, "boilerplate_chunks",
+          "pii_redaction", "seq_packing", "contamination_overlap")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")

@@ -1,0 +1,163 @@
+"""Semantic unit tests for the training-data pipeline operators
+(boilerplate chunk dedup, PII redaction, sequence packing,
+contamination overlap). Cross-engine parity is covered separately by
+test_oracle_parity (pipeline_suite); these tests pin the semantics on
+hand-built fixtures where the expected output is computed by hand."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_spark.operators import text as T
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+@pytest.fixture()
+def doc_table(spark, monkeypatch):
+    """Route workloads' load_tables at a hand-built documents table
+    (the real loader wants the full TPC-H directory)."""
+
+    def _install(rows):
+        df = spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+        monkeypatch.setattr(
+            "graphdb_spark.workloads.text.load_tables",
+            lambda s, d: {"documents": df},
+        )
+        return df
+
+    return _install
+
+
+class TestChunking:
+    def test_chunk_texts_exact(self, spark):
+        df = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
+        row = _one(df.select(T.chunk_texts(F.col("text"), 4).alias("c")))
+        assert row.c == ["a b c d", "e f g h", "i j"]
+
+    def test_chunk_texts_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([("x y",)], "text string")
+        row = _one(df.select(T.chunk_texts(F.col("text"), 8).alias("c")))
+        assert row.c == ["x y"]
+
+    def test_ngram_texts_stride_one(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        row = _one(df.select(T.ngram_texts(F.col("text"), 3).alias("g")))
+        assert row.g == ["a b c", "b c d"]
+
+
+class TestPII:
+    CASES = [
+        ("mail bob.smith+x@corp.example.org now", "email", 1),
+        ("no pii here at all", "email", 0),
+        ("ssn 123-45-6789 leaked", "ssn", 1),
+        ("host 192.168.001.1 up", "ipv4", 1),
+        ("call 555-867-5309 today", "phone", 1),
+        # 3-3-4 phone is NOT an SSN (3-2-4)
+        ("call 555-867-5309 today", "ssn", 0),
+        # SSN is not a phone
+        ("ssn 123-45-6789 leaked", "phone", 0),
+    ]
+
+    @pytest.mark.parametrize("text,kind,n", CASES)
+    def test_pii_count(self, spark, text, kind, n):
+        df = spark.createDataFrame([(text,)], "text string")
+        assert _one(df.select(T.pii_count(F.col("text"), kind).alias("n"))).n == n
+
+    def test_redact_all_kinds(self, spark):
+        s = (
+            "write a@b.io or 555-123-4567, ssn 321-54-9876, ip 10.0.0.1 end"
+        )
+        df = spark.createDataFrame([(s,)], "text string")
+        red = _one(df.select(T.redact_pii(F.col("text")).alias("r"))).r
+        assert red == (
+            "write <EMAIL> or <PHONE>, ssn <SSN>, ip <IP> end"
+        )
+
+    def test_redaction_idempotent(self, spark):
+        df = spark.createDataFrame([("a@b.io 10.0.0.1",)], "text string")
+        once = df.select(T.redact_pii(F.col("text")).alias("r"))
+        twice = once.select(T.redact_pii(F.col("r")).alias("r"))
+        assert _one(once).r == _one(twice).r
+
+
+class TestBoilerplate:
+    def test_repeated_chunk_flagged(self, spark, doc_table):
+        # doc 1 and 2 share their first 8-token chunk; doc 3 is unique
+        common = "w1 w2 w3 w4 w5 w6 w7 w8"
+        doc_table([
+            (1, common + " a1 a2 a3 a4 a5 a6 a7 a8", "en", "s", 0),
+            (2, common + " b1 b2 b3 b4 b5 b6 b7 b8", "en", "s", 0),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 d1 d2 d3 d4 d5 d6 d7 d8", "en", "s", 0),
+        ])
+        from graphdb_spark.workloads.pipeline import boilerplate_chunks
+
+        out = {
+            r.doc_id: (r.n_chunks, r.n_boiler, r.boiler_ratio)
+            for r in boilerplate_chunks(spark, "ignored").collect()
+        }
+        assert out == {1: (2, 1, 0.5), 2: (2, 1, 0.5)}  # doc 3 clean
+
+
+class TestSeqPacking:
+    def test_bins_respect_budget_and_shard(self, spark, doc_table):
+        # 4 docs x 300 tokens in one source: budget 512 -> doc1 starts
+        # at 0 (bin 0), doc2 at 300 (bin 0), doc3 at 600 (bin 1),
+        # doc4 at 900 (bin 1)
+        mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+        doc_table([
+            (i, mk(300), "en", "srcA", 0) for i in range(1, 5)
+        ] + [(9, mk(10), "en", "srcB", 0)])
+        from graphdb_spark.workloads.pipeline import seq_packing
+
+        out = {
+            (r.source, r.bin): (r.n_docs, r.bin_tokens)
+            for r in seq_packing(spark, "ignored").collect()
+        }
+        assert out == {
+            ("srcA", 0): (2, 600),
+            ("srcA", 1): (2, 600),
+            ("srcB", 0): (1, 10),
+        }
+
+
+class TestContamination:
+    def test_duplicate_of_benchmark_scores_one(self, spark, doc_table):
+        # doc 10 (benchmark: id % 10 == 0) and doc 11 are identical;
+        # doc 12 shares nothing
+        same = " ".join(f"w{i}" for i in range(12))
+        doc_table([
+            (10, same, "en", "s", 0),
+            (11, same, "en", "s", 0),
+            (12, " ".join(f"z{i}" for i in range(12)), "en", "s", 0),
+        ])
+        from graphdb_spark.workloads.pipeline import contamination_overlap
+
+        rows = contamination_overlap(spark, "ignored").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.doc_id == 11 and r.n_hit == r.n_grams and r.contamination == 1.0
+
+    def test_plan_stays_jvm_side(self, spark, sf_dir):
+        # pipeline text ops must be whole-stage-codegen JVM expressions:
+        # no BatchEvalPython anywhere in the plan
+        from graphdb_spark.workloads.pipeline import (
+            boilerplate_chunks,
+            contamination_overlap,
+            pii_redaction,
+            seq_packing,
+        )
+
+        for fn in (boilerplate_chunks, pii_redaction, seq_packing,
+                   contamination_overlap):
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan, fn.__name__
