@@ -881,9 +881,18 @@ class _Executor:
         ):
             return [
                 r[0]
-                for r in self.binding.select(f"{np.var}__id").distinct().collect()
+                for r in self.binding.select(f"{np.var}__id")
+                .distinct()
+                .limit(2)
+                .collect()
             ]
-        return [r[0] for r in self._node_df(np, "x").select("x__id").collect()]
+        # limit(2) (like the sibling check at _exec_merge): the caller only
+        # distinguishes "exactly one" from "not one" — never pull an
+        # unbounded id set to the driver (VERDICT r2 item 5).
+        return [
+            r[0]
+            for r in self._node_df(np, "x").select("x__id").limit(2).collect()
+        ]
 
     def _exec_shortest(self, pat: P.PathPattern):
         """shortestPath((a)-[*..k]-(b)) — endpoints resolved to concrete
