@@ -20,14 +20,17 @@ from graphdb_spark.workloads import (
     cypher_queries,
     embeddings,
     graph,
+    media,
     pipeline,
     relational,
+    stream_views,
     temporal,
     text,
 )
 
 ALL_MODULES = (
     relational, graph, cypher_queries, temporal, text, pipeline, embeddings,
+    media, stream_views,
 )
 
 

@@ -35,6 +35,9 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - emb_stats_suite:    emb_norms, emb_centroid_dist
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap
+- temporal_suite:     time_window_agg, asof_last_click, sessionize
+- media_suite:        media_decode, media_resize, media_frames,
+                      media_audio_chunks
 """
 
 from __future__ import annotations
@@ -43,8 +46,10 @@ from graphdb_spark.workloads import (
     cypher_queries,
     embeddings,
     graph,
+    media,
     pipeline,
     relational,
+    stream_views,
     temporal,
     text,
 )
@@ -100,6 +105,13 @@ COLS = {
     "pii_redaction": [("doc_id", "bigint"), ("n_email", "bigint"), ("n_ssn", "bigint"), ("n_ipv4", "bigint"), ("n_phone", "bigint"), ("red_fp", "bigint")],
     "seq_packing": [("source", "string"), ("bin", "bigint"), ("n_docs", "bigint"), ("bin_tokens", "bigint")],
     "contamination_overlap": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_hit", "bigint"), ("contamination", "double")],
+    "time_window_agg": [("day", "string"), ("event_type", "string"), ("n", "bigint"), ("value_sum", "double")],
+    "asof_last_click": [("user_id", "bigint"), ("purchase_ts_ms", "bigint"), ("purchase_value", "double"), ("last_click", "double")],
+    "sessionize": [("user_id", "bigint"), ("sessions", "bigint"), ("max_session_events", "bigint")],
+    "media_decode": [("media_id", "bigint"), ("width", "int"), ("height", "int"), ("n_bytes", "bigint"), ("phash", "bigint")],
+    "media_resize": [("media_id", "bigint"), ("w", "int"), ("h", "int"), ("target_w", "int"), ("target_h", "int")],
+    "media_frames": [("media_id", "bigint"), ("frame_no", "bigint"), ("t_offset_s", "double")],
+    "media_audio_chunks": [("media_id", "bigint"), ("n_bytes", "bigint"), ("chunk_no", "bigint"), ("byte_offset", "bigint")],
 }
 
 
@@ -173,10 +185,16 @@ def build_gate() -> dict:
         "cypher_string_predicates", "cypher_two_hop_distinct",
     ):
         keep(C, name)
-    # -- temporal
-    keep(T, "time_window_agg")
-    keep(T, "asof_last_click")
-    keep(T, "sessionize")
+    # -- temporal (temporal_replay stays a standalone representative;
+    #    the rest pack into one suite, freeing slots for media/stream)
+    suite("temporal_suite", T, "time_window_agg", "asof_last_click",
+          "sessionize")
+    # -- streaming change-log fold (batch twin of the foreachBatch
+    #    path: LWW + endpoint validation + cascade, full DuckDB replay)
+    keep(stream_views, "stream_fold_degrees")
+    # -- multimodal (fake-decoder contract + pure-plan media operators)
+    suite("media_suite", media, "media_decode", "media_resize",
+          "media_frames", "media_audio_chunks")
     # -- text / dedup
     suite("text_doc_suite", X, "text_stats", "text_bpe_tokens",
           "lang_id_eval", "doc_fingerprint")
