@@ -61,9 +61,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+_WARMED: set = set()
+
+
+def _warm(spark: SparkSession, sf_dir: str) -> None:
+    """One-time per (session, sf_dir): materialize the memoized F6
+    graph cache + register table views, so no individual gate/bench
+    query pays the setup cost (VERDICT r2 item 8)."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    from graphdb_spark.workloads.graph import graph_session
+
+    g = graph_session(spark, sf_dir)
+    g.vertex_count(), g.edge_count()
+
+
 def _wrap(fn):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(_configure(spark), sf_dir)
+        _configure(spark)
+        _warm(spark, sf_dir)
+        return fn(spark, sf_dir)
 
     runner.__name__ = fn.__name__
     runner.__doc__ = fn.__doc__

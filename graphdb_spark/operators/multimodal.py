@@ -109,14 +109,17 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
 
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                w, h, ph, emb = _decode_image_bytes(r["payload"], fake)
+            # itertuples ~2x faster than iterrows (no per-row Series)
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                w, h, ph, emb = _decode_image_bytes(payload, fake)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "width": w,
                         "height": h,
-                        "n_bytes": len(r["payload"] or b""),
+                        "n_bytes": len(payload or b""),
                         "phash": ph,
                         "embedding": [float(x) for x in emb],
                     }
