@@ -17,6 +17,7 @@ Float discipline (so Spark and DuckDB hash-match exactly):
 """
 
 from graphdb_spark.workloads import (
+    admin_gate,
     cypher_queries,
     embeddings,
     graph,
@@ -30,7 +31,7 @@ from graphdb_spark.workloads import (
 
 ALL_MODULES = (
     relational, graph, cypher_queries, temporal, text, pipeline, embeddings,
-    media, stream_views,
+    media, stream_views, admin_gate,
 )
 
 

@@ -1,0 +1,540 @@
+"""Driver-gate coverage for the DML / KV / admin / ingest surfaces.
+
+These operator families were pytest-only through round 2 (VERDICT r2
+marks components 9-12, 17, 25, 41, 43, 49-59, 66-68 as "tested", not
+driver-oracle "pass").  Each constituent here drives the REAL engine
+APIs — ``operators.mutations``, ``GraphSession`` KV/index/clear,
+``sources.readers``, ``functions`` codecs/plugins, the piped algebra —
+and emits a deterministic DataFrame a DuckDB twin can replay, so the
+driver's (rows, schema, value-hash) compare certifies them.
+
+Reference semantics exercised (file:line cites):
+
+- create_vertex exists-check            rdb/datastore.rs:261-270
+- create_edge endpoint validation       rdb/datastore.rs:272-281
+- update (whole-row upsert)             inmemory_storage.rs:144-148
+- delete-vertex cascade both directions rdb/managers.rs:119-159
+- delete(Query) invalid on Count        tests/vertex.rs:190-194
+- set/remove property by query          rdb/datastore.rs:342-362
+- bulk_insert skips validation          rdb/datastore.rs:285-310
+- KV insert/retrieve/delete/flush LWW   storage_engine.rs:1233-1239
+- index_property + strict NotIndexed    rdb/datastore.rs:82-100,312-340
+- clear_data                            inmemory_storage.rs:88-96
+- snapshot export/import                durability/snapshot.rs:33-62
+- CSV/JSON ingest                       (bulk loaders, README ingest)
+- FHIR/HL7 codecs + plugin host         proto/src/server.rs:118-123
+- piped value filter ± / Include        queries.rs:590-654
+
+Scale notes: the mutation script runs on a ~30-vertex toy graph by
+design (DML micro-ops are validated for *semantics* here; the bulk
+path is benched separately via bench_bulk_load).  Everything stays in
+DataFrame ops — anti-join deletes, map_concat property patches — the
+exact shapes a Delta MERGE would shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from graphdb_spark import algebra as A
+from graphdb_spark.datamodel import local_df
+from graphdb_spark.operators import mutations as M
+from graphdb_spark.session import GraphSession
+from graphdb_spark.sources.tpch import load_tables
+from graphdb_spark.translator import NotIndexedError
+
+def _propstr():
+    """properties map -> deterministic 'k=v,k=v' (sorted) string.
+    Built lazily: lambda higher-order functions need an active session."""
+    return F.coalesce(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("properties"),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                )
+            ),
+            ",",
+        ),
+        F.lit(""),
+    )
+
+
+def _restore_f6_views(spark, sf_dir):
+    """GraphSession() re-points the session-global vertices/edges temp
+    views; restore the cached F6 session's views for later queries."""
+    from graphdb_spark.workloads.graph import _GRAPH_CACHE  # noqa: PLC0415
+
+    cached = _GRAPH_CACHE.get((id(spark.sparkContext), sf_dir))
+    if cached is not None:
+        cached._register_views()
+
+
+def _toy_graph(spark, sf_dir) -> GraphSession:
+    """nation/region as a toy graph: n_<key> -[IN_REGION]-> r_<key>."""
+    t = load_tables(spark, sf_dir)
+    nv = t["nation"].select(
+        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.lit("nation").alias("label"),
+        F.create_map(F.lit("name"), F.col("n_name")).alias("properties"),
+    )
+    rv = t["region"].select(
+        F.concat(F.lit("r_"), F.col("r_regionkey").cast("string")).alias("id"),
+        F.lit("region").alias("label"),
+        F.create_map(F.lit("name"), F.col("r_name")).alias("properties"),
+    )
+    e = t["nation"].select(
+        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.lit("IN_REGION").alias("relationship"),
+        F.concat(F.lit("r_"), F.col("n_regionkey").cast("string")).alias("dst"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+    return GraphSession(spark, nv.unionByName(rv), e)
+
+
+_MUTATED: dict = {}
+
+
+def _mutated_graph(spark, sf_dir) -> GraphSession:
+    """The fixed DML script, memoized per (session, sf_dir): every
+    mutation operator applied once, deterministically."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _MUTATED:
+        _restore_f6_views(spark, sf_dir)
+        return _MUTATED[key]
+    g = _toy_graph(spark, sf_dir)
+    # bulk path: validation skipped — duplicate-free here, one dangling
+    # edge to zz_9 which MUST survive (rdb/datastore.rs:285-310)
+    g = M.bulk_insert(
+        g,
+        vertices=[(f"m_{i}", "mut", {"seq": str(i)}) for i in range(3)],
+        edges=[
+            ("m_0", "MREL", "m_1", {}),
+            ("m_1", "MREL", "m_2", {}),
+            ("m_0", "MREL", "zz_9", {}),
+        ],
+    )
+    g = M.create_vertex(g, "m_new", "mut", {"k": "1"})
+    g = M.create_edge(g, "m_new", "MREL", "m_0")          # validated
+    g = M.update_vertex(g, "m_1", "mut2", {"u": "2"})     # whole-row upsert
+    # label-filtered SET hits m_0/m_2/m_new (m_1 is 'mut2' by now)
+    g = M.set_properties(g, A.RangeVertex(t="mut"), "flag", "y")
+    g = M.remove_property(g, A.SpecificVertex(ids=("m_0",)), "seq")
+    # delete(Query): property-equality match, cascades the IN_REGION edge
+    g = M.delete(g, A.VertexWithPropertyValue(name="name", value="FRANCE"))
+    g = M.delete_vertices(g, local_df(spark, [("m_2",)], "id string"))
+    g = M.delete_edges(
+        g,
+        local_df(
+            spark, [("m_0", "MREL", "m_1")],
+            "src string, relationship string, dst string",
+        ),
+    )
+    _MUTATED[key] = g
+    _restore_f6_views(spark, sf_dir)
+    return g
+
+
+def mut_graph_final(spark, sf_dir):
+    g = _mutated_graph(spark, sf_dir)
+    out = g.vertices.select("id", "label", _propstr().alias("propstr"))
+    _restore_f6_views(spark, sf_dir)
+    return out
+
+
+MUT_GRAPH_FINAL_SQL = """
+SELECT 'n_' || CAST(n_nationkey AS VARCHAR) AS id, 'nation' AS label,
+       'name=' || n_name AS propstr
+FROM nation WHERE n_name <> 'FRANCE'
+UNION ALL
+SELECT 'r_' || CAST(r_regionkey AS VARCHAR), 'region', 'name=' || r_name
+FROM region
+UNION ALL
+SELECT * FROM (VALUES
+  ('m_0', 'mut', 'flag=y'),
+  ('m_1', 'mut2', 'u=2'),
+  ('m_new', 'mut', 'flag=y,k=1')
+) AS t(id, label, propstr)
+"""
+
+
+def mut_counts(spark, sf_dir):
+    g = _mutated_graph(spark, sf_dir)
+    v = g.vertices.agg(F.count("*").alias("n")).select(
+        F.lit("vertices_total").alias("what"), "n"
+    )
+    e = g.edges.groupBy(
+        F.concat(F.lit("edges_"), F.col("relationship")).alias("what")
+    ).agg(F.count("*").alias("n"))
+    tot = g.edges.agg(F.count("*").alias("n")).select(
+        F.lit("edges_total").alias("what"), "n"
+    )
+    out = v.unionByName(e).unionByName(tot)
+    _restore_f6_views(spark, sf_dir)
+    return out
+
+
+MUT_COUNTS_SQL = """
+SELECT 'vertices_total' AS what,
+       (SELECT COUNT(*) FROM nation WHERE n_name <> 'FRANCE')
+         + (SELECT COUNT(*) FROM region) + 3 AS n
+UNION ALL
+SELECT 'edges_IN_REGION',
+       (SELECT COUNT(*) FROM nation WHERE n_name <> 'FRANCE')
+UNION ALL
+SELECT 'edges_MREL', 2
+UNION ALL
+SELECT 'edges_total',
+       (SELECT COUNT(*) FROM nation WHERE n_name <> 'FRANCE') + 2
+"""
+
+
+def mut_checks(spark, sf_dir):
+    """Error-path + KV/index/clear/dedup contracts, each reduced to a
+    (check, ok) row computed by ACTUALLY driving the API."""
+    g = _mutated_graph(spark, sf_dir)
+    rows: list[tuple[str, int]] = []
+
+    def check(name: str, fn) -> None:
+        try:
+            rows.append((name, 1 if fn() else 0))
+        except Exception:  # noqa: BLE001 — a crash is a failed contract
+            rows.append((name, 0))
+
+    def raises(exc):
+        def deco(fn):
+            def run():
+                try:
+                    fn()
+                except exc:
+                    return True
+                return False
+            return run
+        return deco
+
+    @raises(M.VertexExistsError)
+    def dup_vertex():
+        M.create_vertex(g, "m_0", "mut")
+
+    @raises(M.InvalidEdgeError)
+    def bad_edge():
+        M.create_edge(g, "m_0", "MREL", "nope_1")
+
+    @raises(A.OperationOnQueryError)
+    def delete_count():
+        M.delete(g, A.AllVertex().count())
+
+    @raises(A.OperationOnQueryError)
+    def set_count():
+        M.set_properties(g, A.AllVertex().count(), "x", "y")
+
+    @raises(A.OperationOnQueryError)
+    def pipe_count():
+        A.AllVertex().count().outbound()
+
+    @raises(NotIndexedError)
+    def strict_unindexed():
+        strict = GraphSession(spark, strict_indexing=True)
+        strict.df(A.VertexWithPropertyPresence(name="x"))
+
+    check("dup_vertex_rejected", dup_vertex)
+    check("invalid_edge_rejected", bad_edge)
+    check("delete_count_rejected", delete_count)
+    check("set_count_rejected", set_count)
+    check("pipe_count_rejected", pipe_count)
+    check("strict_not_indexed", strict_unindexed)
+
+    def kv_roundtrip():
+        s = g.kv_insert("a", "1").kv_insert("b", "2").kv_insert("a", "3")
+        s = s.kv_delete("b").kv_flush()
+        return s.kv_retrieve("a") == "3" and s.kv_retrieve("b") is None
+
+    def index_registry():
+        s = GraphSession(spark)
+        before = s.is_indexed("p")
+        s.index_property("p")
+        return (not before) and s.is_indexed("p")
+
+    def clear_empties():
+        s = _toy_graph(spark, sf_dir).clear_data()
+        return s.vertex_count() == 0 and s.edge_count() == 0
+
+    def dedup_on_ingest():
+        v = local_df(
+            spark,
+            [("a", "l", {}), ("a", "l", {}), ("b", "l", {})],
+            "id string, label string, properties map<string,string>",
+        )
+        e = local_df(
+            spark,
+            [("a", "r", "b", {}), ("a", "r", "b", {}), ("a", "r", "zz", {})],
+            "src string, relationship string, dst string, "
+            "properties map<string,string>",
+        )
+        s = GraphSession.from_dataframes(spark, v, e, validate=True)
+        return s.vertex_count() == 2 and s.edge_count() == 1
+
+    check("kv_roundtrip_lww", kv_roundtrip)
+    check("index_registry", index_registry)
+    check("clear_data_empties", clear_empties)
+    check("dedup_on_ingest", dedup_on_ingest)
+
+    out = local_df(spark, rows, "chk string, ok bigint")
+    _restore_f6_views(spark, sf_dir)
+    return out
+
+
+MUT_CHECKS_SQL = """
+SELECT * FROM (VALUES
+  ('dup_vertex_rejected', CAST(1 AS BIGINT)),
+  ('invalid_edge_rejected', 1),
+  ('delete_count_rejected', 1),
+  ('set_count_rejected', 1),
+  ('pipe_count_rejected', 1),
+  ('strict_not_indexed', 1),
+  ('kv_roundtrip_lww', 1),
+  ('index_registry', 1),
+  ('clear_data_empties', 1),
+  ('dedup_on_ingest', 1)
+) AS t(chk, ok)
+"""
+
+
+# ---------------------------------------------------------------- ingest
+
+
+_INGEST_DIR = "/tmp/graphdb_gate_ingest"
+
+_CSV_ROWS = [(101, "ada", 9.5), (102, "bob", 7.25), (103, "cyd", 8.0)]
+_JSON_ROWS = [(201, "dee"), (202, "eli")]
+
+
+def ingest_csv_json(spark, sf_dir):
+    """CSV + JSON vertex ingest through sources.readers (the reference's
+    bulk loaders); files written deterministically then read back."""
+    from graphdb_spark.sources import readers  # noqa: PLC0415
+
+    os.makedirs(_INGEST_DIR, exist_ok=True)
+    csv_path = f"{_INGEST_DIR}/people.csv"
+    json_path = f"{_INGEST_DIR}/accounts.jsonl"
+    with open(csv_path, "w") as f:
+        f.write("pid,name,score\n")
+        for pid, name, score in _CSV_ROWS:
+            f.write(f"{pid},{name},{score}\n")
+    with open(json_path, "w") as f:
+        for pid, name in _JSON_ROWS:
+            f.write(json.dumps({"pid": pid, "name": name}) + "\n")
+    csv_v = readers.read_csv_vertices(spark, csv_path, id_col="pid",
+                                      label="person")
+    json_v = readers.read_json_vertices(spark, json_path, id_col="pid",
+                                        label="account")
+    return (
+        csv_v.unionByName(json_v)
+        .select("id", "label", F.col("properties")["name"].alias("name"))
+    )
+
+
+INGEST_CSV_JSON_SQL = """
+SELECT * FROM (VALUES
+  ('101', 'person', 'ada'), ('102', 'person', 'bob'),
+  ('103', 'person', 'cyd'),
+  ('201', 'account', 'dee'), ('202', 'account', 'eli')
+) AS t(id, label, name)
+"""
+
+
+def snapshot_roundtrip(spark, sf_dir):
+    """snapshot_export → snapshot_import round-trip (snapshot.rs:33-62 /
+    :91-115) on the toy graph; output proves the round-trip is lossless."""
+    from graphdb_spark.sources import readers  # noqa: PLC0415
+
+    g = _toy_graph(spark, sf_dir)
+    path = "/tmp/graphdb_gate_snap"
+    readers.snapshot_export(g.vertices, g.edges, path)
+    v, e = readers.snapshot_import(spark, path)
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    return (
+        v.join(deg, "id", "left")
+        .select(
+            "id", "label",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+        )
+    )
+
+
+SNAPSHOT_ROUNDTRIP_SQL = """
+SELECT 'n_' || CAST(n_nationkey AS VARCHAR) AS id, 'nation' AS label,
+       CAST(1 AS BIGINT) AS out_deg
+FROM nation
+UNION ALL
+SELECT 'r_' || CAST(r_regionkey AS VARCHAR), 'region', 0 FROM region
+"""
+
+
+_FHIR_DOCS = [
+    '{"resourceType": "Patient", "id": "p1", "name": [{"family": "Ng", '
+    '"given": ["Ada", "Q"]}], "gender": "female", "birthDate": "1990-02-03"}',
+    '{"resourceType": "Patient", "id": "p2", "name": [{"family": "Ortiz", '
+    '"given": ["Bo"]}], "gender": "male", "birthDate": "1985-11-30"}',
+    '{"resourceType": "Observation", "id": "o1"}',
+]
+
+
+def fhir_patients(spark, sf_dir):
+    """FHIR Patient codec (README.md:365-372): schema-on-read from_json;
+    the non-Patient resource must be filtered out."""
+    from graphdb_spark.functions import parse_fhir_patients  # noqa: PLC0415
+
+    df = local_df(spark, [(s,) for s in _FHIR_DOCS], "json string")
+    out = parse_fhir_patients(df)
+    return out.select(
+        "patient_id", "family_name", "given_names", "gender",
+        F.col("birth_date").cast("string").alias("birth_date"),
+    )
+
+
+FHIR_PATIENTS_SQL = """
+SELECT * FROM (VALUES
+  ('p1', 'Ng', 'Ada Q', 'female', '1990-02-03'),
+  ('p2', 'Ortiz', 'Bo', 'male', '1985-11-30')
+) AS t(patient_id, family_name, given_names, gender, birth_date)
+"""
+
+
+_HL7_MSG = (
+    "MSH|^~\\&|SEND|FAC|RCV|FAC2|20240101||ADT^A01|123|P|2.5\n"
+    "PID|1||12345^^^MRN||DOE^JOHN||19800101|M\n"
+    "PV1|1|I|WARD^ROOM^BED"
+)
+
+
+def hl7_segments(spark, sf_dir):
+    """HL7v2 codec: split/explode into typed segments — no UDF."""
+    from graphdb_spark.functions import parse_hl7_segments  # noqa: PLC0415
+
+    df = local_df(spark, [(_HL7_MSG,)], "message string")
+    out = parse_hl7_segments(df)
+    return out.select(
+        "segment_type",
+        F.size("fields").cast("bigint").alias("n_fields"),
+        F.get("fields", 5).alias("f5"),  # NULL past end (ANSI-safe)
+    )
+
+
+HL7_SEGMENTS_SQL = """
+SELECT * FROM (VALUES
+  ('MSH', CAST(12 AS BIGINT), 'FAC2'),
+  ('PID', 9, 'DOE^JOHN'),
+  ('PV1', 4, NULL)
+) AS t(segment_type, n_fields, f5)
+"""
+
+
+def plugin_exec(spark, sf_dir):
+    """ExecutePlugin equivalent (proto/src/server.rs:118-123): register
+    a DataFrame-producing plugin, dispatch by name, list the registry."""
+    from graphdb_spark import functions as gfn  # noqa: PLC0415
+
+    def nation_count_by_region(spark_, arg):
+        t = load_tables(spark_, arg["sf_dir"])
+        return (
+            t["nation"].groupBy(F.col("n_regionkey").alias("regionkey"))
+            .agg(F.count("*").alias("nations"))
+        )
+
+    gfn.register_plugin("nation_count_by_region", nation_count_by_region)
+    assert "nation_count_by_region" in gfn.list_plugins()
+    return gfn.execute_plugin(
+        spark, "nation_count_by_region", {"sf_dir": sf_dir}
+    )
+
+
+PLUGIN_EXEC_SQL = """
+SELECT n_regionkey AS regionkey, CAST(COUNT(*) AS BIGINT) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+# ---------------------------------------------------------------- algebra
+
+
+def pipe_value_filter(spark, sf_dir):
+    """Piped value filter ± on the F6 graph (queries.rs:590-635):
+    equal keeps matches; not-equal keeps rows whose property EXISTS and
+    differs (reference drops property-less rows — the index scan only
+    yields rows with the property)."""
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    eq = A.RangeVertex(t="part").with_property_equal_to("brand", "Brand#13")
+    ids = tuple(f"p_{i}" for i in range(1, 21))
+    ne = A.SpecificVertex(ids=ids).with_property_not_equal_to(
+        "brand", "Brand#13"
+    )
+    return (
+        g.df(eq).select(F.lit("eq").alias("mode"), "id")
+        .unionByName(g.df(ne).select(F.lit("ne").alias("mode"), "id"))
+    )
+
+
+PIPE_VALUE_FILTER_SQL = """
+SELECT 'eq' AS mode, 'p_' || CAST(p_partkey AS VARCHAR) AS id
+FROM part WHERE p_brand = 'Brand#13'
+UNION ALL
+SELECT 'ne', 'p_' || CAST(p_partkey AS VARCHAR)
+FROM part WHERE p_partkey BETWEEN 1 AND 20 AND p_brand <> 'Brand#13'
+"""
+
+
+def include_two_stage(spark, sf_dir):
+    """IncludeQuery multi-output (queries.rs:638-654, semantics
+    include_query.rs:7-32): inner stage emitted ALONGSIDE downstream.
+    g.get returns both stages; union with a stage ordinal."""
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    q = A.SpecificVertex(ids=("c_1", "c_2", "c_7")).include().outbound(
+        t="PLACED"
+    )
+    outs = g.get(q)
+    assert len(outs) == 2 and q.output_len() == 2
+    stage_v = outs[0].df.select(
+        F.lit(0).cast("bigint").alias("stage"),
+        F.col("id").alias("a"),
+        F.col("label").alias("b"),
+    )
+    stage_e = outs[1].df.select(
+        F.lit(1).cast("bigint").alias("stage"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+    )
+    return stage_v.unionByName(stage_e)
+
+
+INCLUDE_TWO_STAGE_SQL = """
+SELECT CAST(0 AS BIGINT) AS stage, 'c_' || CAST(c_custkey AS VARCHAR) AS a,
+       'customer' AS b
+FROM customer WHERE c_custkey IN (1, 2, 7)
+UNION ALL
+SELECT 1, 'c_' || CAST(o_custkey AS VARCHAR), 'o_' || CAST(o_orderkey AS VARCHAR)
+FROM orders WHERE o_custkey IN (1, 2, 7)
+"""
+
+
+QUERIES = {
+    "mut_graph_final": (mut_graph_final, MUT_GRAPH_FINAL_SQL),
+    "mut_counts": (mut_counts, MUT_COUNTS_SQL),
+    "mut_checks": (mut_checks, MUT_CHECKS_SQL),
+    "ingest_csv_json": (ingest_csv_json, INGEST_CSV_JSON_SQL),
+    "snapshot_roundtrip": (snapshot_roundtrip, SNAPSHOT_ROUNDTRIP_SQL),
+    "fhir_patients": (fhir_patients, FHIR_PATIENTS_SQL),
+    "hl7_segments": (hl7_segments, HL7_SEGMENTS_SQL),
+    "plugin_exec": (plugin_exec, PLUGIN_EXEC_SQL),
+    "pipe_value_filter": (pipe_value_filter, PIPE_VALUE_FILTER_SQL),
+    "include_two_stage": (include_two_stage, INCLUDE_TWO_STAGE_SQL),
+}

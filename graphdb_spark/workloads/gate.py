@@ -38,11 +38,19 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - temporal_suite:     time_window_agg, asof_last_click, sessionize
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks
+- cypher_lang_suite:  cypher_case_banding, cypher_union,
+                      cypher_pattern_predicate, cypher_string_predicates,
+                      cypher_two_hop_distinct
+- mutation_suite:     mut_graph_final, mut_counts, mut_checks
+- ingest_codec_suite: ingest_csv_json, snapshot_roundtrip,
+                      fhir_patients, hl7_segments, plugin_exec
+- algebra_suite:      pipe_value_filter, include_two_stage
 """
 
 from __future__ import annotations
 
 from graphdb_spark.workloads import (
+    admin_gate,
     cypher_queries,
     embeddings,
     graph,
@@ -112,6 +120,25 @@ COLS = {
     "media_resize": [("media_id", "bigint"), ("w", "int"), ("h", "int"), ("target_w", "int"), ("target_h", "int")],
     "media_frames": [("media_id", "bigint"), ("frame_no", "bigint"), ("t_offset_s", "double")],
     "media_audio_chunks": [("media_id", "bigint"), ("n_bytes", "bigint"), ("chunk_no", "bigint"), ("byte_offset", "bigint")],
+    # cypher_lang_suite constituents (formerly standalone entries)
+    "cypher_case_banding": [("band", "string"), ("n", "bigint")],
+    "cypher_union": [("name", "string")],
+    "cypher_pattern_predicate": [("segment", "string"), ("n", "bigint")],
+    "cypher_string_predicates": [("brand", "string"), ("n", "bigint")],
+    "cypher_two_hop_distinct": [("brand", "string")],
+    # mutation_suite
+    "mut_graph_final": [("id", "string"), ("label", "string"), ("propstr", "string")],
+    "mut_counts": [("what", "string"), ("n", "bigint")],
+    "mut_checks": [("chk", "string"), ("ok", "bigint")],
+    # ingest_codec_suite
+    "ingest_csv_json": [("id", "string"), ("label", "string"), ("name", "string")],
+    "snapshot_roundtrip": [("id", "string"), ("label", "string"), ("out_deg", "bigint")],
+    "fhir_patients": [("patient_id", "string"), ("family_name", "string"), ("given_names", "string"), ("gender", "string"), ("birth_date", "string")],
+    "hl7_segments": [("segment_type", "string"), ("n_fields", "bigint"), ("f5", "string")],
+    "plugin_exec": [("regionkey", "int"), ("nations", "bigint")],
+    # algebra_suite
+    "pipe_value_filter": [("mode", "string"), ("id", "string")],
+    "include_two_stage": [("stage", "bigint"), ("a", "string"), ("b", "string")],
 }
 
 
@@ -177,14 +204,17 @@ def build_gate() -> dict:
     keep(G, "g_reverse_hop")
     suite("g_degree_suite", G, "g_degree_topk", "g_bidirectional_degree")
     suite("g_property_suite", G, "g_property_presence", "g_properties_explode")
-    # -- cypher (each entry is a distinct language feature; all cheap)
+    # -- cypher (each entry a distinct language feature; five scalar-
+    #    shaped ones pack into cypher_lang_suite, freeing slots for the
+    #    DML/ingest/algebra suites below)
     for name in (
-        "cypher_case_banding", "cypher_union", "cypher_varlen_paths",
-        "cypher_pattern_predicate", "cypher_with_having",
-        "cypher_where_topk", "cypher_one_hop_agg", "cypher_optional_match",
-        "cypher_string_predicates", "cypher_two_hop_distinct",
+        "cypher_varlen_paths", "cypher_with_having", "cypher_where_topk",
+        "cypher_one_hop_agg", "cypher_optional_match",
     ):
         keep(C, name)
+    suite("cypher_lang_suite", C, "cypher_case_banding", "cypher_union",
+          "cypher_pattern_predicate", "cypher_string_predicates",
+          "cypher_two_hop_distinct")
     # -- temporal (temporal_replay stays a standalone representative;
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
@@ -192,6 +222,15 @@ def build_gate() -> dict:
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")
+    # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
+    #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
+    suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",
+          "mut_checks")
+    suite("ingest_codec_suite", admin_gate, "ingest_csv_json",
+          "snapshot_roundtrip", "fhir_patients", "hl7_segments",
+          "plugin_exec")
+    suite("algebra_suite", admin_gate, "pipe_value_filter",
+          "include_two_stage")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks")
