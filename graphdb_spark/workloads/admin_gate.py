@@ -124,7 +124,7 @@ def _mutated_graph(spark, sf_dir) -> GraphSession:
     g = M.set_properties(g, A.RangeVertex(t="mut"), "flag", "y")
     g = M.remove_property(g, A.SpecificVertex(ids=("m_0",)), "seq")
     # delete(Query): property-equality match, cascades the IN_REGION edge
-    g = M.delete(g, A.VertexWithPropertyValue(name="name", value="FRANCE"))
+    g = M.delete(g, A.VertexWithPropertyValue(name="name", value="NATION_7"))
     g = M.delete_vertices(g, local_df(spark, [("m_2",)], "id string"))
     g = M.delete_edges(
         g,
@@ -148,7 +148,7 @@ def mut_graph_final(spark, sf_dir):
 MUT_GRAPH_FINAL_SQL = """
 SELECT 'n_' || CAST(n_nationkey AS VARCHAR) AS id, 'nation' AS label,
        'name=' || n_name AS propstr
-FROM nation WHERE n_name <> 'FRANCE'
+FROM nation WHERE n_name <> 'NATION_7'
 UNION ALL
 SELECT 'r_' || CAST(r_regionkey AS VARCHAR), 'region', 'name=' || r_name
 FROM region
@@ -179,16 +179,16 @@ def mut_counts(spark, sf_dir):
 
 MUT_COUNTS_SQL = """
 SELECT 'vertices_total' AS what,
-       (SELECT COUNT(*) FROM nation WHERE n_name <> 'FRANCE')
+       (SELECT COUNT(*) FROM nation WHERE n_name <> 'NATION_7')
          + (SELECT COUNT(*) FROM region) + 3 AS n
 UNION ALL
 SELECT 'edges_IN_REGION',
-       (SELECT COUNT(*) FROM nation WHERE n_name <> 'FRANCE')
+       (SELECT COUNT(*) FROM nation WHERE n_name <> 'NATION_7')
 UNION ALL
 SELECT 'edges_MREL', 2
 UNION ALL
 SELECT 'edges_total',
-       (SELECT COUNT(*) FROM nation WHERE n_name <> 'FRANCE') + 2
+       (SELECT COUNT(*) FROM nation WHERE n_name <> 'NATION_7') + 2
 """
 
 

@@ -126,6 +126,13 @@ COLS = {
     "cypher_pattern_predicate": [("segment", "string"), ("n", "bigint")],
     "cypher_string_predicates": [("brand", "string"), ("n", "bigint")],
     "cypher_two_hop_distinct": [("brand", "string")],
+    # tpch_deep_suite
+    "q8_market_share": [("o_year", "int"), ("mkt_share", "double")],
+    "q9_profit": [("nation", "string"), ("o_year", "int"), ("sum_profit", "double")],
+    "q21_waiting_orders": [("s_name", "string"), ("numwait", "bigint")],
+    "q2_min_supplier": [("p_partkey", "bigint"), ("p_name", "string"), ("s_name", "string"), ("acctbal", "double")],
+    "q16_supplier_counts": [("p_brand", "string"), ("p_type", "string"), ("p_size", "int"), ("supplier_cnt", "bigint")],
+    "q20_excess_share": [("s_suppkey", "bigint"), ("s_name", "string")],
     # mutation_suite
     "mut_graph_final": [("id", "string"), ("label", "string"), ("propstr", "string")],
     "mut_counts": [("what", "string"), ("n", "bigint")],
@@ -187,6 +194,12 @@ def build_gate() -> dict:
           "q10_returned_items", "q15_top_supplier", "q18_large_volume")
     suite("tpch_window_suite", R, "window_top_order_per_segment",
           "window_running_total")
+    # -- deep TPC-H set: the remaining structural patterns (q8 ratio
+    #    join, q9 profit, q21 EXISTS/NOT-EXISTS, q2/q16/q20-shaped
+    #    partsupp patterns re-rooted on lineitem — no partsupp table)
+    suite("tpch_deep_suite", R, "q8_market_share", "q9_profit",
+          "q21_waiting_orders", "q2_min_supplier", "q16_supplier_counts",
+          "q20_excess_share")
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
     suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers")

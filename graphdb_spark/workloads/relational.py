@@ -1008,6 +1008,314 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+# ------------------------------------------------------- deep TPC-H set
+# The testdata has no partsupp table, so q2/q11/q16/q20 cannot be
+# replicated verbatim; q8/q9/q21-shaped below keep the STRUCTURAL
+# pattern of the originals (market-share ratio over a 7-table join,
+# profit by nation/year, EXISTS+NOT-EXISTS self-joins) and the
+# q2/q16/q20-shaped ones re-root the partsupp patterns on the
+# lineitem-derived supplier↔part relation. Same operator shapes —
+# correlated scalar subqueries, anti/semi joins, count-distinct over a
+# multi-join — on the tables that exist.
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share — share of NATION_1 suppliers in
+    AMERICA customers' ECONOMY-part order volume per year. 7-table
+    star join: AQE broadcasts every dim side; the ratio uses the
+    identical round-then-divide discipline on both engines."""
+    t = load_tables(spark, sf_dir)
+    vol = dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount")))
+    nat_c = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    nat_s = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    america = t["region"].filter(F.col("r_name") == "AMERICA")
+    df = (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_type") == "ECONOMY"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat_s, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(t["orders"].filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat_c, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(america, F.col("c_rkey") == F.col("r_regionkey"))
+    )
+    num = F.round(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+              .otherwise(F.lit(0).cast(D2))), 2
+    ).cast("double")
+    den = F.round(F.sum(vol), 2).cast("double")
+    return (
+        df.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((num / den).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {_DISC}
+                           ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                      AND TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape (sans ps_supplycost — no partsupp table): profit
+    of 'red%' parts by supplier nation and order year."""
+    t = load_tables(spark, sf_dir)
+    vol = dec2(F.col("l_extendedprice")) * (1 - dec4(F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_name").startswith("red")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(vol, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE 'red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape (testdata lacks commit/receipt dates, so the
+    "late" predicate becomes returnflag='R'): suppliers with a returned
+    lineitem on a finished multi-supplier order where NO other supplier
+    of that order also returned — the original's EXISTS + NOT EXISTS
+    self-join pair, expressed as semi/anti joins (no correlated
+    re-scan; each is one shuffle on l_orderkey)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("e_okey"),
+                   F.col("l_suppkey").alias("e_skey"))
+    exists = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("e_okey"))
+        & (F.col("l_suppkey") != F.col("e_skey")),
+        "left_semi",
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("x_okey"),
+                F.col("l_suppkey").alias("x_skey"))
+    )
+    waiting = exists.join(
+        l3,
+        (F.col("l_orderkey") == F.col("x_okey"))
+        & (F.col("l_suppkey") != F.col("x_skey")),
+        "left_anti",
+    )
+    return (
+        waiting.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  WHERE l_returnflag = 'R'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q2_min_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp's min-supplycost subquery re-rooted on
+    the lineitem-derived supplier↔part relation): for each Brand#33
+    part, the supplier(s) with the minimum account balance among those
+    who shipped it — correlated-scalar-subquery pattern as a grouped
+    min joined back on equality (exact double, no arithmetic)."""
+    t = load_tables(spark, sf_dir)
+    rel = (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_brand") == "Brand#33"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    min_bal = rel.groupBy(F.col("p_partkey").alias("mp_key")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        rel.join(min_bal,
+                 (F.col("p_partkey") == F.col("mp_key"))
+                 & (F.col("s_acctbal") == F.col("min_bal")))
+        .select("p_partkey", "p_name", "s_name",
+                F.col("s_acctbal").alias("acctbal"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q2_SQL = """
+WITH rel AS (
+  SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_brand = 'Brand#33'
+  JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, s_name, s_acctbal AS acctbal
+FROM rel r
+WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM rel r2
+                   WHERE r2.p_partkey = r.p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp → lineitem-derived relation):
+    suppliers per (brand, type, size) for non-Brand#13, non-MEDIUM
+    parts of selected sizes, excluding negative-balance suppliers
+    (the original's NOT-IN complaint-supplier subquery, as an
+    anti-join). COUNT(DISTINCT) over a pre-deduped pair relation."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        rel.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_share(spark, sf_dir):
+    """TPC-H Q20 shape (availability → shipped-quantity share):
+    suppliers providing >20% of the 1995 shipped quantity of some
+    'red%' part — the original's correlated half-year-quantity
+    threshold as a grouped-total join. Quantities are exact decimals;
+    the 0.2 threshold multiplies a decimal by a literal identically on
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    red95 = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= F.lit("1995-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01")))
+        .join(t["part"].filter(F.col("p_name").startswith("red")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    pair = red95.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec2(F.col("l_quantity"))).alias("pair_qty")
+    )
+    total = red95.groupBy(F.col("l_partkey").alias("t_pkey")).agg(
+        F.sum(dec2(F.col("l_quantity"))).alias("part_qty")
+    )
+    hits = pair.join(
+        total,
+        (F.col("l_partkey") == F.col("t_pkey"))
+        & (F.col("pair_qty") > F.col("part_qty") * F.lit(0.2).cast(D4)),
+    )
+    return (
+        hits.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name").distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH red95 AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+),
+pair AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS pair_qty
+  FROM red95 GROUP BY 1, 2
+),
+total AS (
+  SELECT l_partkey AS t_pkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS part_qty
+  FROM red95 GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM pair
+JOIN total ON l_partkey = t_pkey
+          AND pair_qty > part_qty * CAST(0.2 AS DECIMAL(4,2))
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
@@ -1036,4 +1344,10 @@ QUERIES = {
     "date_funcs": (date_funcs, DATE_FUNCS_SQL),
     "json_funcs": (json_funcs, JSON_FUNCS_SQL),
     "anti_semi_join": (anti_semi_join, ANTI_SEMI_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_profit": (q9_profit, Q9_SQL),
+    "q21_waiting_orders": (q21_waiting_orders, Q21_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
+    "q20_excess_share": (q20_excess_share, Q20_SQL),
 }
