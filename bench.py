@@ -67,7 +67,13 @@ def bench_bulk_load(spark, g) -> float:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        import re
+
+        m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+        sf = float(m.group(1)) if m else -1.0
+    except Exception:  # noqa: BLE001 — sf label must never kill the bench
+        sf = -1.0
 
     from graphdb_spark.session import build_spark
 

@@ -526,8 +526,104 @@ FROM orders WHERE o_custkey IN (1, 2, 7)
 """
 
 
+def agg_messages_degree(spark, sf_dir):
+    """GraphFrames-style aggregateMessages (north-star analytics
+    surface): msg 1 to every edge dst, summed per receiver == in-degree.
+    Two equi-joins (vertex structs attach; AQE broadcasts the vertex
+    side at gate SFs) + one grouped agg — GraphX's shuffle profile."""
+    from graphdb_spark.operators.analytics import aggregate_messages  # noqa: PLC0415
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    out = aggregate_messages(
+        g.vertices, g.edges,
+        agg=F.sum("msg").cast("bigint").alias("indeg"),
+        msg_to_dst=F.lit(1),
+    )
+    return out.select("id", "indeg")
+
+
+AGG_MESSAGES_DEGREE_SQL = """
+SELECT 'o_' || CAST(o_orderkey AS VARCHAR) AS id, CAST(1 AS BIGINT) AS indeg
+FROM orders
+UNION ALL
+SELECT 'p_' || CAST(l_partkey AS VARCHAR),
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def all_shortest_f6(spark, sf_dir):
+    """allShortestPaths(c_1, p_K) on the F6 graph, K = the smallest
+    partkey customer 1 ever ordered: every shortest route is one
+    (PLACED, CONTAINS) chain, so n_paths = distinct orders of c_1
+    containing that part — SQL-checkable. The dst lookup is a bounded
+    1-row collect (min over a filtered join), not a data pull."""
+    from graphdb_spark.operators.traversal import all_shortest_paths  # noqa: PLC0415
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    k = (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_custkey") == 1),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.min("l_partkey"))
+        .collect()[0][0]
+    )
+    paths = all_shortest_paths(g.edges, "c_1", f"p_{k}", max_depth=4)
+    return paths.agg(
+        F.min("hops").alias("hops"),
+        F.count("*").cast("bigint").alias("n_paths"),
+    )
+
+
+ALL_SHORTEST_F6_SQL = """
+WITH c1_parts AS (
+  SELECT l_partkey, l_orderkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_custkey = 1
+),
+target AS (SELECT MIN(l_partkey) AS k FROM c1_parts)
+SELECT 2 AS hops,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_paths
+FROM c1_parts, target WHERE l_partkey = target.k
+"""
+
+
+def motif_one_hop(spark, sf_dir):
+    """Motif finding ``(a)-[e]->(b)``: label-pair edge census over the
+    struct-columned motif output."""
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    m = g.find("(a)-[e]->(b)")
+    return (
+        m.groupBy(
+            F.col("a")["label"].alias("a_label"),
+            F.col("b")["label"].alias("b_label"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("a_label", "b_label")
+    )
+
+
+MOTIF_ONE_HOP_SQL = """
+SELECT 'customer' AS a_label, 'order' AS b_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+UNION ALL
+SELECT 'order', 'part',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+ORDER BY a_label, b_label
+"""
+
+
 QUERIES = {
     "mut_graph_final": (mut_graph_final, MUT_GRAPH_FINAL_SQL),
+    "agg_messages_degree": (agg_messages_degree, AGG_MESSAGES_DEGREE_SQL),
+    "all_shortest_f6": (all_shortest_f6, ALL_SHORTEST_F6_SQL),
+    "motif_one_hop": (motif_one_hop, MOTIF_ONE_HOP_SQL),
     "mut_counts": (mut_counts, MUT_COUNTS_SQL),
     "mut_checks": (mut_checks, MUT_CHECKS_SQL),
     "ingest_csv_json": (ingest_csv_json, INGEST_CSV_JSON_SQL),

@@ -220,8 +220,30 @@ ORDER BY name
 """
 
 
+def cypher_undirected(spark, sf_dir):
+    """Bidirectional pattern (corpus #8 shape): ``-[:PLACED]-`` with no
+    arrow matches the edge in either direction; for an order vertex the
+    undirected PLACED neighborhood is exactly its one placing customer
+    (in-edge) — a wrong direction-union doubles or zeroes the count."""
+    g = graph_session(spark, sf_dir)
+    return g.cypher(
+        "MATCH (o:order)-[:PLACED]-(c:customer) "
+        "WHERE c.mktsegment = 'MACHINERY' AND o.orderstatus = 'F' "
+        "RETURN c.mktsegment AS segment, count(o) AS n"
+    )
+
+
+CYPHER_UNDIRECTED_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'MACHINERY' AND o_orderstatus = 'F'
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "cypher_case_banding": (cypher_case_banding, CYPHER_CASE_SQL),
+    "cypher_undirected": (cypher_undirected, CYPHER_UNDIRECTED_SQL),
     "cypher_union": (cypher_union, CYPHER_UNION_SQL),
     "cypher_varlen_paths": (cypher_varlen_paths, CYPHER_VARLEN_SQL),
     "cypher_pattern_predicate": (cypher_pattern_predicate,

@@ -1,5 +1,5 @@
-"""The driver-facing correctness-gate registry: 49 entries covering
-all 77 workload queries.
+"""The driver-facing correctness-gate registry: 50 entries covering
+all 106 workload queries.
 
 Round 1 evidence (CORRECTNESS_r01.json) shows the driver evaluates at
 most 50 ``queries()`` entries — it recorded exactly the first 50 of 76
@@ -7,7 +7,7 @@ in registration order, cutting off mid-module. So the gate surface
 here packs related constituents into suites via
 ``packing.pack`` (each suite is ONE gate entry whose (q,k,v) output
 verifies every row/column of every constituent against a generated
-DuckDB twin), keeping the total at 48 with every operator family
+DuckDB twin), keeping the total at the cap with every operator family
 represented. Constituents remain individually registered in their
 module ``QUERIES`` and individually verified by
 tests/test_oracle_parity.py; bench.py times them individually too.
@@ -20,6 +20,9 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - tpch_group_suite:   q4, q12, q13, q22
 - tpch_join_suite:    q5, q7, q10, q15, q18
 - tpch_window_suite:  window_top_order_per_segment, window_running_total
+- tpch_deep_suite:    q8_market_share, q9_profit, q21_waiting_orders,
+                      q2_min_supplier, q16_supplier_counts,
+                      q20_excess_share
 - agg_suite:          distinct_agg, cube_counts, rollup_orders
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
 - set_join_suite:     set_ops, anti_semi_join, top_customers
@@ -40,11 +43,12 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       media_audio_chunks
 - cypher_lang_suite:  cypher_case_banding, cypher_union,
                       cypher_pattern_predicate, cypher_string_predicates,
-                      cypher_two_hop_distinct
+                      cypher_two_hop_distinct, cypher_undirected
 - mutation_suite:     mut_graph_final, mut_counts, mut_checks
 - ingest_codec_suite: ingest_csv_json, snapshot_roundtrip,
                       fhir_patients, hl7_segments, plugin_exec
-- algebra_suite:      pipe_value_filter, include_two_stage
+- algebra_suite:      pipe_value_filter, include_two_stage,
+                      agg_messages_degree, all_shortest_f6, motif_one_hop
 """
 
 from __future__ import annotations
@@ -145,6 +149,10 @@ COLS = {
     "plugin_exec": [("regionkey", "int"), ("nations", "bigint")],
     # algebra_suite
     "pipe_value_filter": [("mode", "string"), ("id", "string")],
+    "agg_messages_degree": [("id", "string"), ("indeg", "bigint")],
+    "all_shortest_f6": [("hops", "int"), ("n_paths", "bigint")],
+    "motif_one_hop": [("a_label", "string"), ("b_label", "string"), ("n", "bigint")],
+    "cypher_undirected": [("segment", "string"), ("n", "bigint")],
     "include_two_stage": [("stage", "bigint"), ("a", "string"), ("b", "string")],
 }
 
@@ -227,7 +235,7 @@ def build_gate() -> dict:
         keep(C, name)
     suite("cypher_lang_suite", C, "cypher_case_banding", "cypher_union",
           "cypher_pattern_predicate", "cypher_string_predicates",
-          "cypher_two_hop_distinct")
+          "cypher_two_hop_distinct", "cypher_undirected")
     # -- temporal (temporal_replay stays a standalone representative;
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
@@ -243,7 +251,8 @@ def build_gate() -> dict:
           "snapshot_roundtrip", "fhir_patients", "hl7_segments",
           "plugin_exec")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
-          "include_two_stage")
+          "include_two_stage", "agg_messages_degree", "all_shortest_f6",
+          "motif_one_hop")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks")
