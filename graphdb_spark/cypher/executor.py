@@ -170,6 +170,43 @@ class _Executor:
             | col.endswith(":" + lbl)
         )
 
+    #: node sides whose exact row bound is at most this broadcast into
+    #: pattern joins. Deliberately much lower than the translator's
+    #: 2M-row frontier cap: a frontier is one id column (~25 B/row),
+    #: a node side carries the properties map (~200 B/row) — measured
+    #: at sf1, broadcasting the 1.5M-row order side cost more than the
+    #: SortMergeJoin it replaced. 250k rows ≈ 50 MB of build side.
+    BROADCAST_NODE_MAX = 250_000
+
+    def _label_counts(self) -> dict[str, int]:
+        """Exact per-label-string vertex counts, memoized on the
+        GraphSession (one groupBy job per session/state — labels are
+        few by data-model construction)."""
+        cache = getattr(self.g, "_label_count_cache", None)
+        if cache is None:
+            cache = {
+                r["label"]: r["n"]
+                for r in self.g.vertices.groupBy("label")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            self.g._label_count_cache = cache
+        return cache
+
+    def _node_bound(self, np: P.NodePattern) -> int:
+        """Exact upper bound on a node pattern's match count: the sum
+        of counts of label strings its label matches (property filters
+        only shrink it further)."""
+        counts = self._label_counts()
+        if np.label is None:
+            return sum(counts.values())
+        lbl = np.label
+        return sum(
+            n for ls, n in counts.items()
+            if ls == lbl or ls.startswith(lbl + ":")
+            or (":" + lbl + ":") in ls or ls.endswith(":" + lbl)
+        )
+
     def _node_df(self, np: P.NodePattern, var: str) -> DataFrame:
         v = self.g.vertices
         if np.label is not None:
@@ -184,11 +221,22 @@ class _Executor:
                 # promoted identity, same rule as _prop_col
                 c = F.coalesce(c, F.col("id"))
             v = v.filter(c == stringify_value(val))
-        return v.select(
+        out = v.select(
             F.col("id").alias(f"{var}__id"),
             F.col("label").alias(f"{var}__label"),
             F.col("properties").alias(f"{var}__properties"),
         )
+        # Informed broadcast: the static planner sees the full cached
+        # vertex table's size through a label filter (no column stats)
+        # and plans SortMergeJoins that exchange the edge table per
+        # pattern hop — measured 5.2 s for a 1-hop grouped count at
+        # sf1. The exact label-count bound costs one memoized job and
+        # turns every node-side pattern join into a BroadcastHashJoin
+        # streaming over the in-memory scan. Above the bound the hint
+        # is skipped — the scale-safe shuffle join survives.
+        if self._node_bound(np) <= self.BROADCAST_NODE_MAX:
+            out = F.broadcast(out)
+        return out
 
     def _edge_base(self, rp: P.RelPattern) -> DataFrame:
         e = self.g.edges

@@ -187,10 +187,15 @@ class GraphSession:
         return self._translator().df(q)
 
     def _translator(self) -> Translator:
+        # frontier memo persists across queries on this immutable state
+        # (set_state returns a NEW session, so mutations invalidate it)
+        if not hasattr(self, "_frontier_cache"):
+            self._frontier_cache = {}
         return Translator(
             self._v, self._e,
             strict_indexing=self.strict_indexing, indexed=self._indexed,
             hot_endpoints=getattr(self, "_hot_endpoints", None),
+            frontier_cache=self._frontier_cache,
         )
 
     def enable_skew_salting(self, threshold: int = 1000):

@@ -55,9 +55,17 @@ class NotIndexedError(LookupError):
 class Translator:
     """Compiles Query trees against a (vertices, edges) DataFrame pair."""
 
+    #: frontiers with at most this many EXACT rows broadcast to the
+    #: hop's semi join (same threshold as traversal._maybe_broadcast —
+    #: ~50 MB of ids, well inside executor memory); bigger frontiers
+    #: fall back to shuffle joins, which is the right plan at 100 TB.
+    BROADCAST_FRONTIER_MAX = 2_000_000
+
     def __init__(self, vertices: DataFrame, edges: DataFrame,
                  strict_indexing: bool = False, indexed: set | None = None,
-                 hot_endpoints: dict | None = None):
+                 hot_endpoints: dict | None = None,
+                 informed_broadcast: bool = True,
+                 frontier_cache: dict | None = None):
         self.v = vertices
         self.e = edges
         self.strict_indexing = strict_indexing
@@ -65,6 +73,11 @@ class Translator:
         # skew profile: {"src": hot-src-id DF, "dst": hot-dst-id DF}
         # (GraphSession.enable_skew_salting) — hops split hot keys out
         self.hot_endpoints = hot_endpoints or {}
+        self.informed_broadcast = informed_broadcast
+        # (key, query-subtree) -> materialized frontier; owned by the
+        # GraphSession so repeated queries on the same immutable state
+        # skip the probe job AND the frontier recompute entirely
+        self.frontier_cache = frontier_cache if frontier_cache is not None else {}
 
     # ------------------------------------------------------------ public
 
@@ -92,6 +105,48 @@ class Translator:
                 f"property {name!r} is not indexed "
                 "(reference rdb/datastore.rs:82-100)"
             )
+
+    def _frontier(self, ids: DataFrame) -> DataFrame:
+        """Materialize a hop frontier (lazy localCheckpoint + one count
+        job) and broadcast it when its EXACT size allows.
+
+        Why: chained pipes over the cached graph otherwise plan
+        SortMergeJoins — the static planner can't size a
+        filtered/joined frontier, and AQE can't re-plan across cached
+        scans with canChangeCachedPlanOutputPartitioning=false (which
+        graph-cache reuse requires; measured r2). At sf1 that meant
+        every hop exchanged+sorted the multi-million-row edge table:
+        the 2-hop count took 33 s warm. With the probe, every hop is a
+        BroadcastHashJoin over a pruned in-memory scan — no exchange of
+        the big side at all — and the checkpoint stops deep chains
+        from recomputing every upstream hop once per stage.
+
+        Cost: one job per hop (~50 ms at gate SFs). Frontiers above
+        BROADCAST_FRONTIER_MAX stay un-broadcast shuffle joins — the
+        scale-safe fallback (a 10^9-row frontier must not be collected
+        to the driver)."""
+        if not self.informed_broadcast:
+            return ids
+        ids = ids.localCheckpoint(eager=False)
+        n = ids.count()
+        return F.broadcast(ids) if n <= self.BROADCAST_FRONTIER_MAX else ids
+
+    def _frontier_memo(self, key, ids_thunk):
+        """Memoized _frontier keyed on the query subtree (algebra nodes
+        are frozen dataclasses — hashable unless a property value is).
+        First evaluation pays the probe job; every later query over the
+        same immutable session state reuses the materialized frontier."""
+        try:
+            hit = self.frontier_cache.get(key)
+        except TypeError:  # unhashable property value in the subtree
+            return self._frontier(ids_thunk())
+        if hit is None:
+            hit = self._frontier(ids_thunk())
+            try:
+                self.frontier_cache[key] = hit
+            except TypeError:
+                pass
+        return hit
 
     def _compile(self, q: A.Query, outs: list[QueryOutput]) -> QueryOutput:
         V, E = self.v, self.e
@@ -166,10 +221,12 @@ class Translator:
                 small_frontier = isinstance(
                     q.inner, (A.SpecificVertex, A.RangeVertex)
                 )
-                if small_frontier:
-                    ids = F.broadcast(ids)
                 key = "src" if q.direction == A.Direction.OUT else "dst"
                 hot = self.hot_endpoints.get(key)
+                if small_frontier:
+                    ids = F.broadcast(ids)
+                elif hot is None:
+                    ids = self._frontier_memo(("v2e", q.inner), lambda: ids)
                 if hot is not None and not small_frontier:
                     # skew-aware hop (enable_skew_salting): a super-node
                     # key would put its 10^n edge rows in ONE shuffle
@@ -201,7 +258,10 @@ class Translator:
                 # construction, and the distinct would cost an extra
                 # shuffle + aggregate per hop.
                 key = "src" if q.direction == A.Direction.OUT else "dst"
-                ids = up.df.select(F.col(key).alias("id"))
+                ids = self._frontier_memo(
+                    ("e2v", key, q.inner),
+                    lambda: up.df.select(F.col(key).alias("id")),
+                )
                 df = V.join(ids, "id", "left_semi")
                 if q.t is not None:
                     df = df.filter(F.col("label") == F.lit(q.t))
