@@ -138,6 +138,11 @@ class GraphSession:
             self._e = _cp(edges)
         if kv is not None:
             self._kv = _cp(kv)
+        # state changed in place: drop memos derived from the old state
+        # (the translator's materialized frontiers would be STALE DATA,
+        # the executor's label counts a stale broadcast decision)
+        self._frontier_cache = {}
+        self._label_count_cache = None
         self._register_views()
         return self
 

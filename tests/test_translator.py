@@ -168,3 +168,60 @@ def test_kv_store(spark):
     g.kv_delete("k1")
     assert g.kv_retrieve("k1") is None
     g.kv_flush()
+
+
+def test_frontier_memo_invalidated_by_mutation(spark):
+    """Pipe frontiers memoize per query subtree on the session
+    (translator._frontier_memo); set_state mutates the session IN
+    PLACE, so the memo must be dropped or a repeated traversal would
+    replay a frontier computed on pre-mutation state."""
+    from graphdb_spark import Q
+    from graphdb_spark.operators.mutations import bulk_insert
+    from graphdb_spark.session import GraphSession
+
+    v = spark.createDataFrame(
+        [("a", "hub", {"k": "1"}), ("b", "T", {}), ("c", "T", {})],
+        "id string, label string, properties map<string,string>",
+    )
+    e = spark.createDataFrame(
+        [("a", "E", "b", {})],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    g = GraphSession.from_dataframes(spark, v, e)
+    # property-filtered root -> NOT the static small-frontier path
+    q = Q.vertices_with_property_value("k", "1").outbound().inbound()
+    assert {r["id"] for r in g.df(q).collect()} == {"b"}
+    assert g._frontier_cache, "probe path should have memoized a frontier"
+    g2 = bulk_insert(g, edges=[("a", "E", "c", {})])
+    assert {r["id"] for r in g2.df(q).collect()} == {"b", "c"}
+
+
+def test_big_frontier_not_broadcast(spark):
+    """Frontiers above BROADCAST_FRONTIER_MAX keep the shuffle join —
+    the scale-safe path for 10^9-row frontiers."""
+    from graphdb_spark import Q
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.translator import Translator
+
+    n = 500
+    v = spark.createDataFrame(
+        [(f"v{i}", "T", {"k": "1"}) for i in range(n)],
+        "id string, label string, properties map<string,string>",
+    )
+    e = spark.createDataFrame(
+        [(f"v{i}", "E", f"v{(i + 1) % n}", {}) for i in range(n)],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    g = GraphSession.from_dataframes(spark, v, e)
+    old = Translator.BROADCAST_FRONTIER_MAX
+    Translator.BROADCAST_FRONTIER_MAX = 10  # force the big-frontier path
+    try:
+        q = Q.vertices_with_property_value("k", "1").outbound().inbound()
+        df = g.df(q)
+        assert df.count() == n
+        # no explicit broadcast HINT above the threshold (AQE may still
+        # choose a local broadcast from runtime sizes — that's fine)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in optimized
+    finally:
+        Translator.BROADCAST_FRONTIER_MAX = old
