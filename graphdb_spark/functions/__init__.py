@@ -62,8 +62,9 @@ def parse_fhir_patients(df: DataFrame, json_col: str = "json") -> DataFrame:
     ).filter(F.col("r.resourceType") == "Patient")
     return parsed.select(
         F.col("r.id").alias("patient_id"),
-        F.col("r.name")[0]["family"].alias("family_name"),
-        F.concat_ws(" ", F.col("r.name")[0]["given"]).alias("given_names"),
+        # F.get: NULL (not an ANSI error) when the name array is empty
+        F.get(F.col("r.name"), 0)["family"].alias("family_name"),
+        F.concat_ws(" ", F.get(F.col("r.name"), 0)["given"]).alias("given_names"),
         F.col("r.gender").alias("gender"),
         F.to_date("r.birthDate").alias("birth_date"),
     )
