@@ -54,6 +54,13 @@ def test_traversal_uses_broadcast_joins(spark, sf_dir):
     plan = plan_of(g.df(q))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the DEEP chain too: pre-r3 the later hops planned SortMergeJoins
+    # (static planner can't size a derived frontier; AQE can't re-plan
+    # across cached scans) — the exact-count probe broadcast must hold
+    # for every hop of the 2-hop part traversal as well
+    deep = q.outbound(t="CONTAINS").inbound()
+    plan2 = plan_of(g.df(deep))
+    assert "SortMergeJoin" not in plan2
 
 
 def test_text_ops_stay_jvm_side(spark, sf_dir):
