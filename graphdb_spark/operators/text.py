@@ -163,6 +163,68 @@ def ngram_texts(text: Column, k: int = 8) -> Column:
     )
 
 
+# ---- Gopher-style document quality rules ---------------------------
+# Published Gopher (Rae et al. 2021) repetition/quality bounds; the
+# rules that need line structure (bullet/ellipsis line ratios) are
+# collapsed into the symbol ratio since the corpus is line-free.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+#: hash marks and ellipses per word — Gopher's symbol-to-word signal.
+SYMBOL_PATTERN = r"#|\.\.\."
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Symbol-to-word ratio: (# + ellipsis occurrences) / word count."""
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(SYMBOL_PATTERN), F.lit(0)))
+    return F.round(
+        n_sym.cast("double") / F.greatest(token_count(text), F.lit(1)), 6
+    )
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of words containing at least one letter (any script)."""
+    toks = tokens(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    return F.round(
+        n_alpha.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+    )
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """How many distinct stopwords of `lang` the document contains
+    (presence count, not frequency — array_intersect dedups)."""
+    toks = tokens(F.lower(text))
+    lits = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, lits)).cast("bigint")
+
+
+def gopher_pass(
+    n_words: Column,
+    mean_len: Column,
+    sym_ratio: Column,
+    alpha_ratio: Column,
+    stop_hits: Column,
+) -> Column:
+    """All five Gopher rules as one 0/1 flag (from precomputed
+    signal columns so callers can report both signals and verdict)."""
+    ok = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio > GOPHER_MIN_ALPHA_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return F.when(ok, 1).otherwise(0).cast("bigint")
+
+
 # ---- PII detection / redaction -------------------------------------
 # Patterns restricted to syntax with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): literal classes, bounded repeats,

@@ -37,7 +37,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       dedup_simhash_pairs
 - emb_stats_suite:    emb_norms, emb_centroid_dist
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
-                      contamination_overlap
+                      contamination_overlap, gopher_quality,
+                      repetition_stats, unigram_rarity, filter_funnel
 - temporal_suite:     time_window_agg, asof_last_click, sessionize
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks
@@ -117,6 +118,10 @@ COLS = {
     "pii_redaction": [("doc_id", "bigint"), ("n_email", "bigint"), ("n_ssn", "bigint"), ("n_ipv4", "bigint"), ("n_phone", "bigint"), ("red_fp", "bigint")],
     "seq_packing": [("source", "string"), ("bin", "bigint"), ("n_docs", "bigint"), ("bin_tokens", "bigint")],
     "contamination_overlap": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_hit", "bigint"), ("contamination", "double")],
+    "gopher_quality": [("doc_id", "bigint"), ("n_words", "bigint"), ("mean_word_len", "double"), ("symbol_ratio", "double"), ("alpha_ratio", "double"), ("stop_hits", "bigint"), ("gopher_ok", "bigint")],
+    "repetition_stats": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_distinct", "bigint"), ("dup_ratio", "double"), ("top_frac", "double")],
+    "unigram_rarity": [("doc_id", "bigint"), ("n_toks", "bigint"), ("sum_freq", "bigint"), ("avg_freq", "double"), ("min_freq", "bigint")],
+    "filter_funnel": [("stage", "string"), ("n_docs", "bigint"), ("n_tokens", "bigint")],
     "time_window_agg": [("day", "string"), ("event_type", "string"), ("n", "bigint"), ("value_sum", "double")],
     "asof_last_click": [("user_id", "bigint"), ("purchase_ts_ms", "bigint"), ("purchase_value", "double"), ("last_click", "double")],
     "sessionize": [("user_id", "bigint"), ("sessions", "bigint"), ("max_session_events", "bigint")],
@@ -267,7 +272,9 @@ def build_gate() -> dict:
     # -- training-data pipeline (boilerplate / PII / packing /
     #    contamination — one packed suite, see workloads/pipeline.py)
     suite("pipeline_suite", pipeline, "boilerplate_chunks",
-          "pii_redaction", "seq_packing", "contamination_overlap")
+          "pii_redaction", "seq_packing", "contamination_overlap",
+          "gopher_quality", "repetition_stats", "unigram_rarity",
+          "filter_funnel")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")

@@ -17,6 +17,12 @@ Scale design (100 TB of documents):
   at scale).
 - contamination: corpus-side n-grams stream through a broadcast join
   against the (small) benchmark gram-hash set; one groupBy per doc.
+- quality rules (Gopher) + funnel: pure whole-stage-codegen column
+  expressions — parquet scan speed, zero shuffles (the funnel adds one
+  6-row aggregate).
+- repetition / rarity: explodes keyed by doc_id (repetition) or token
+  (rarity vocabulary); every shuffle key is either doc-granular or the
+  vocabulary, never all-pairs.
 """
 
 from __future__ import annotations
@@ -332,9 +338,287 @@ HAVING n_hit > 0
 """
 
 
+# ------------------------------------------- Gopher quality rules
+
+
+def _quality_signals(d):
+    """The five Gopher-rule signal columns (shared by gopher_quality
+    and filter_funnel). All JVM column expressions."""
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_words"),
+        T.avg_token_len(t).alias("mean_word_len"),
+        T.symbol_word_ratio(t).alias("symbol_ratio"),
+        T.alpha_word_ratio(t).alias("alpha_ratio"),
+        T.stopword_hits(t).alias("stop_hits"),
+    )
+
+
+def gopher_quality(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021) document quality rules: word
+    count band, mean word length band, symbol-to-word ratio, alphabetic
+    word ratio, stopword presence — per-doc signals plus the combined
+    0/1 verdict. Pure whole-stage-codegen expressions: at 100 TB this
+    runs at parquet scan speed with zero shuffles."""
+    sig = _quality_signals(_docs(spark, sf_dir))
+    return sig.select(
+        "*",
+        T.gopher_pass(
+            F.col("n_words"),
+            F.col("mean_word_len"),
+            F.col("symbol_ratio"),
+            F.col("alpha_ratio"),
+            F.col("stop_hits"),
+        ).alias("gopher_ok"),
+    )
+
+
+def _signals_sql() -> str:
+    """DuckDB twin of _quality_signals (same constants, same shapes)."""
+    toks = _TOKS.format(x="text")
+    ltoks = _TOKS.format(x="lower(text)")
+    stop_hits = " + ".join(
+        f"(CASE WHEN list_contains({ltoks}, '{w}') THEN 1 ELSE 0 END)"
+        for w in T.LANG_STOPWORDS["en"]
+    )
+    alpha = r"\p{L}"
+    return f"""
+SELECT doc_id,
+  CAST(len({toks}) AS BIGINT) AS n_words,
+  round(CAST(list_sum(list_transform({toks}, x -> len(x))) AS DOUBLE)
+        / len({toks}), 6) AS mean_word_len,
+  round(CAST(len(regexp_extract_all(text, '{T.SYMBOL_PATTERN}')) AS DOUBLE)
+        / greatest(len({toks}), 1), 6) AS symbol_ratio,
+  round(CAST(len(list_filter({toks}, x -> regexp_matches(x, '{alpha}')))
+        AS DOUBLE) / greatest(len({toks}), 1), 6) AS alpha_ratio,
+  CAST({stop_hits} AS BIGINT) AS stop_hits
+FROM documents
+"""
+
+
+_GOPHER_OK = (
+    f"CASE WHEN n_words >= {T.GOPHER_MIN_WORDS}"
+    f" AND n_words <= {T.GOPHER_MAX_WORDS}"
+    f" AND mean_word_len >= {T.GOPHER_MIN_MEAN_LEN}"
+    f" AND mean_word_len <= {T.GOPHER_MAX_MEAN_LEN}"
+    f" AND symbol_ratio < {T.GOPHER_MAX_SYMBOL_RATIO}"
+    f" AND alpha_ratio > {T.GOPHER_MIN_ALPHA_RATIO}"
+    f" AND stop_hits >= {T.GOPHER_MIN_STOP_HITS}"
+    f" THEN 1 ELSE 0 END"
+)
+
+
+def _gopher_sql() -> str:
+    return f"""
+WITH sig AS ({_signals_sql()})
+SELECT *, CAST({_GOPHER_OK} AS BIGINT) AS gopher_ok FROM sig
+"""
+
+
+# --------------------------------------------- repetition signals
+
+
+REP_K = 2  # n-gram width for the repetition signal
+
+
+def repetition_stats(spark, sf_dir):
+    """Gopher repetition signals: per-doc duplicate-2-gram fraction and
+    most-frequent-2-gram share. Two keyed shuffles, both ending at
+    doc_id granularity — scale-safe (no corpus-wide state)."""
+    d = _docs(spark, sf_dir, spread=True).filter(
+        T.token_count(F.col("text")) >= REP_K
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(T.ngram_texts(F.col("text"), REP_K)).alias("g"),
+    ).select("doc_id", T.h64(F.col("g")).alias("h"))
+    per = grams.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+            F.round(
+                F.col("top_c") / F.col("n_grams").cast("double"), 6
+            ).alias("top_frac"),
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS.format(x="text")} AS t FROM documents
+  WHERE len({_TOKS.format(x="text")}) >= {REP_K}
+),
+grams AS (
+  SELECT doc_id, {_H64.format(x="g")} AS h
+  FROM (
+    SELECT doc_id, unnest({_NGRAMS.format(t="t", k=REP_K)}) AS g
+    FROM toks
+  )
+),
+per AS (SELECT doc_id, h, count(*) AS c FROM grams GROUP BY doc_id, h)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+FROM per GROUP BY doc_id
+"""
+
+
+# --------------------------------------------- unigram rarity (CCNet-ish)
+
+
+def unigram_rarity(spark, sf_dir):
+    """Corpus-relative lexical rarity (the integer-exact stand-in for a
+    KenLM/CCNet perplexity bucket): build the exact corpus unigram
+    frequency table, then score each doc by the sum/avg/min corpus
+    frequency of its tokens. One groupBy to build the vocabulary, one
+    join back (vocab is tiny vs the corpus — AQE broadcasts it; at
+    open-web scale it degrades gracefully to a hash join on the token),
+    one per-doc aggregate. Integer sums only — no float-accumulation
+    order sensitivity cross-engine."""
+    d = _docs(spark, sf_dir, spread=True)
+    w = d.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    freq = w.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    return (
+        w.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("f").cast("bigint").alias("sum_freq"),
+            F.min("f").cast("bigint").alias("min_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_freq",
+            F.round(
+                F.col("sum_freq").cast("double") / F.col("n_toks"), 6
+            ).alias("avg_freq"),
+            "min_freq",
+        )
+    )
+
+
+UNIGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_TOKS.format(x="lower(text)")}) AS w
+  FROM documents
+),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w GROUP BY w)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(f) AS BIGINT) AS sum_freq,
+       round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS avg_freq,
+       CAST(min(f) AS BIGINT) AS min_freq
+FROM w JOIN freq USING (w) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------- filter funnel
+
+
+FUNNEL_STAGES = [
+    "0_raw",
+    "1_word_count",
+    "2_mean_word_len",
+    "3_symbol_ratio",
+    "4_alpha_ratio",
+    "5_stopwords",
+]
+
+
+def filter_funnel(spark, sf_dir):
+    """Pipeline funnel report: how many documents (and tokens) survive
+    each successive Gopher rule. Each doc contributes one row per stage
+    it reaches (explode over sequence(0, first_failing_rule)), then one
+    groupBy(stage) — the standard yield report a 100 TB curation run
+    emits per batch."""
+    sig = _quality_signals(_docs(spark, sf_dir))
+    lvl = (
+        F.when(
+            (F.col("n_words") < T.GOPHER_MIN_WORDS)
+            | (F.col("n_words") > T.GOPHER_MAX_WORDS),
+            0,
+        )
+        .when(
+            (F.col("mean_word_len") < T.GOPHER_MIN_MEAN_LEN)
+            | (F.col("mean_word_len") > T.GOPHER_MAX_MEAN_LEN),
+            1,
+        )
+        .when(F.col("symbol_ratio") >= T.GOPHER_MAX_SYMBOL_RATIO, 2)
+        .when(F.col("alpha_ratio") <= T.GOPHER_MIN_ALPHA_RATIO, 3)
+        .when(F.col("stop_hits") < T.GOPHER_MIN_STOP_HITS, 4)
+        .otherwise(5)
+    )
+    stage_name = None
+    for i, name in enumerate(FUNNEL_STAGES):
+        cond = F.col("s") == i
+        stage_name = (
+            F.when(cond, name)
+            if stage_name is None
+            else stage_name.when(cond, name)
+        )
+    return (
+        sig.select("n_words", F.explode(F.sequence(F.lit(0), lvl)).alias("s"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+        .select(stage_name.alias("stage"), "n_docs", "n_tokens")
+    )
+
+
+def _funnel_sql() -> str:
+    lvl = (
+        f"CASE WHEN n_words < {T.GOPHER_MIN_WORDS}"
+        f" OR n_words > {T.GOPHER_MAX_WORDS} THEN 0"
+        f" WHEN mean_word_len < {T.GOPHER_MIN_MEAN_LEN}"
+        f" OR mean_word_len > {T.GOPHER_MAX_MEAN_LEN} THEN 1"
+        f" WHEN symbol_ratio >= {T.GOPHER_MAX_SYMBOL_RATIO} THEN 2"
+        f" WHEN alpha_ratio <= {T.GOPHER_MIN_ALPHA_RATIO} THEN 3"
+        f" WHEN stop_hits < {T.GOPHER_MIN_STOP_HITS} THEN 4"
+        f" ELSE 5 END"
+    )
+    names = " ".join(
+        f"WHEN s = {i} THEN '{n}'" for i, n in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+WITH sig AS ({_signals_sql()}),
+lv AS (SELECT n_words, {lvl} AS lvl FROM sig),
+st AS (SELECT n_words, unnest(range(0, lvl + 1)) AS s FROM lv)
+SELECT CASE {names} END AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens
+FROM st GROUP BY s
+"""
+
+
 QUERIES = {
     "boilerplate_chunks": (boilerplate_chunks, BOILERPLATE_SQL),
     "pii_redaction": (pii_redaction, _pii_sql()),
     "seq_packing": (seq_packing, SEQ_PACKING_SQL),
     "contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
+    "gopher_quality": (gopher_quality, _gopher_sql()),
+    "repetition_stats": (repetition_stats, REPETITION_SQL),
+    "unigram_rarity": (unigram_rarity, UNIGRAM_SQL),
+    "filter_funnel": (filter_funnel, _funnel_sql()),
 }

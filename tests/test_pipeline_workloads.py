@@ -161,3 +161,95 @@ class TestContamination:
                    contamination_overlap):
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
             assert "BatchEvalPython" not in plan, fn.__name__
+
+
+class TestGopherQuality:
+    def test_signals_and_verdict(self, spark, doc_table):
+        good = "the wind and rain that came from north said hello today " * 5
+        short = "tiny doc with the and of"                       # 6 words
+        symbols = ("the wind and rain that came from north said hello " * 5
+                   + "### ... ### ... ### ... ### ...")          # symbol-heavy
+        doc_table([
+            (1, good.strip(), "en", "s", 0),
+            (2, short, "en", "s", 0),
+            (3, symbols.strip(), "en", "s", 0),
+        ])
+        from graphdb_spark.workloads.pipeline import gopher_quality
+
+        out = {r.doc_id: r for r in gopher_quality(spark, "ignored").collect()}
+        assert out[1].gopher_ok == 1
+        assert out[1].n_words == 55 and out[1].stop_hits >= 2
+        assert 3.0 <= out[1].mean_word_len <= 10.0
+        assert out[2].gopher_ok == 0          # word count below 50
+        assert out[3].gopher_ok == 0          # symbol ratio >= 0.1
+        assert out[3].symbol_ratio >= 0.1
+
+    def test_alpha_ratio_counts_lettered_words(self, spark, doc_table):
+        doc_table([(1, "abc 123 a1 999", "en", "s", 0)])
+        from graphdb_spark.workloads.pipeline import gopher_quality
+
+        r = gopher_quality(spark, "ignored").collect()[0]
+        assert r.alpha_ratio == 0.5  # abc, a1 of 4
+
+
+class TestRepetition:
+    def test_dup_and_top_fractions(self, spark, doc_table):
+        # 2-grams of "a b a b a": [a b, b a, a b, b a] -> 4 grams,
+        # 2 distinct, dup_ratio 0.5, top_frac 0.5
+        doc_table([(1, "a b a b a", "en", "s", 0)])
+        from graphdb_spark.workloads.pipeline import repetition_stats
+
+        r = repetition_stats(spark, "ignored").collect()[0]
+        assert (r.n_grams, r.n_distinct) == (4, 2)
+        assert r.dup_ratio == 0.5 and r.top_frac == 0.5
+
+    def test_short_docs_filtered(self, spark, doc_table):
+        doc_table([(1, "one", "en", "s", 0)])
+        from graphdb_spark.workloads.pipeline import repetition_stats
+
+        assert repetition_stats(spark, "ignored").count() == 0
+
+
+class TestUnigramRarity:
+    def test_corpus_frequencies(self, spark, doc_table):
+        # corpus: 'x' appears 3 times, 'y' twice, 'z' once
+        doc_table([
+            (1, "x x y", "en", "s", 0),
+            (2, "x y z", "en", "s", 0),
+        ])
+        from graphdb_spark.workloads.pipeline import unigram_rarity
+
+        out = {r.doc_id: r for r in unigram_rarity(spark, "ignored").collect()}
+        assert out[1].sum_freq == 3 + 3 + 2 and out[1].min_freq == 2
+        assert out[2].sum_freq == 3 + 2 + 1 and out[2].min_freq == 1
+        assert out[2].avg_freq == 2.0
+
+
+class TestFilterFunnel:
+    def test_stage_survivors(self, spark, doc_table):
+        good = "the wind and rain that came from north said hello today " * 5
+        doc_table([
+            (1, good.strip(), "en", "s", 0),   # survives all 5
+            (2, "too short the and", "en", "s", 0),  # fails stage 1
+        ])
+        from graphdb_spark.workloads.pipeline import filter_funnel
+
+        out = {r.stage: (r.n_docs, r.n_tokens)
+               for r in filter_funnel(spark, "ignored").collect()}
+        assert out["0_raw"] == (2, 59)
+        assert out["1_word_count"] == (1, 55)
+        assert out["5_stopwords"] == (1, 55)
+        assert "2_mean_word_len" in out and out["2_mean_word_len"][0] == 1
+
+    def test_new_ops_stay_jvm_side(self, spark, sf_dir):
+        from graphdb_spark.workloads.pipeline import (
+            filter_funnel,
+            gopher_quality,
+            repetition_stats,
+            unigram_rarity,
+        )
+
+        for fn in (gopher_quality, repetition_stats, unigram_rarity,
+                   filter_funnel):
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan, fn.__name__
