@@ -478,3 +478,75 @@ def connected_components_large(edges: DataFrame, max_iter: int = 30) -> DataFram
     return min_nbr(pairs).select(
         F.col("u").alias("id"), F.col("m").alias("component")
     )
+
+
+def weighted_sssp(edges: DataFrame, src_id: str, weight_col: str = "w",
+                  max_hops: int = 4, t: str | None = None,
+                  direction: str = "out") -> DataFrame:
+    """Hop-bounded weighted single-source shortest paths (Bellman-Ford
+    relaxation): (id, dist) where dist is the minimal total weight over
+    paths of at most ``max_hops`` edges from ``src_id``. Beyond the
+    reference (its graphs are unweighted); the declared var-length /
+    shortestPath surface generalized to weighted edges.
+
+    Weights should be integral (bigint) — exact min/sum arithmetic,
+    replayable as K unrolled relaxation CTEs in SQL.
+
+    Scale shape: each iteration is one keyed join (frontier × edges,
+    frontier broadcast while provably small — the informed-broadcast
+    pattern, see BROADCAST_MAX_ROWS), one min-combine groupBy, and one
+    improvement anti-check against the running dist table; frontier
+    and dist table localCheckpoint per iteration to bound lineage.
+    Only vertices whose distance improved propagate — the frontier
+    shrinks as the relaxation converges, like bfs()."""
+    spark = edges.sparkSession
+    e = edges if t is None else edges.filter(F.col("relationship") == t)
+    fwd = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col(weight_col).alias("w"),
+    )
+    rev = e.select(
+        F.col("dst").alias("u"), F.col("src").alias("v"),
+        F.col(weight_col).alias("w"),
+    )
+    step = {"out": fwd, "in": rev}.get(direction, fwd.unionByName(rev))
+    dists = local_df(spark, [(src_id, 0)], "id string, dist bigint")
+    frontier = dists
+    n_frontier, n_dists = 1, 1
+    for _ in range(max_hops):
+        cand = (
+            step.join(
+                _maybe_broadcast(
+                    frontier.withColumnRenamed("id", "u"), n_frontier
+                ),
+                "u",
+            )
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                _maybe_broadcast(
+                    dists.withColumnRenamed("dist", "old"), n_dists
+                ),
+                "id",
+                "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("id", "dist")
+            .localCheckpoint(eager=False)
+        )
+        n_frontier = improved.count()
+        if n_frontier == 0:
+            break
+        improved = _rightsize(improved, n_frontier)
+        dists = (
+            dists.unionByName(improved)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_dists = dists.count()
+        frontier = improved
+    return dists

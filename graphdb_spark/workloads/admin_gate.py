@@ -619,8 +619,67 @@ ORDER BY a_label, b_label
 """
 
 
+def g_weighted_sssp(spark, sf_dir):
+    """Hop-bounded weighted shortest paths from c_1 on the F6 graph,
+    undirected, 4 relaxation rounds (operators/traversal.weighted_sssp
+    — Bellman-Ford with informed-broadcast frontiers). Edge weights are
+    derived deterministically from the edge identity (1 + h64 % 100) so
+    the DuckDB twin unrolls the same 4 relaxations exactly; integral
+    weights keep min/sum arithmetic bit-equal cross-engine."""
+    from graphdb_spark.operators import text as T  # noqa: PLC0415
+    from graphdb_spark.operators.traversal import weighted_sssp  # noqa: PLC0415
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    we = g.edges.select(
+        "src",
+        "dst",
+        (T.h64(F.concat_ws("|", "src", "dst")) % 100 + 1).alias("w"),
+    )
+    return weighted_sssp(we, "c_1", weight_col="w", max_hops=4,
+                         direction="both")
+
+
+def _weighted_sssp_sql() -> str:
+    h64 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+    relax = """
+d{i} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT * FROM d{p}
+    UNION ALL
+    SELECT e.v AS id, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN e ON d{p}.id = e.u
+  ) GROUP BY id
+)"""
+    chain = ",".join(relax.format(i=i, p=i - 1) for i in range(1, 5))
+    return f"""
+WITH base AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+),
+we AS (
+  SELECT src, dst, {h64.format(x="src || '|' || dst")} % 100 + 1 AS w
+  FROM base
+),
+e AS (
+  SELECT src AS u, dst AS v, w FROM we
+  UNION ALL
+  SELECT dst, src, w FROM we
+),
+d0 AS (SELECT 'c_1' AS id, CAST(0 AS BIGINT) AS dist),
+{chain}
+SELECT id, CAST(dist AS BIGINT) AS dist FROM d4
+"""
+
+
 QUERIES = {
     "mut_graph_final": (mut_graph_final, MUT_GRAPH_FINAL_SQL),
+    "g_weighted_sssp": (g_weighted_sssp, _weighted_sssp_sql()),
     "agg_messages_degree": (agg_messages_degree, AGG_MESSAGES_DEGREE_SQL),
     "all_shortest_f6": (all_shortest_f6, ALL_SHORTEST_F6_SQL),
     "motif_one_hop": (motif_one_hop, MOTIF_ONE_HOP_SQL),

@@ -49,7 +49,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - ingest_codec_suite: ingest_csv_json, snapshot_roundtrip,
                       fhir_patients, hl7_segments, plugin_exec
 - algebra_suite:      pipe_value_filter, include_two_stage,
-                      agg_messages_degree, all_shortest_f6, motif_one_hop
+                      agg_messages_degree, all_shortest_f6, motif_one_hop,
+                      g_weighted_sssp
 """
 
 from __future__ import annotations
@@ -157,6 +158,7 @@ COLS = {
     "agg_messages_degree": [("id", "string"), ("indeg", "bigint")],
     "all_shortest_f6": [("hops", "int"), ("n_paths", "bigint")],
     "motif_one_hop": [("a_label", "string"), ("b_label", "string"), ("n", "bigint")],
+    "g_weighted_sssp": [("id", "string"), ("dist", "bigint")],
     "cypher_undirected": [("segment", "string"), ("n", "bigint")],
     "include_two_stage": [("stage", "bigint"), ("a", "string"), ("b", "string")],
 }
@@ -257,7 +259,7 @@ def build_gate() -> dict:
           "plugin_exec")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
-          "motif_one_hop")
+          "motif_one_hop", "g_weighted_sssp")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks")

@@ -140,3 +140,57 @@ def test_connected_components_large_matches_small(spark):
         large = {r["id"]: r["component"]
                  for r in connected_components_large(e).collect()}
         assert small == large, name
+
+
+@pytest.fixture()
+def weighted_graph(spark):
+    """a->b costs 10 direct, but 3 via c (1+2); d hangs off b."""
+    edges = [
+        ("a", "N", "b", 10), ("a", "N", "c", 1),
+        ("c", "N", "b", 2), ("b", "N", "d", 5),
+    ]
+    return spark.createDataFrame(
+        edges, "src string, relationship string, dst string, w bigint"
+    )
+
+
+def test_weighted_sssp_prefers_cheaper_longer_path(weighted_graph):
+    got = {
+        r["id"]: r["dist"]
+        for r in T.weighted_sssp(weighted_graph, "a", max_hops=4).collect()
+    }
+    assert got == {"a": 0, "c": 1, "b": 3, "d": 8}
+
+
+def test_weighted_sssp_hop_bound(weighted_graph):
+    # with only 1 relaxation round, b is reachable only via the direct
+    # (expensive) edge
+    got = {
+        r["id"]: r["dist"]
+        for r in T.weighted_sssp(weighted_graph, "a", max_hops=1).collect()
+    }
+    assert got == {"a": 0, "b": 10, "c": 1}
+
+
+def test_weighted_sssp_undirected(spark):
+    e = spark.createDataFrame(
+        [("a", "N", "b", 7)],
+        "src string, relationship string, dst string, w bigint",
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in T.weighted_sssp(e, "b", max_hops=2, direction="both").collect()
+    }
+    assert got == {"b": 0, "a": 7}
+
+
+def test_weighted_sssp_type_filter(spark):
+    e = spark.createDataFrame(
+        [("a", "CHEAP", "b", 1), ("a", "EXPENSIVE", "b", 100)],
+        "src string, relationship string, dst string, w bigint",
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in T.weighted_sssp(e, "a", max_hops=2, t="EXPENSIVE").collect()
+    }
+    assert got == {"a": 0, "b": 100}
