@@ -44,10 +44,17 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
     "text_stats",
+    "gopher_quality",
+    "repetition_stats",
     "ann_bruteforce_topk",
 ]
 
-RUNS_PER_QUERY = 2  # report the best warm run (driver runs once/round)
+# Report the best warm run out of 3 (driver invokes this script once
+# per round). Measured on this box: identical iterative queries swing
+# 1.7 s vs 4.8 s between back-to-back runs purely on (invisible)
+# microVM host contention — best-of-3 keeps one noisy slice from
+# contaminating the round artifact for ~+15 s of untimed cost.
+RUNS_PER_QUERY = 3
 
 
 def bench_bulk_load(spark, g) -> float:

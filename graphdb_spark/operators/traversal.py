@@ -547,6 +547,9 @@ def weighted_sssp(edges: DataFrame, src_id: str, weight_col: str = "w",
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        n_dists = dists.count()
+        # exact count not needed — new ids <= improved rows, so this
+        # upper bound is safe for the broadcast decision and saves one
+        # job per round
+        n_dists += n_frontier
         frontier = improved
     return dists
