@@ -143,3 +143,56 @@ def test_label_propagation_no_cartesian(spark, sf_dir):
     g = graph_session(spark, sf_dir)
     plan = plan_of(label_propagation(g.edges, max_iter=1))
     assert "CartesianProduct" not in plan
+
+
+def test_quality_rules_zero_shuffle(spark, sf_dir):
+    """gopher_quality must be a pure scan: no Exchange, no
+    BatchEvalPython — it's the operator we claim runs at parquet scan
+    speed on 100 TB."""
+    from graphdb_spark.workloads.pipeline import gopher_quality
+
+    plan = plan_of(gopher_quality(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_single_aggregate_exchange(spark, sf_dir):
+    """filter_funnel adds exactly one aggregation shuffle over the
+    6-stage explode (plus AQE reads); no joins at all."""
+    from graphdb_spark.workloads.pipeline import filter_funnel
+
+    plan = plan_of(filter_funnel(spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_no_cartesian(spark, sf_dir):
+    from graphdb_spark.workloads.pipeline import repetition_stats
+
+    plan = plan_of(repetition_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unigram_rarity_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary side of the frequency join is tiny relative to
+    the exploded token stream — at gate SFs it must come back as a
+    broadcast join, never a cartesian."""
+    from graphdb_spark.workloads.pipeline import unigram_rarity
+
+    df = unigram_rarity(spark, sf_dir)
+    df.count()  # let AQE finalize
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sssp_no_sort_merge_per_round(spark, sf_dir):
+    """Each relaxation round joins the (tiny, exactly-counted) frontier
+    against the edge table — the informed-broadcast pattern must hold
+    here like it does for bfs: no CartesianProduct anywhere, and the
+    frontier joins resolve to broadcast hash joins at this scale."""
+    from graphdb_spark.workloads.admin_gate import g_weighted_sssp
+
+    df = g_weighted_sssp(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
