@@ -23,7 +23,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - tpch_deep_suite:    q8_market_share, q9_profit, q21_waiting_orders,
                       q2_min_supplier, q16_supplier_counts,
                       q20_excess_share
-- agg_suite:          distinct_agg, cube_counts, rollup_orders
+- agg_suite:          distinct_agg, cube_counts, rollup_orders,
+                      quantile_sketch
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
 - set_join_suite:     set_ops, anti_semi_join, top_customers
 - g_counts_suite:     g_vertex_counts, g_edge_counts
@@ -85,6 +86,7 @@ COLS = {
     "q6_forecast_revenue": [("revenue", "double"), ("n", "bigint")],
     "q12_shipmode": [("l_linestatus", "string"), ("high_line_count", "bigint"), ("low_line_count", "bigint")],
     "cube_counts": [("l_returnflag", "string"), ("l_linestatus", "string"), ("n", "bigint"), ("qty", "double")],
+    "quantile_sketch": [("l_returnflag", "string"), ("qty_p50", "double"), ("price_p90", "double"), ("p90_within_1pct", "bigint")],
     "q5_region_revenue": [("n_name", "string"), ("revenue", "double")],
     "top_customers": [("o_custkey", "bigint"), ("total_spent", "double"), ("order_count", "bigint")],
     "distinct_agg": [("o_orderpriority", "string"), ("distinct_customers", "bigint"), ("orders", "bigint"), ("finished", "bigint")],
@@ -215,7 +217,8 @@ def build_gate() -> dict:
     suite("tpch_deep_suite", R, "q8_market_share", "q9_profit",
           "q21_waiting_orders", "q2_min_supplier", "q16_supplier_counts",
           "q20_excess_share")
-    suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders")
+    suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
+          "quantile_sketch")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
     suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers")
     keep(R, "approx_distinct_sketch")

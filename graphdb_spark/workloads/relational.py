@@ -527,6 +527,53 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def quantile_sketch(spark, sf_dir):
+    """Exact + sketched quantiles per return flag. Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    rank = p*(n-1) linear-interpolation definition and match
+    bit-for-bit on the same doubles (verified at sf0.01), so p50/p90
+    hash-match directly; the approx_percentile (t-digest-class) sketch
+    can't be replayed cross-engine, so — like approx_distinct_sketch —
+    it ships as a ``p90_within_1pct`` bound flag the oracle emits as
+    a constant 1. At 100 TB the exact percentile's total sort is the
+    expensive path and the sketch is the one you'd actually run; the
+    gate certifies the sketch lands within its documented error."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.9), F.lit(10_000)
+            ).alias("approx_p90"),
+        )
+        .select(
+            "l_returnflag",
+            "qty_p50",
+            "price_p90",
+            (
+                F.abs(F.col("approx_p90") - F.col("price_p90"))
+                / F.col("price_p90")
+                <= 0.01
+            )
+            .cast("bigint")
+            .alias("p90_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILE_SKETCH_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS qty_p50,
+  quantile_cont(l_extendedprice, 0.9) AS price_p90,
+  CAST(1 AS BIGINT) AS p90_within_1pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS semi-join + grouped count."""
     t = load_tables(spark, sf_dir)
@@ -1331,6 +1378,7 @@ QUERIES = {
     "q12_shipmode": (q12_shipmode, Q12_SQL),
     "cube_counts": (cube_counts, CUBE_SQL),
     "approx_distinct_sketch": (approx_distinct_sketch, APPROX_DISTINCT_SQL),
+    "quantile_sketch": (quantile_sketch, QUANTILE_SKETCH_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_topk": (q3_shipping_topk, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
