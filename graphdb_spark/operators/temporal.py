@@ -93,3 +93,53 @@ def as_of_edges(edges: DataFrame, t, start_col: str = "start_time",
         (F.col(start_col) <= F.lit(t))
         & (F.col(end_col).isNull() | (F.col(end_col) > F.lit(t)))
     )
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_ms: str = "ts_ms", start_ms: str = "start_ms",
+               end_ms: str = "end_ms", keys: tuple = (),
+               bin_width_ms: int = 600_000) -> DataFrame:
+    """Interval-containment join — every (point, interval) pair with
+    ``start_ms <= point_ms < end_ms`` (and equal ``keys``) — WITHOUT
+    the nested-loop plan Spark produces for a naive theta-join.
+
+    Both sides are mapped to fixed-width time bins: an interval
+    explodes to every bin it covers, a point lands in exactly one bin,
+    and the join becomes an equi-join on (*keys, bin) plus the exact
+    containment filter. Each qualifying pair meets in exactly one bin
+    (the point's), so no dedup pass is needed.
+
+    Scale: the naive BETWEEN join is O(|points| x |intervals|) per key
+    (BroadcastNestedLoopJoin — dies at 100 TB); this plans one hash
+    shuffle on (*keys, bin) with interval replication bounded by
+    ceil(interval_len / bin_width) + 1. Pick bin_width near the median
+    interval length: shorter bins replicate intervals more, longer
+    bins put more non-matching pairs through the post-filter.
+    Timestamps are epoch-millis BIGINTs — exact arithmetic, exact
+    SQL replay.
+
+    Column names from both inputs survive into the output; disambiguate
+    before calling if they collide (only the join keys may be shared).
+    """
+    # integer `div`, never double `/`: a double quotient can round up
+    # across the bin boundary for near-multiple timestamps
+    W = int(bin_width_ms)
+    p = points.withColumn("__bin", F.expr(f"{point_ms} div {W}"))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_ms} div {W}"),
+                F.expr(f"({end_ms} - 1) div {W}"),
+            )
+        ),
+    )
+    on = [*keys, "__bin"]
+    return (
+        p.join(i, on=on, how="inner")
+        .filter(
+            (F.col(point_ms) >= F.col(start_ms))
+            & (F.col(point_ms) < F.col(end_ms))
+        )
+        .drop("__bin")
+    )

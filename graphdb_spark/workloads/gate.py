@@ -40,7 +40,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
                       repetition_stats, unigram_rarity, filter_funnel
-- temporal_suite:     time_window_agg, asof_last_click, sessionize
+- temporal_suite:     time_window_agg, asof_last_click, sessionize,
+                      range_join_attrib
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks
 - cypher_lang_suite:  cypher_case_banding, cypher_union,
@@ -128,6 +129,7 @@ COLS = {
     "time_window_agg": [("day", "string"), ("event_type", "string"), ("n", "bigint"), ("value_sum", "double")],
     "asof_last_click": [("user_id", "bigint"), ("purchase_ts_ms", "bigint"), ("purchase_value", "double"), ("last_click", "double")],
     "sessionize": [("user_id", "bigint"), ("sessions", "bigint"), ("max_session_events", "bigint")],
+    "range_join_attrib": [("user_id", "bigint"), ("purchase_id", "bigint"), ("n_clicks", "bigint"), ("click_sum", "double")],
     "media_decode": [("media_id", "bigint"), ("width", "int"), ("height", "int"), ("n_bytes", "bigint"), ("phash", "bigint")],
     "media_resize": [("media_id", "bigint"), ("w", "int"), ("h", "int"), ("target_w", "int"), ("target_h", "int")],
     "media_frames": [("media_id", "bigint"), ("frame_no", "bigint"), ("t_offset_s", "double")],
@@ -249,7 +251,7 @@ def build_gate() -> dict:
     # -- temporal (temporal_replay stays a standalone representative;
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
-          "sessionize")
+          "sessionize", "range_join_attrib")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")

@@ -207,9 +207,69 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+def range_join_attrib(spark, sf_dir):
+    """Attribution window as an interval-containment join
+    (operators/temporal.range_join): each purchase opens a 1-hour
+    look-back window; count and sum the user's clicks inside it.
+    The binned equi-join replaces the BroadcastNestedLoopJoin a naive
+    BETWEEN predicate would plan — the difference between a hash
+    shuffle and an O(points x intervals) scan at 100 TB. Oracle: the
+    same BETWEEN join written naively (DuckDB handles the small gate
+    SFs fine)."""
+    from graphdb_spark.operators.temporal import range_join  # noqa: PLC0415
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.unix_millis("ts") - 3_600_000).alias("start_ms"),
+        F.unix_millis("ts").alias("end_ms"),
+    )
+    joined = range_join(
+        clicks, purchases, keys=("user_id",), bin_width_ms=600_000
+    )
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum(F.col("click_value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("click_sum"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.user_id, p.purchase_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(ROUND(SUM(CAST(c.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS click_sum
+FROM (
+  SELECT user_id, event_id AS purchase_id,
+         epoch_ms(ts) - 3600000 AS start_ms, epoch_ms(ts) AS end_ms
+  FROM events WHERE event_type = 'purchase'
+) p
+JOIN (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+  WHERE event_type = 'click'
+) c
+ON c.user_id = p.user_id
+AND c.ts_ms >= p.start_ms AND c.ts_ms < p.end_ms
+GROUP BY p.user_id, p.purchase_id
+ORDER BY p.user_id, p.purchase_id
+"""
+
+
 QUERIES = {
     "temporal_replay": (temporal_replay, TEMPORAL_REPLAY_SQL),
     "time_window_agg": (time_window_agg, TIME_WINDOW_SQL),
     "asof_last_click": (asof_last_click, ASOF_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "range_join_attrib": (range_join_attrib, RANGE_JOIN_SQL),
 }

@@ -65,3 +65,56 @@ def test_as_of_edges(spark):
         for r in as_of_edges(e, "2024-04-01 00:00:00").collect()
     }
     assert got == {("a", "b"), ("b", "c")}
+
+
+class TestRangeJoin:
+    def _pair(self, spark):
+        from graphdb_spark.datamodel import local_df
+
+        points = local_df(
+            spark,
+            [(1, 100, 1.0), (1, 250, 2.0), (1, 999, 4.0), (2, 100, 8.0)],
+            "user_id bigint, ts_ms bigint, v double",
+        )
+        intervals = local_df(
+            spark,
+            [(1, 100, 300, "w1"), (1, 400, 500, "w2"), (2, 0, 50, "w3")],
+            "user_id bigint, start_ms bigint, end_ms bigint, win string",
+        )
+        return points, intervals
+
+    def test_containment_exact(self, spark):
+        from graphdb_spark.operators.temporal import range_join
+
+        p, i = self._pair(spark)
+        got = {
+            (r.win, r.ts_ms)
+            for r in range_join(p, i, keys=("user_id",), bin_width_ms=100).collect()
+        }
+        # w1=[100,300): contains 100 and 250; end exclusive; w2 empty;
+        # w3 is user 2 but its point (ts 100) is outside [0,50)
+        assert got == {("w1", 100), ("w1", 250)}
+
+    def test_no_duplicate_pairs_across_bins(self, spark):
+        # interval spans many bins; each qualifying point must appear once
+        from graphdb_spark.datamodel import local_df
+        from graphdb_spark.operators.temporal import range_join
+
+        p = local_df(spark, [(1, 555, 1.0)], "k bigint, ts_ms bigint, v double")
+        i = local_df(
+            spark, [(1, 0, 10_000, "big")],
+            "k bigint, start_ms bigint, end_ms bigint, win string",
+        )
+        rows = range_join(p, i, keys=("k",), bin_width_ms=10).collect()
+        assert len(rows) == 1
+
+    def test_plans_hash_join_not_nested_loop(self, spark):
+        from graphdb_spark.operators.temporal import range_join
+
+        p, i = self._pair(spark)
+        plan = (
+            range_join(p, i, keys=("user_id",), bin_width_ms=100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
