@@ -266,3 +266,58 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Vertices surviving ``rounds`` rounds of k-core peeling on the
+    undirected projection: each round drops every vertex whose degree
+    (over surviving edges) is below k. With enough rounds this is THE
+    k-core (the fixpoint is order-independent); a fixed round count
+    keeps the operator deterministic AND replayable as unrolled SQL.
+    Returns (id, degree) with the vertex's degree inside the core.
+
+    Scale: each round is one degree groupBy plus two semi-joins
+    (edge-endpoint filtering) — all keyed on vertex id, no all-pairs;
+    survivors localCheckpoint per round to bound lineage. Early exit
+    when a round removes nothing (the fixpoint test rides the same
+    count job the checkpoint needs)."""
+    from graphdb_spark.operators.traversal import _maybe_broadcast
+
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    live = und
+    # surviving-vertex count is bounded by the surviving-edge count,
+    # which the per-round checkpoint job measures exactly — the
+    # informed-broadcast pattern (checkpointed frames carry no stats,
+    # so the static planner would shuffle the full edge set per peel)
+    n_prev = live.count()
+    n_bound = n_prev
+    for _ in range(rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        live = (
+            live.join(_maybe_broadcast(keep, n_bound), "u", "left_semi")
+            .join(
+                _maybe_broadcast(keep.withColumnRenamed("u", "v"), n_bound),
+                "v",
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        n = live.count()
+        if n == n_prev:
+            break
+        n_prev = n
+        n_bound = n
+    return (
+        live.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("id"), "degree")
+    )

@@ -677,9 +677,67 @@ SELECT id, CAST(dist AS BIGINT) AS dist FROM d4
 """
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def g_kcore(spark, sf_dir):
+    """k-core decomposition (fixed-round peeling) of the F6 graph
+    (operators/analytics.k_core): vertices surviving KCORE_ROUNDS
+    rounds of drop-degree-below-K on the undirected projection, with
+    their in-core degree. The oracle unrolls the identical rounds as
+    chained CTEs; extra rounds past the fixpoint are no-ops, so the
+    operator's early exit cannot diverge from the unroll."""
+    from graphdb_spark.operators.analytics import k_core  # noqa: PLC0415
+    from graphdb_spark.workloads.graph import graph_session  # noqa: PLC0415
+
+    g = graph_session(spark, sf_dir)
+    return k_core(g.edges, k=KCORE_K, rounds=KCORE_ROUNDS).orderBy("id")
+
+
+def _kcore_sql() -> str:
+    k, rounds = KCORE_K, KCORE_ROUNDS
+    peel = """
+k{p} AS (
+  SELECT u FROM (SELECT u, count(*) AS d FROM l{p} GROUP BY u)
+  WHERE d >= {k}
+),
+l{i} AS (
+  SELECT l.u, l.v FROM l{p} l
+  JOIN k{p} a ON l.u = a.u
+  JOIN k{p} b ON l.v = b.u
+)"""
+    chain = ",".join(
+        peel.format(i=i, p=i - 1, k=k) for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+),
+l0 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM base
+    UNION ALL
+    SELECT dst, src FROM base
+  )
+),
+{chain}
+SELECT u AS id, CAST(count(*) AS BIGINT) AS degree
+FROM l{rounds} GROUP BY u HAVING count(*) >= {k}
+ORDER BY id
+"""
+
+
 QUERIES = {
     "mut_graph_final": (mut_graph_final, MUT_GRAPH_FINAL_SQL),
     "g_weighted_sssp": (g_weighted_sssp, _weighted_sssp_sql()),
+    "g_kcore": (g_kcore, _kcore_sql()),
     "agg_messages_degree": (agg_messages_degree, AGG_MESSAGES_DEGREE_SQL),
     "all_shortest_f6": (all_shortest_f6, ALL_SHORTEST_F6_SQL),
     "motif_one_hop": (motif_one_hop, MOTIF_ONE_HOP_SQL),

@@ -52,7 +52,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       fhir_patients, hl7_segments, plugin_exec
 - algebra_suite:      pipe_value_filter, include_two_stage,
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
-                      g_weighted_sssp
+                      g_weighted_sssp, g_kcore
 """
 
 from __future__ import annotations
@@ -163,6 +163,7 @@ COLS = {
     "all_shortest_f6": [("hops", "int"), ("n_paths", "bigint")],
     "motif_one_hop": [("a_label", "string"), ("b_label", "string"), ("n", "bigint")],
     "g_weighted_sssp": [("id", "string"), ("dist", "bigint")],
+    "g_kcore": [("id", "string"), ("degree", "bigint")],
     "cypher_undirected": [("segment", "string"), ("n", "bigint")],
     "include_two_stage": [("stage", "bigint"), ("a", "string"), ("b", "string")],
 }
@@ -264,7 +265,7 @@ def build_gate() -> dict:
           "plugin_exec")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
-          "motif_one_hop", "g_weighted_sssp")
+          "motif_one_hop", "g_weighted_sssp", "g_kcore")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks")

@@ -127,3 +127,38 @@ def test_label_propagation_two_cliques(spark):
     assert labels["a1"] == labels["a2"] == labels["a3"]
     assert labels["b1"] == labels["b2"] == labels["b3"]
     assert labels["a1"] != labels["b1"]
+
+
+class TestKCore:
+    def test_peels_pendant_chain(self, spark):
+        # triangle a-b-c plus pendant chain c-d-e: 2-core = the triangle
+        from graphdb_spark.operators.analytics import k_core
+
+        e = spark.createDataFrame(
+            [("a", "N", "b"), ("b", "N", "c"), ("c", "N", "a"),
+             ("c", "N", "d"), ("d", "N", "e")],
+            "src string, relationship string, dst string",
+        )
+        got = {(r.id, r.degree) for r in k_core(e, k=2, rounds=8).collect()}
+        assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+    def test_k3_empty_on_triangle(self, spark):
+        from graphdb_spark.operators.analytics import k_core
+
+        e = spark.createDataFrame(
+            [("a", "N", "b"), ("b", "N", "c"), ("c", "N", "a")],
+            "src string, relationship string, dst string",
+        )
+        assert k_core(e, k=3, rounds=4).count() == 0
+
+    def test_extra_rounds_are_noop(self, spark):
+        from graphdb_spark.operators.analytics import k_core
+
+        e = spark.createDataFrame(
+            [("a", "N", "b"), ("b", "N", "c"), ("c", "N", "a"),
+             ("c", "N", "d")],
+            "src string, relationship string, dst string",
+        )
+        r4 = {(r.id, r.degree) for r in k_core(e, k=2, rounds=4).collect()}
+        r9 = {(r.id, r.degree) for r in k_core(e, k=2, rounds=9).collect()}
+        assert r4 == r9 == {("a", 2), ("b", 2), ("c", 2)}
