@@ -334,3 +334,41 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
         if n_changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), "canonical")
+
+
+def edit_verified_pairs(docs: DataFrame, candidates: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        min_sim: float = 0.9) -> DataFrame:
+    """Candidate-generate -> exact-verify near-dup pattern (the shape
+    every production dedup pipeline uses: a cheap recall stage feeds an
+    expensive precision stage). ``candidates`` is any (doc_a, doc_b)
+    pair source — LSH buckets, shingle joins, embedding bands; this
+    stage joins the texts back and keeps pairs whose normalized edit
+    similarity  1 - lev(a,b) / max(len(a), len(b))  >= ``min_sim``.
+
+    Scale: Levenshtein is O(len_a * len_b) per pair — NEVER run it
+    all-pairs; cost here is |candidates|, which the recall stage keeps
+    near-linear. The two text joins are broadcast-or-shuffle hash
+    joins on the id; texts never shuffle more than the candidate set.
+    """
+    ta = docs.select(F.col(id_col).alias("doc_a"),
+                     F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col(id_col).alias("doc_b"),
+                     F.col(text_col).alias("__tb"))
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("lev", F.levenshtein("__ta", "__tb").cast("bigint"))
+        .withColumn(
+            "edit_sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("lev")
+                / F.greatest(F.length("__ta"), F.length("__tb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("edit_sim") >= min_sim)
+        .select("doc_a", "doc_b", "lev", "edit_sim")
+    )

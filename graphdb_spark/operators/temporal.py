@@ -143,3 +143,67 @@ def range_join(points: DataFrame, intervals: DataFrame,
         )
         .drop("__bin")
     )
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    bucket: str = "hour",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup (TimescaleDB continuous
+    aggregates; beyond the reference — SURVEY §2.9 stretch): per
+    (time_bucket, *keys) emit the six standard gauges
+
+      n, value_sum, low, high, open, close
+
+    ALL decomposable: besides the values, the output carries the order
+    keys of open/close (``open_ord``/``close_ord``) so a coarser
+    rollup can be produced FROM a finer one by :func:`rollup_merge`
+    without revisiting raw rows — the continuous-aggregate hierarchy
+    (raw -> hourly -> daily -> monthly) each level reading only the
+    previous one.
+
+    ``order_col`` breaks open/close ties deterministically; it must be
+    totally ordered (default: millis + row id must be supplied by the
+    caller). Scale: one hash-partitioned partial-aggregated groupBy on
+    (bucket, *keys) — map-side combine keeps the shuffle at
+    |groups| x 8 gauge columns regardless of raw row count.
+    """
+    ord_expr = F.col(order_col) if order_col else F.col(ts_col).cast("string")
+    g = df.withColumn("__bucket", F.date_trunc(bucket, F.col(ts_col))).withColumn(
+        "__ord", ord_expr
+    )
+    return g.groupBy("__bucket", *keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("value_sum"),
+        F.min(value_col).alias("low"),
+        F.max(value_col).alias("high"),
+        F.min_by(value_col, F.col("__ord")).alias("open"),
+        F.max_by(value_col, F.col("__ord")).alias("close"),
+        F.min("__ord").alias("open_ord"),
+        F.max("__ord").alias("close_ord"),
+    ).withColumnRenamed("__bucket", "bucket")
+
+
+def rollup_merge(
+    rollup: DataFrame, keys: list[str], bucket: str = "day"
+) -> DataFrame:
+    """Re-aggregate a finer :func:`time_bucket_rollup` output into a
+    coarser bucket, reading ONLY the rollup (never the raw table):
+    n/value_sum add, low/high min/max, open/close follow their carried
+    order keys via min_by/max_by. At 100 TB this is the difference
+    between an O(raw) and an O(groups) daily job."""
+    g = rollup.withColumn("__bucket", F.date_trunc(bucket, F.col("bucket")))
+    return g.groupBy("__bucket", *keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("value_sum").alias("value_sum"),
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+        F.min_by("open", F.col("open_ord")).alias("open"),
+        F.max_by("close", F.col("close_ord")).alias("close"),
+        F.min("open_ord").alias("open_ord"),
+        F.max("close_ord").alias("close_ord"),
+    ).withColumnRenamed("__bucket", "bucket")

@@ -166,6 +166,15 @@ COLS = {
     "g_kcore": [("id", "string"), ("degree", "bigint")],
     "cypher_undirected": [("segment", "string"), ("n", "bigint")],
     "include_two_stage": [("stage", "bigint"), ("a", "string"), ("b", "string")],
+    # round-3 session-3 additions
+    "rollup_gauges": [("day", "string"), ("event_type", "string"),
+                      ("n", "bigint"), ("value_sum", "double"),
+                      ("low", "double"), ("high", "double"),
+                      ("open", "double"), ("close", "double")],
+    "dedup_lev_verified": [("doc_a", "bigint"), ("doc_b", "bigint"),
+                           ("lev", "bigint"), ("edit_sim", "double")],
+    "domain_cap": [("source", "string"), ("n_docs", "bigint"),
+                   ("n_kept", "bigint"), ("kept_chars", "bigint")],
 }
 
 
@@ -252,7 +261,7 @@ def build_gate() -> dict:
     # -- temporal (temporal_replay stays a standalone representative;
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
-          "sessionize", "range_join_attrib")
+          "sessionize", "range_join_attrib", "rollup_gauges")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")
@@ -274,7 +283,7 @@ def build_gate() -> dict:
           "lang_id_eval", "doc_fingerprint")
     keep(X, "dedup_exact")
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
-          "dedup_simhash_pairs")
+          "dedup_simhash_pairs", "dedup_lev_verified")
     keep(X, "dedup_cluster_canonical")
     keep(X, "sample_mix")
     # -- training-data pipeline (boilerplate / PII / packing /
@@ -282,7 +291,7 @@ def build_gate() -> dict:
     suite("pipeline_suite", pipeline, "boilerplate_chunks",
           "pii_redaction", "seq_packing", "contamination_overlap",
           "gopher_quality", "repetition_stats", "unigram_rarity",
-          "filter_funnel")
+          "filter_funnel", "domain_cap")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")

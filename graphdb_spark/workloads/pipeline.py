@@ -612,6 +612,54 @@ FROM st GROUP BY s
 """
 
 
+DOMAIN_CAP_K = 15
+
+
+def domain_cap(spark, sf_dir):
+    """Per-source document cap (RefinedWeb/C4-style 'at most K docs per
+    domain'): rank docs within each source by (n_chars DESC, doc_id)
+    and keep the top K; report per-source totals + what survived.
+
+    Scale: one hash-partitioned window on source — fine while no single
+    domain dwarfs an executor; for pathological single-domain skew
+    switch to the two-phase variant (per-partition top-K, then merge),
+    which the small fixed K makes exact."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rk") <= DOMAIN_CAP_K).cast("bigint")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= DOMAIN_CAP_K, F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP_K} THEN n_chars ELSE 0 END) AS BIGINT)
+    AS kept_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "boilerplate_chunks": (boilerplate_chunks, BOILERPLATE_SQL),
     "pii_redaction": (pii_redaction, _pii_sql()),
@@ -621,4 +669,5 @@ QUERIES = {
     "repetition_stats": (repetition_stats, REPETITION_SQL),
     "unigram_rarity": (unigram_rarity, UNIGRAM_SQL),
     "filter_funnel": (filter_funnel, _funnel_sql()),
+    "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
 }

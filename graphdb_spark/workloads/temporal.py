@@ -266,10 +266,61 @@ ORDER BY p.user_id, p.purchase_id
 """
 
 
+def rollup_gauges(spark, sf_dir):
+    """Hypertable continuous-aggregate hierarchy (operators/temporal
+    .time_bucket_rollup + rollup_merge; beyond the reference): raw
+    events -> HOURLY rollup -> merged to DAILY gauges, the daily level
+    computed ONLY from the hourly rollup (open/close follow carried
+    order keys) — the oracle computes daily directly from raw rows, so
+    a hash match proves the two-level decomposition is lossless."""
+    from graphdb_spark.operators.temporal import rollup_merge, time_bucket_rollup
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ev = ev.withColumn(
+        "ord",
+        F.concat(
+            F.lpad(F.unix_millis(F.col("ts")).cast("string"), 13, "0"),
+            F.lit("_"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    hourly = time_bucket_rollup(
+        ev, "ts", ["event_type"], "value", bucket="hour", order_col="ord"
+    )
+    daily = rollup_merge(hourly, ["event_type"], bucket="day")
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round(F.col("value_sum"), 2).cast("double").alias("value_sum"),
+        "low",
+        "high",
+        "open",
+        "close",
+    ).orderBy("day", "event_type")
+
+
+ROLLUP_SQL = """
+WITH o AS (
+  SELECT date_trunc('day', ts) AS day, event_type, value,
+         lpad(CAST(epoch_ms(ts) AS VARCHAR), 13, '0') || '_' ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+  FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum,
+  MIN(value) AS low, MAX(value) AS high,
+  arg_min(value, ord) AS open, arg_max(value, ord) AS close
+FROM o GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "temporal_replay": (temporal_replay, TEMPORAL_REPLAY_SQL),
     "time_window_agg": (time_window_agg, TIME_WINDOW_SQL),
     "asof_last_click": (asof_last_click, ASOF_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "range_join_attrib": (range_join_attrib, RANGE_JOIN_SQL),
+    "rollup_gauges": (rollup_gauges, ROLLUP_SQL),
 }

@@ -402,6 +402,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+def dedup_lev_verified(spark, sf_dir):
+    """Candidate-generate -> exact-verify near-dup (dedup.edit_verified
+    _pairs): shingle-Jaccard >= 0.1 proposes pairs (recall stage), exact
+    Levenshtein similarity >= 0.95 confirms them (precision stage; the
+    corpus has 0.94-sim decoys the verifier must drop)."""
+    d = _docs(spark, sf_dir, spread=True)
+    cand = dedup.ngram_jaccard_pairs(d, threshold=0.1)
+    return dedup.edit_verified_pairs(d, cand, min_sim=0.95).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DEDUP_LEV_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= 0.1
+)
+SELECT doc_a, doc_b,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+  ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+FROM cand
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+WHERE ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+      / greatest(length(da.text), length(db.text)), 6) >= 0.95
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_bpe_tokens": (text_bpe_tokens, TEXT_BPE_SQL),
@@ -414,4 +454,5 @@ QUERIES = {
     "sample_mix": (sample_mix, SAMPLE_MIX_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "dedup_lev_verified": (dedup_lev_verified, DEDUP_LEV_SQL),
 }

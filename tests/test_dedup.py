@@ -189,3 +189,36 @@ def test_cosine_neardup_pairs(spark):
     assert (5, 91) in got and got[(5, 91)] == 1.0   # scale-invariant
     assert all(a < b for a, b in got)
     assert all(v >= 0.95 for v in got.values())
+
+
+def test_edit_verified_pairs_filters_candidates(docs, spark):
+    """Verify stage must confirm true near-dups and drop candidates
+    whose edit distance is too large despite shingle overlap."""
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 4), (1, 5)], "doc_a bigint, doc_b bigint"
+    )
+    got = {(r["doc_a"], r["doc_b"]): (r["lev"], r["edit_sim"])
+           for r in D.edit_verified_pairs(docs, cand, min_sim=0.9).collect()}
+    assert got[(1, 2)] == (0, 1.0)          # exact dup: distance 0
+    assert (1, 4) in got and got[(1, 4)][0] > 0   # near dup survives
+    assert (1, 5) not in got                 # unrelated candidate dropped
+
+
+def test_edit_verified_matches_python_levenshtein(docs, spark):
+    """Spark's levenshtein must equal the textbook DP distance (this is
+    what makes the DuckDB oracle twin legitimate)."""
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cand = spark.createDataFrame([(1, 4)], "doc_a bigint, doc_b bigint")
+    got = D.edit_verified_pairs(docs, cand, min_sim=0.0).collect()[0]
+    assert got["lev"] == lev(rows[1], rows[4])

@@ -253,3 +253,34 @@ class TestFilterFunnel:
                    filter_funnel):
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
             assert "BatchEvalPython" not in plan, fn.__name__
+
+
+class TestDomainCap:
+    def test_caps_per_source(self, spark, doc_table, monkeypatch):
+        from graphdb_spark.workloads import pipeline as P
+
+        monkeypatch.setattr(P, "DOMAIN_CAP_K", 2)
+        rows = [
+            # srcA: 3 docs — cap 2 keeps the two longest
+            (1, "x", "en", "srcA", 100),
+            (2, "x", "en", "srcA", 300),
+            (3, "x", "en", "srcA", 200),
+            # srcB: 1 doc — under cap, all kept
+            (4, "x", "en", "srcB", 50),
+        ]
+        doc_table(rows)
+        got = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_chars"])
+               for r in P.domain_cap(spark, "ignored").collect()}
+        assert got["srcA"] == (3, 2, 500)   # docs 2 (300) + 3 (200)
+        assert got["srcB"] == (1, 1, 50)
+
+    def test_rank_tie_breaks_on_doc_id(self, spark, doc_table, monkeypatch):
+        from graphdb_spark.workloads import pipeline as P
+
+        monkeypatch.setattr(P, "DOMAIN_CAP_K", 1)
+        doc_table([
+            (7, "x", "en", "s", 100),
+            (5, "x", "en", "s", 100),   # same length: lower doc_id wins
+        ])
+        got = P.domain_cap(spark, "ignored").collect()[0]
+        assert (got["n_kept"], got["kept_chars"]) == (1, 100)

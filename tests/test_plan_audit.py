@@ -196,3 +196,38 @@ def test_weighted_sssp_no_sort_merge_per_round(spark, sf_dir):
     df = g_weighted_sssp(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_single_exchange_per_level(spark, sf_dir):
+    """Each rollup level is one partial-aggregated hash exchange; the
+    daily merge must read the hourly aggregate, not raw events (two
+    HashAggregate pairs, no extra joins or windows)."""
+    from graphdb_spark.workloads.temporal import rollup_gauges
+
+    plan = plan_of(rollup_gauges(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan  # gauges are aggregates, not windows
+    # partial_ min_by/max_by prove map-side combine on both levels
+    assert plan.count("partial_min_by") >= 2 or plan.count("partial_minby") >= 2, plan
+
+
+def test_lev_verify_cost_bounded_by_candidates(spark, sf_dir):
+    """The Levenshtein verify stage must join texts back per-candidate
+    (hash joins) — never an all-pairs product."""
+    from graphdb_spark.workloads.text import dedup_lev_verified
+
+    plan = plan_of(dedup_lev_verified(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # JVM expression, not a Python UDF
+    assert "BatchEvalPython" not in plan
+
+
+def test_domain_cap_one_window_exchange(spark, sf_dir):
+    """Per-source cap: one hash exchange on source for the window +
+    the final aggregate; no joins."""
+    from graphdb_spark.workloads.pipeline import domain_cap
+
+    plan = plan_of(domain_cap(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window") == 1

@@ -118,3 +118,68 @@ class TestRangeJoin:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestTimeBucketRollup:
+    def _events(self, spark):
+        from graphdb_spark.datamodel import local_df
+
+        rows = [
+            # (id, ts, type, value) — two hours of one day + one next-day
+            (1, "2024-03-01 10:05:00", "a", 5.0),
+            (2, "2024-03-01 10:45:00", "a", 1.0),
+            (3, "2024-03-01 11:15:00", "a", 9.0),
+            (4, "2024-03-01 11:20:00", "a", 2.0),
+            (5, "2024-03-02 00:01:00", "a", 7.0),
+            (6, "2024-03-01 10:30:00", "b", 3.0),
+        ]
+        df = local_df(
+            spark, rows, "event_id bigint, ts_s string, event_type string, value double"
+        )
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.col("ts_s").cast("timestamp")).withColumn(
+            "ord",
+            F.concat(
+                F.lpad(F.unix_millis(F.col("ts")).cast("string"), 13, "0"),
+                F.lit("_"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ),
+        )
+
+    def test_hourly_gauges(self, spark):
+        from graphdb_spark.operators.temporal import time_bucket_rollup
+
+        hourly = time_bucket_rollup(
+            self._events(spark), "ts", ["event_type"], "value",
+            bucket="hour", order_col="ord",
+        )
+        row = {
+            (str(r.bucket), r.event_type): r for r in hourly.collect()
+        }[("2024-03-01 10:00:00", "a")]
+        assert (row.n, float(row.value_sum)) == (2, 6.0)
+        assert (row.low, row.high, row.open, row.close) == (1.0, 5.0, 5.0, 1.0)
+
+    def test_daily_merge_equals_direct_daily(self, spark):
+        """The hierarchy must be lossless: daily-from-hourly ==
+        daily-from-raw, gauge for gauge (open/close included)."""
+        from graphdb_spark.operators.temporal import (
+            rollup_merge,
+            time_bucket_rollup,
+        )
+
+        ev = self._events(spark)
+        hourly = time_bucket_rollup(
+            ev, "ts", ["event_type"], "value", bucket="hour", order_col="ord"
+        )
+        via_hourly = rollup_merge(hourly, ["event_type"], bucket="day")
+        direct = time_bucket_rollup(
+            ev, "ts", ["event_type"], "value", bucket="day", order_col="ord"
+        )
+        key = lambda r: (str(r.bucket), r.event_type)  # noqa: E731
+        a = {key(r): (r.n, float(r.value_sum), r.low, r.high, r.open, r.close)
+             for r in via_hourly.collect()}
+        b = {key(r): (r.n, float(r.value_sum), r.low, r.high, r.open, r.close)
+             for r in direct.collect()}
+        assert a == b
+        assert a[("2024-03-01 00:00:00", "a")] == (4, 17.0, 1.0, 9.0, 5.0, 2.0)
