@@ -39,6 +39,7 @@ HEADLINE = [
     # temporal
     "temporal_replay",
     "sessionize",
+    "rollup_gauges",
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -321,3 +321,66 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
         .filter(F.col("degree") >= k)
         .select(F.col("u").alias("id"), "degree")
     )
+
+
+def personalized_pagerank(edges: DataFrame, source_ids: list[str],
+                          iterations: int = 10,
+                          damping: float = 0.85) -> DataFrame:
+    """Personalized PageRank / random walk with restart: the teleport
+    term returns mass ONLY to ``source_ids``, so rank measures
+    proximity to the source set (recommendation / similar-entity
+    queries). rank0 = 1 on each source, 0 elsewhere;
+    rank_{i+1}(v) = (1-d)*[v in S] + d * sum_in(rank_i/out_deg).
+    No renormalization — dangling mass decays, the classic RWR form,
+    which also keeps the unrolled-SQL oracle expression shape exact.
+
+    Scale notes are pagerank's: per-iteration join is rank-side
+    broadcast while provably small (n known exactly), links table
+    checkpointed once; the source indicator is an isin literal —
+    O(|S|) in the plan, so keep S small (it is: a query seed set).
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    links = (
+        edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .localCheckpoint(eager=True)
+    )
+    from graphdb_spark.operators.traversal import _maybe_broadcast
+
+    is_src = F.col("id").isin(list(source_ids)).cast("double")
+    ranks = verts.withColumn("rank", is_src)
+    for i in range(iterations):
+        contribs = (
+            links.join(
+                _maybe_broadcast(ranks.withColumnRenamed("id", "src"), n),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = verts.join(_maybe_broadcast(contribs, n), "id", "left").select(
+            "id",
+            (
+                F.lit(1 - damping) * is_src
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = (
+            new_ranks.localCheckpoint(eager=True)
+            if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1
+            else new_ranks
+        )
+    return ranks

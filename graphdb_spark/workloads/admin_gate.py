@@ -45,6 +45,7 @@ from graphdb_spark.operators import mutations as M
 from graphdb_spark.session import GraphSession
 from graphdb_spark.sources.tpch import load_tables
 from graphdb_spark.translator import NotIndexedError
+from graphdb_spark.workloads import graph as _graph
 
 def _propstr():
     """properties map -> deterministic 'k=v,k=v' (sorted) string.
@@ -738,6 +739,7 @@ QUERIES = {
     "mut_graph_final": (mut_graph_final, MUT_GRAPH_FINAL_SQL),
     "g_weighted_sssp": (g_weighted_sssp, _weighted_sssp_sql()),
     "g_kcore": (g_kcore, _kcore_sql()),
+    "g_ppr_top": (_graph.g_ppr_top, _graph._ppr_sql()),
     "agg_messages_degree": (agg_messages_degree, AGG_MESSAGES_DEGREE_SQL),
     "all_shortest_f6": (all_shortest_f6, ALL_SHORTEST_F6_SQL),
     "motif_one_hop": (motif_one_hop, MOTIF_ONE_HOP_SQL),

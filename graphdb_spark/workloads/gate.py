@@ -175,6 +175,7 @@ COLS = {
                            ("lev", "bigint"), ("edit_sim", "double")],
     "domain_cap": [("source", "string"), ("n_docs", "bigint"),
                    ("n_kept", "bigint"), ("kept_chars", "bigint")],
+    "g_ppr_top": [("id", "string"), ("rank", "double")],
 }
 
 
@@ -274,7 +275,7 @@ def build_gate() -> dict:
           "plugin_exec")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
-          "motif_one_hop", "g_weighted_sssp", "g_kcore")
+          "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks")

@@ -486,6 +486,70 @@ ORDER BY rank DESC, id ASC LIMIT 20"""
     return sql
 
 
+PPR_SOURCES = ("c_1", "c_19", "c_31")
+
+
+def g_ppr_top(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from a 3-
+    customer seed set over the F6 graph — proximity ranking for
+    recommendation-style queries. Same oracle discipline as
+    g_pagerank_top: the DuckDB twin unrolls the identical 4 iterations
+    with matching IEEE expression shapes; both sides round to 6
+    decimals and drop the untouched zero-rank tail."""
+    from graphdb_spark.operators.analytics import personalized_pagerank
+
+    g = graph_session(spark, sf_dir)
+    return (
+        personalized_pagerank(g.edges, list(PPR_SOURCES), iterations=4)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _ppr_sql(iterations: int = 4) -> str:
+    """DuckDB twin of analytics.personalized_pagerank on the F6 edge
+    list: r0 = [id in S], r_{i+1} = (1-d)*[id in S] + d*contrib, no
+    renormalization (RWR form). Damping literals CAST to DOUBLE so both
+    engines compute the same IEEE constants."""
+    srcs = ", ".join(f"'{s}'" for s in PPR_SOURCES)
+    ind = f"CASE WHEN {{v}}.id IN ({srcs}) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    sql = f"""WITH edges_all AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+), verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges_all UNION ALL SELECT dst FROM edges_all
+  )
+), outd AS (
+  SELECT src, COUNT(*) AS out_degree FROM edges_all GROUP BY src
+), r0 AS (SELECT id, {ind.format(v='verts')} AS rank FROM verts)"""
+    for i in range(iterations):
+        sql += f""",
+c{i + 1} AS (
+  SELECT e.dst AS id, SUM(r.rank / o.out_degree) AS contrib
+  FROM edges_all e
+  JOIN outd o ON e.src = o.src
+  JOIN r{i} r ON e.src = r.id
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT v.id,
+         (1.0 - CAST(0.85 AS DOUBLE)) * {ind.format(v='v')}
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0.0) AS rank
+  FROM verts v LEFT JOIN c{i + 1} c ON v.id = c.id
+)"""
+    sql += f"""
+SELECT id, ROUND(rank, 6) AS rank FROM r{iterations}
+WHERE ROUND(rank, 6) > 0
+ORDER BY rank DESC, id ASC LIMIT 20"""
+    return sql
+
+
 def _cooccur_edges(spark, sf_dir):
     """Part co-occurrence graph: undirected edge between parts that
     appear in the same order (canonical string-ordered pair)."""
@@ -608,6 +672,8 @@ QUERIES = {
     "g_label_prop_communities": (g_label_prop_communities, G_LABEL_PROP_SQL),
     "g_var_length_count": (g_var_length_count, G_VAR_LENGTH_SQL),
     "g_pagerank_top": (g_pagerank_top, _pagerank_sql()),
+    # g_ppr_top registers in admin_gate.QUERIES (its gate suite packs
+    # from that module; the unpacked registry forbids duplicates)
     "g_triangle_top": (g_triangle_top, G_TRIANGLE_SQL),
     "g_vertex_counts": (g_vertex_counts, G_VERTEX_COUNTS_SQL),
     "g_edge_counts": (g_edge_counts, G_EDGE_COUNTS_SQL),

@@ -32,7 +32,20 @@ TPCH = (
 ).split()
 DEDUP = (
     "dedup_exact dedup_minhash_lsh dedup_simhash dedup_simhash_pairs "
-    "dedup_ngram_jaccard dedup_cluster_canonical emb_cosine_neardup"
+    "dedup_ngram_jaccard dedup_cluster_canonical emb_cosine_neardup "
+    "dedup_lev_verified"
+).split()
+# r3s3: temporal + training-pipeline families at 10x — the epoch-ms
+# arithmetic, window/session logic, and the rollup decomposition must
+# stay bit-exact as data grows, not just the sums and hashes.
+TEMPORAL = (
+    "temporal_replay time_window_agg asof_last_click sessionize "
+    "range_join_attrib rollup_gauges"
+).split()
+PIPELINE = (
+    "boilerplate_chunks pii_redaction seq_packing contamination_overlap "
+    "gopher_quality repetition_stats unigram_rarity filter_funnel "
+    "domain_cap"
 ).split()
 
 
@@ -50,7 +63,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     qs = workloads.all_unpacked_queries()
     oracles = workloads.all_unpacked_oracles()
     failures = {}
-    for name in TPCH + DEDUP:
+    for name in TPCH + DEDUP + TEMPORAL + PIPELINE:
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -63,7 +76,8 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
         if problems:
             failures[name] = problems
     spark.stop()
-    print(f"\n{len(TPCH + DEDUP) - len(failures)}/{len(TPCH + DEDUP)} parity"
+    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE)
+    print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
 

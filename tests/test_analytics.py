@@ -162,3 +162,42 @@ class TestKCore:
         r4 = {(r.id, r.degree) for r in k_core(e, k=2, rounds=4).collect()}
         r9 = {(r.id, r.degree) for r in k_core(e, k=2, rounds=9).collect()}
         assert r4 == r9 == {("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_personalized_pagerank_localizes_to_sources(spark):
+    """RWR semantics: teleport returns mass only to the seed set, so a
+    component unreachable FROM the sources must score exactly 0, and
+    rank decays with distance from the seeds."""
+    rows = [("a", "E", "b"), ("b", "E", "c"),   # chain from seed a
+            ("x", "E", "y")]                     # disconnected component
+    e = spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in rows],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    ranks = {r["id"]: r["rank"]
+             for r in AN.personalized_pagerank(e, ["a"], iterations=8).collect()}
+    assert ranks["x"] == 0.0 and ranks["y"] == 0.0
+    # seed keeps only the teleport term (no in-edges): (1-d) = 0.15
+    assert abs(ranks["a"] - 0.15) < 1e-12
+    # monotone decay along the chain, all positive
+    assert ranks["a"] > ranks["b"] > ranks["c"] > 0
+
+
+def test_personalized_pagerank_vs_reference_iteration(spark):
+    """Hand-rolled RWR power iteration must agree value-for-value."""
+    rows = [("a", "E", "b"), ("b", "E", "a"), ("b", "E", "c")]
+    e = spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in rows],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    d = 0.85
+    ref = {"a": 1.0, "b": 0.0, "c": 0.0}
+    out = {"a": 1, "b": 2}  # out-degrees
+    for _ in range(6):
+        contrib = {"b": ref["a"] / 1, "a": ref["b"] / 2, "c": ref["b"] / 2}
+        ref = {v: (1 - d) * (1.0 if v == "a" else 0.0)
+               + d * contrib.get(v, 0.0) for v in "abc"}
+    got = {r["id"]: r["rank"]
+           for r in AN.personalized_pagerank(e, ["a"], iterations=6).collect()}
+    for v in "abc":
+        assert abs(got[v] - ref[v]) < 1e-12, (v, got[v], ref[v])
