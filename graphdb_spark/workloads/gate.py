@@ -176,6 +176,8 @@ COLS = {
     "domain_cap": [("source", "string"), ("n_docs", "bigint"),
                    ("n_kept", "bigint"), ("kept_chars", "bigint")],
     "g_ppr_top": [("id", "string"), ("rank", "double")],
+    "temporal_diff": [("change", "string"), ("n", "bigint"),
+                      ("value_delta", "double")],
 }
 
 
@@ -262,7 +264,8 @@ def build_gate() -> dict:
     # -- temporal (temporal_replay stays a standalone representative;
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
-          "sessionize", "range_join_attrib", "rollup_gauges")
+          "sessionize", "range_join_attrib", "rollup_gauges",
+          "temporal_diff")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")

@@ -316,6 +316,90 @@ FROM o GROUP BY 1, 2 ORDER BY day, event_type
 """
 
 
+T_CUT2 = "2024-01-15 06:00:00"  # 6h after T_CUT: mixes changed+unchanged
+
+
+def temporal_diff(spark, sf_dir):
+    """Time-travel diff — graph-evolution state at T1 vs T2
+    (change_tracker.rs replay semantics, twice): LWW state per user at
+    each cut, full-outer-joined on the entity key, rows classified
+    added / changed / unchanged (removed can't occur in an append-only
+    log but the branch exists), with headcount + value drift per class.
+
+    Scale: two windowed LWW compactions + one shuffle join on the
+    entity key — the canonical CDC snapshot-diff plan; Delta CDF would
+    feed the same shape without re-reading the full log."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def state(t, suffix):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") <= F.lit(t))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"eid{suffix}"),
+                F.col("value").alias(f"val{suffix}"),
+            )
+        )
+
+    j = state(T_CUT, "1").join(state(T_CUT2, "2"), "user_id", "full")
+    classified = j.withColumn(
+        "change",
+        F.when(F.col("eid1").isNull(), F.lit("added"))
+        .when(F.col("eid2").isNull(), F.lit("removed"))
+        .when(F.col("eid1") == F.col("eid2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")),
+    )
+    return (
+        classified.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    (
+                        F.coalesce("val2", F.lit(0.0))
+                        - F.coalesce("val1", F.lit(0.0))
+                    ).cast("decimal(12,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("value_delta"),
+        )
+        .orderBy("change")
+    )
+
+
+TEMPORAL_DIFF_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, event_id AS eid1, value AS val1 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{T_CUT}'
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT user_id, event_id AS eid2, value AS val2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{T_CUT2}'
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN eid1 IS NULL THEN 'added'
+            WHEN eid2 IS NULL THEN 'removed'
+            WHEN eid1 = eid2 THEN 'unchanged'
+            ELSE 'changed' END AS change,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(COALESCE(val2, 0.0) - COALESCE(val1, 0.0)
+                      AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_delta
+FROM s1 FULL OUTER JOIN s2 USING (user_id)
+GROUP BY 1 ORDER BY change
+"""
+
+
 QUERIES = {
     "temporal_replay": (temporal_replay, TEMPORAL_REPLAY_SQL),
     "time_window_agg": (time_window_agg, TIME_WINDOW_SQL),
@@ -323,4 +407,5 @@ QUERIES = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "range_join_attrib": (range_join_attrib, RANGE_JOIN_SQL),
     "rollup_gauges": (rollup_gauges, ROLLUP_SQL),
+    "temporal_diff": (temporal_diff, TEMPORAL_DIFF_SQL),
 }

@@ -3,6 +3,8 @@ FIXTURES.md F4)."""
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from graphdb_spark.operators.temporal import ChangeLog, TimeWindow, as_of_edges
 
 
@@ -183,3 +185,34 @@ class TestTimeBucketRollup:
              for r in direct.collect()}
         assert a == b
         assert a[("2024-03-01 00:00:00", "a")] == (4, 17.0, 1.0, 9.0, 5.0, 2.0)
+
+
+class TestTemporalDiff:
+    def test_classification(self, spark, monkeypatch):
+        from graphdb_spark.workloads import temporal as WT
+
+        rows = [
+            # cuts: T1 = 2024-01-15 00:00, T2 = 2024-01-15 06:00
+            # user 1: changed between cuts (new LWW winner after T1)
+            (1, "2024-01-10 00:00:00", 1, "view", 10.0),
+            (2, "2024-01-15 03:00:00", 1, "click", 25.0),
+            # user 2: unchanged (nothing between the cuts)
+            (3, "2024-01-12 00:00:00", 2, "view", 5.0),
+            # user 3: added (first event inside (T1, T2])
+            (4, "2024-01-15 02:00:00", 3, "signup", 7.0),
+            # user 4: outside both cuts — must not appear at all
+            (5, "2024-01-25 00:00:00", 4, "view", 99.0),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts_s string, user_id bigint, "
+            "event_type string, value double",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        monkeypatch.setattr(WT, "load_tables", lambda s, d: {"events": ev})
+        got = {r["change"]: (r["n"], r["value_delta"])
+               for r in WT.temporal_diff(spark, "ignored").collect()}
+        assert got == {
+            "changed": (1, 15.0),    # 25 - 10
+            "unchanged": (1, 0.0),
+            "added": (1, 7.0),
+        }
