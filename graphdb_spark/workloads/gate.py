@@ -176,6 +176,7 @@ COLS = {
     "domain_cap": [("source", "string"), ("n_docs", "bigint"),
                    ("n_kept", "bigint"), ("kept_chars", "bigint")],
     "g_ppr_top": [("id", "string"), ("rank", "double")],
+    "g_hits_top": [("id", "string"), ("hub", "double"), ("auth", "double")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -278,7 +279,8 @@ def build_gate() -> dict:
           "plugin_exec")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
-          "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top")
+          "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
+          "g_hits_top")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks")

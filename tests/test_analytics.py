@@ -201,3 +201,23 @@ def test_personalized_pagerank_vs_reference_iteration(spark):
            for r in AN.personalized_pagerank(e, ["a"], iterations=6).collect()}
     for v in "abc":
         assert abs(got[v] - ref[v]) < 1e-12, (v, got[v], ref[v])
+
+
+def test_hits_hubs_and_authorities(spark):
+    """Star-in: b absorbs authority from two hubs; d's authority flows
+    only through b. Pure sources have zero authority, pure sinks zero
+    hub score."""
+    rows = [("a", "E", "b"), ("c", "E", "b"), ("b", "E", "d")]
+    e = spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in rows],
+        "src string, relationship string, dst string, properties map<string,string>",
+    )
+    got = {r["id"]: (r["hub"], r["auth"])
+           for r in AN.hits(e, iterations=4).collect()}
+    assert got["a"][1] == 0.0 and got["c"][1] == 0.0   # sources: no auth
+    assert got["d"][0] == 0.0                          # sink: no hub
+    assert got["b"][1] > got["d"][1] > 0               # b is the top authority
+    assert got["b"][0] > 0 and abs(got["a"][0] - got["c"][0]) < 1e-12
+    # sum-normalized to n on both scores
+    assert abs(sum(h for h, _ in got.values()) - 4.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 4.0) < 1e-9
