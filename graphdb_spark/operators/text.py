@@ -255,3 +255,32 @@ def redact_pii(text: Column) -> Column:
     for pat, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# URL handling (C4/RefinedWeb-style URL filtering). RE2-portable
+# syntax only, like PII_PATTERNS, so the DuckDB oracle replays the
+# identical patterns.
+URL_RE = r"(?i)https?://[^\s]+"
+_URL_HOST_RE = r"(?i)https?://([^/:?#\s]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text, in order (JVM regexp — codegen)."""
+    # idx=0 (whole match): Spark's default group index is 1, which
+    # errors on a group-less pattern; DuckDB's default is already 0
+    return F.regexp_extract_all(text, F.lit(URL_RE), 0)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with any leading ``www.`` stripped — the
+    grouping key for per-domain caps, blocklists, and crawl stats."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(url, _URL_HOST_RE, 1)), r"^www\.", ""
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup: query string and fragment
+    dropped, lowercased. (Full RFC 3986 normalization needs a parser;
+    this is the deterministic subset both engines replay exactly.)"""
+    return F.lower(F.regexp_replace(url, r"[?#].*", ""))

@@ -177,6 +177,8 @@ COLS = {
                    ("n_kept", "bigint"), ("kept_chars", "bigint")],
     "g_ppr_top": [("id", "string"), ("rank", "double")],
     "g_hits_top": [("id", "string"), ("hub", "double"), ("auth", "double")],
+    "url_host_stats": [("host", "string"), ("n_urls", "bigint"),
+                       ("n_docs", "bigint"), ("n_norm", "bigint")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -297,7 +299,7 @@ def build_gate() -> dict:
     suite("pipeline_suite", pipeline, "boilerplate_chunks",
           "pii_redaction", "seq_packing", "contamination_overlap",
           "gopher_quality", "repetition_stats", "unigram_rarity",
-          "filter_funnel", "domain_cap")
+          "filter_funnel", "domain_cap", "url_host_stats")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")

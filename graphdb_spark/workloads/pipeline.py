@@ -660,6 +660,80 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def url_host_stats(spark, sf_dir):
+    """URL extract -> normalize -> per-host stats (C4/RefinedWeb URL
+    filtering): deterministic synthetic URLs injected per doc (the
+    corpus has none), extracted with the shared URL regex, host
+    lowercased + www-stripped, URLs canonicalized (query/fragment
+    dropped) for URL-level dedup counts.
+
+    Scale: regexp extraction is whole-stage codegen; the only shuffle
+    is the per-host aggregate (host cardinality ~ registered domains,
+    far below row count; a pathological single host is the same skew
+    story as domain_cap)."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id")
+    url1 = F.concat(
+        F.lit("HTTPS://WWW.Example"), (sid % 7).cast("string"),
+        F.lit(".COM/Item"), sid.cast("string"),
+        F.lit("?utm_source=x&id="), sid.cast("string"), F.lit("#frag"),
+    )
+    url2 = F.when(
+        sid % 4 == 0,
+        F.concat(
+            F.lit("http://blog.site"), (sid % 13).cast("string"),
+            F.lit(".org/post/"), sid.cast("string"),
+        ),
+    )
+    withu = d.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), url1, url2).alias("utext")
+    )
+    urls = withu.select(
+        "doc_id", F.explode(T.extract_urls(F.col("utext"))).alias("url")
+    )
+    return (
+        urls.select(
+            "doc_id",
+            T.url_host(F.col("url")).alias("host"),
+            T.normalize_url(F.col("url")).alias("norm"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("norm").alias("n_norm"),
+        )
+        .orderBy("host")
+    )
+
+
+URL_HOST_SQL = f"""
+WITH withu AS (
+  SELECT doc_id, concat_ws(' ', text,
+    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/Item'
+      || CAST(doc_id AS VARCHAR) || '?utm_source=x&id='
+      || CAST(doc_id AS VARCHAR) || '#frag',
+    CASE WHEN doc_id % 4 = 0 THEN
+      'http://blog.site' || CAST(doc_id % 13 AS VARCHAR) || '.org/post/'
+        || CAST(doc_id AS VARCHAR) END
+  ) AS utext FROM documents
+), urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(utext, '{T.URL_RE}')) AS url
+  FROM withu
+), parts AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/:?#\\s]+)', 1)),
+                   '^www\\.', '') AS host,
+    lower(regexp_replace(url, '[?#].*', '')) AS norm
+  FROM urls
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norm
+FROM parts GROUP BY host ORDER BY host
+"""
+
+
 QUERIES = {
     "boilerplate_chunks": (boilerplate_chunks, BOILERPLATE_SQL),
     "pii_redaction": (pii_redaction, _pii_sql()),
@@ -670,4 +744,5 @@ QUERIES = {
     "unigram_rarity": (unigram_rarity, UNIGRAM_SQL),
     "filter_funnel": (filter_funnel, _funnel_sql()),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
+    "url_host_stats": (url_host_stats, URL_HOST_SQL),
 }

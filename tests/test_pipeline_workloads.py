@@ -284,3 +284,32 @@ class TestDomainCap:
         ])
         got = P.domain_cap(spark, "ignored").collect()[0]
         assert (got["n_kept"], got["kept_chars"]) == (1, 100)
+
+
+class TestUrlOps:
+    def test_extract_normalize_host(self, spark):
+        from graphdb_spark.operators import text as T
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("see HTTPS://WWW.Foo.COM/A?x=1#f and http://bar.org:8080/b c",)],
+            "t string",
+        )
+        row = df.select(
+            T.extract_urls(F.col("t")).alias("urls")
+        ).collect()[0]
+        assert row["urls"] == [
+            "HTTPS://WWW.Foo.COM/A?x=1#f", "http://bar.org:8080/b",
+        ]
+        got = (
+            df.select(F.explode(T.extract_urls(F.col("t"))).alias("u"))
+            .select(
+                T.url_host(F.col("u")).alias("h"),
+                T.normalize_url(F.col("u")).alias("n"),
+            )
+            .collect()
+        )
+        assert [(r["h"], r["n"]) for r in got] == [
+            ("foo.com", "https://www.foo.com/a"),
+            ("bar.org", "http://bar.org:8080/b"),
+        ]
