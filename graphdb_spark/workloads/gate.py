@@ -179,6 +179,9 @@ COLS = {
     "g_hits_top": [("id", "string"), ("hub", "double"), ("auth", "double")],
     "url_host_stats": [("host", "string"), ("n_urls", "bigint"),
                        ("n_docs", "bigint"), ("n_norm", "bigint")],
+    "item_cooccur_topk": [("pa", "bigint"), ("pb", "bigint"),
+                          ("co", "bigint"), ("jaccard", "double")],
+    "top_ngrams": [("gram", "string"), ("n", "bigint")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -238,7 +241,8 @@ def build_gate() -> dict:
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
           "quantile_sketch")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
-    suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers")
+    suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers",
+          "item_cooccur_topk")
     keep(R, "approx_distinct_sketch")
     # -- graph
     keep(G, "g_bfs_reachability")
@@ -288,7 +292,7 @@ def build_gate() -> dict:
           "media_frames", "media_audio_chunks")
     # -- text / dedup
     suite("text_doc_suite", X, "text_stats", "text_bpe_tokens",
-          "lang_id_eval", "doc_fingerprint")
+          "lang_id_eval", "doc_fingerprint", "top_ngrams")
     keep(X, "dedup_exact")
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
           "dedup_simhash_pairs", "dedup_lev_verified")

@@ -1363,6 +1363,70 @@ ORDER BY s_suppkey
 """
 
 
+def item_cooccur_topk(spark, sf_dir):
+    """Item-item co-occurrence similarity (the collaborative-filtering
+    candidate shape): part pairs sharing orders, Jaccard over their
+    order sets, top 15 by co-count. Same discipline as the dedup
+    shingle joins — pairs meet ONLY through a shared order (equi-join
+    on the order key), never all-pairs; at 100 TB the pair count is
+    bounded by sum(basket_size^2), the classic market-basket bound."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sa = sizes.select(F.col("l_partkey").alias("pa"), F.col("n_ord").alias("na"))
+    sb = sizes.select(F.col("l_partkey").alias("pb"), F.col("n_ord").alias("nb"))
+    return (
+        co.join(sa, "pa")
+        .join(sb, "pb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("co").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("co")),
+                6,
+            ),
+        )
+        .filter(F.col("co") >= 2)
+        .select("pa", "pb", "co", "jaccard")
+        .orderBy(F.desc("co"), F.desc("jaccard"), "pa", "pb")
+        .limit(15)
+    )
+
+
+ITEM_COOCCUR_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sizes AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord FROM li GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb, co,
+  ROUND(CAST(co AS DOUBLE) / (sa.n_ord + sb.n_ord - co), 6) AS jaccard
+FROM co
+JOIN sizes sa ON sa.l_partkey = pa
+JOIN sizes sb ON sb.l_partkey = pb
+WHERE co >= 2
+ORDER BY co DESC, jaccard DESC, pa, pb LIMIT 15
+"""
+
+
 QUERIES = {
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
@@ -1392,6 +1456,7 @@ QUERIES = {
     "date_funcs": (date_funcs, DATE_FUNCS_SQL),
     "json_funcs": (json_funcs, JSON_FUNCS_SQL),
     "anti_semi_join": (anti_semi_join, ANTI_SEMI_SQL),
+    "item_cooccur_topk": (item_cooccur_topk, ITEM_COOCCUR_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_profit": (q9_profit, Q9_SQL),
     "q21_waiting_orders": (q21_waiting_orders, Q21_SQL),

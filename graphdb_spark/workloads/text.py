@@ -402,6 +402,36 @@ FROM documents ORDER BY doc_id
 """
 
 
+def top_ngrams(spark, sf_dir):
+    """Corpus-wide heavy hitters: top 20 2-grams by frequency — the
+    exact groupBy+TakeOrdered plan (partial aggregation map-side, then
+    a 20-row ordered take; at 100 TB the shuffle carries only the
+    per-partition partial counts of surviving grams)."""
+    d = _docs(spark, sf_dir, spread=True)
+    grams = d.filter(T.token_count(F.col("text")) >= 2).select(
+        F.explode(T.ngram_texts(F.lower(F.col("text")), k=2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )
+
+
+_TOKS_LOWER = _TOKS.format(x="lower(text)")
+TOP_NGRAMS_SQL = f"""
+WITH g AS (
+  SELECT unnest(list_transform(range(1, len({_TOKS_LOWER})),
+                i -> array_to_string(list_slice({_TOKS_LOWER}, i, i + 1), ' ')))
+         AS gram
+  FROM documents WHERE len({_TOKS_LOWER}) >= 2
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+"""
+
+
 def dedup_lev_verified(spark, sf_dir):
     """Candidate-generate -> exact-verify near-dup (dedup.edit_verified
     _pairs): shingle-Jaccard >= 0.1 proposes pairs (recall stage), exact
@@ -455,4 +485,5 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_lev_verified": (dedup_lev_verified, DEDUP_LEV_SQL),
+    "top_ngrams": (top_ngrams, TOP_NGRAMS_SQL),
 }

@@ -231,3 +231,24 @@ def test_domain_cap_one_window_exchange(spark, sf_dir):
     plan = plan_of(domain_cap(spark, sf_dir))
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_item_cooccur_joins_through_order_key(spark, sf_dir):
+    """Market-basket pair generation must meet through the shared
+    order equi-join — no cartesian or nested-loop pair explosion."""
+    from graphdb_spark.workloads.relational import item_cooccur_topk
+
+    plan = plan_of(item_cooccur_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_top_ngrams_partial_agg_topk(spark, sf_dir):
+    """Heavy hitters: map-side partial count + 20-row ordered take."""
+    from graphdb_spark.workloads.text import top_ngrams
+
+    plan = plan_of(top_ngrams(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
