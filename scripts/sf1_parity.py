@@ -40,13 +40,15 @@ DEDUP = (
 # stay bit-exact as data grows, not just the sums and hashes.
 TEMPORAL = (
     "temporal_replay time_window_agg asof_last_click sessionize "
-    "range_join_attrib rollup_gauges"
+    "range_join_attrib rollup_gauges temporal_diff"
 ).split()
 PIPELINE = (
     "boilerplate_chunks pii_redaction seq_packing contamination_overlap "
     "gopher_quality repetition_stats unigram_rarity filter_funnel "
-    "domain_cap"
+    "domain_cap url_host_stats"
 ).split()
+# session-3 batch 2: iterative analytics + basket/heavy-hitter shapes
+EXTRA = "g_ppr_top g_hits_top item_cooccur_topk top_ngrams".split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -63,7 +65,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     qs = workloads.all_unpacked_queries()
     oracles = workloads.all_unpacked_oracles()
     failures = {}
-    for name in TPCH + DEDUP + TEMPORAL + PIPELINE:
+    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA:
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -76,7 +78,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
         if problems:
             failures[name] = problems
     spark.stop()
-    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE)
+    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
