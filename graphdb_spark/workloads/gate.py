@@ -182,6 +182,8 @@ COLS = {
     "item_cooccur_topk": [("pa", "bigint"), ("pb", "bigint"),
                           ("co", "bigint"), ("jaccard", "double")],
     "top_ngrams": [("gram", "string"), ("n", "bigint")],
+    "media_image_dedup": [("phash", "bigint"), ("keeper_id", "bigint"),
+                          ("n_dups", "bigint")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -289,7 +291,7 @@ def build_gate() -> dict:
           "g_hits_top")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
-          "media_frames", "media_audio_chunks")
+          "media_frames", "media_audio_chunks", "media_image_dedup")
     # -- text / dedup
     suite("text_doc_suite", X, "text_stats", "text_bpe_tokens",
           "lang_id_eval", "doc_fingerprint", "top_ngrams")

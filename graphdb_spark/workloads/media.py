@@ -214,9 +214,53 @@ ORDER BY media_id, chunk_no
 """
 
 
+def media_image_dedup(spark, sf_dir):
+    """Image exact-dedup by content fingerprint: payloads synthesized
+    in duplicate groups of 10 (payload = 'img:' || doc_id div 10), run
+    through the real mapInPandas decode path, then the standard
+    exact-dedup shape — one groupBy on the perceptual hash, keeper =
+    min id. The image analogue of dedup_exact: at 100 TB the binary
+    payloads never shuffle, only the 64-bit phash does."""
+    media = _doc_ids(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(
+            F.concat(
+                F.lit("img:"), F.expr("doc_id div 10").cast("string")
+            ),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    return (
+        decode_images(media, fake=True)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .orderBy("phash")
+    )
+
+
+MEDIA_IMAGE_DEDUP_SQL = f"""
+SELECT {_hex_int64('m', 2)} AS phash,
+       CAST(MIN(media_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM (
+  SELECT doc_id AS media_id,
+         md5('img:' || CAST(doc_id // 10 AS VARCHAR)) AS m
+  FROM documents WHERE doc_id < {_N_DOCS}
+)
+GROUP BY 1 ORDER BY phash
+"""
+
+
 QUERIES = {
     "media_decode": (media_decode, MEDIA_DECODE_SQL),
     "media_resize": (media_resize, MEDIA_RESIZE_SQL),
     "media_frames": (media_frames, MEDIA_FRAMES_SQL),
     "media_audio_chunks": (media_audio_chunks, MEDIA_AUDIO_SQL),
+    "media_image_dedup": (media_image_dedup, MEDIA_IMAGE_DEDUP_SQL),
 }
