@@ -184,6 +184,9 @@ COLS = {
     "top_ngrams": [("gram", "string"), ("n", "bigint")],
     "media_image_dedup": [("phash", "bigint"), ("keeper_id", "bigint"),
                           ("n_dups", "bigint")],
+    "funnel_conversion": [("stage", "string"), ("users", "bigint")],
+    "cohort_retention": [("cohort_week", "string"), ("week_offset", "int"),
+                         ("active_users", "bigint")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -274,7 +277,7 @@ def build_gate() -> dict:
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
           "sessionize", "range_join_attrib", "rollup_gauges",
-          "temporal_diff")
+          "temporal_diff", "funnel_conversion", "cohort_retention")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")

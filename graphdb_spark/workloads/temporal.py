@@ -400,6 +400,119 @@ GROUP BY 1 ORDER BY change
 """
 
 
+FUNNEL_WINDOW_H = 12  # max hours between funnel steps (probed: 12 h
+                      # yields 150/37/7 at sf0.01 — every stage drops)
+
+
+def funnel_conversion(spark, sf_dir):
+    """Ordered event funnel with per-step time bound: first view ->
+    first click within 12 h of it -> first purchase within 12 h of
+    that click; users surviving each stage.
+
+    Scale: three groupBy-min aggregates chained by equi-joins on
+    user_id — each stage's survivors shrink, so every join after the
+    first carries only the funnel remainder; no window over the full
+    event stream, no sequence UDF."""
+    ev = load_tables(spark, sf_dir)["events"]
+    step = F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+
+    def first_after(event_type, prev):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            g = e
+        else:
+            g = e.join(prev, "user_id").filter(
+                (F.col("ts") > F.col("t")) & (F.col("ts") <= F.col("t") + step)
+            ).drop("t")
+        return g.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    rows = [
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("users")),
+        c.agg(F.lit("2_click").alias("stage"), F.count(F.lit(1)).alias("users")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
+FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN v ON v.user_id = e.user_id
+   AND e.ts > v.t AND e.ts <= v.t + INTERVAL {FUNNEL_WINDOW_H} HOUR
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN c ON c.user_id = e.user_id
+   AND e.ts > c.t AND e.ts <= c.t + INTERVAL {FUNNEL_WINDOW_H} HOUR
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT stage, users FROM (
+  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+  UNION ALL
+  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+) ORDER BY stage
+"""
+
+
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = week of the user's first
+    signup; for offsets 0-3 weeks, distinct users of that cohort with
+    ANY activity in cohort_week + offset.
+
+    Scale: one aggregate for cohort assignment, one distinct on
+    (user, week) — both shuffle on user_id; the retention join carries
+    |users| x |active weeks| rows, bounded by the offset filter."""
+    ev = load_tables(spark, sf_dir)["events"]
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_offset", F.expr("datediff(w, cw) div 7").cast("int")
+        )
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= 3))
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', cw, w) // 7 AS INT) AS week_offset,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM activity JOIN first USING (user_id)
+WHERE date_diff('day', cw, w) // 7 BETWEEN 0 AND 3
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "temporal_replay": (temporal_replay, TEMPORAL_REPLAY_SQL),
     "time_window_agg": (time_window_agg, TIME_WINDOW_SQL),
@@ -408,4 +521,6 @@ QUERIES = {
     "range_join_attrib": (range_join_attrib, RANGE_JOIN_SQL),
     "rollup_gauges": (rollup_gauges, ROLLUP_SQL),
     "temporal_diff": (temporal_diff, TEMPORAL_DIFF_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
 }

@@ -216,3 +216,61 @@ class TestTemporalDiff:
             "unchanged": (1, 0.0),
             "added": (1, 7.0),
         }
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts_s string, user_id bigint, "
+        "event_type string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+class TestFunnel:
+    def test_step_windows_enforced(self, spark, monkeypatch):
+        from graphdb_spark.workloads import temporal as WT
+
+        rows = [
+            # user 1: full funnel inside the 12 h windows
+            (1, "2024-01-02 08:00:00", 1, "view", 0.0),
+            (2, "2024-01-02 10:00:00", 1, "click", 0.0),
+            (3, "2024-01-02 15:00:00", 1, "purchase", 0.0),
+            # user 2: click too late (>12 h after first view)
+            (4, "2024-01-02 08:00:00", 2, "view", 0.0),
+            (5, "2024-01-03 08:00:01", 2, "click", 0.0),
+            # user 3: click in window, purchase BEFORE the click
+            (6, "2024-01-02 08:00:00", 3, "view", 0.0),
+            (7, "2024-01-02 09:00:00", 3, "click", 0.0),
+            (8, "2024-01-02 08:30:00", 3, "purchase", 0.0),
+        ]
+        monkeypatch.setattr(
+            WT, "load_tables", lambda s, d: {"events": _events_df(spark, rows)}
+        )
+        got = {r["stage"]: r["users"]
+               for r in WT.funnel_conversion(spark, "x").collect()}
+        assert got == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+class TestCohortRetention:
+    def test_offsets_and_cohorts(self, spark, monkeypatch):
+        from graphdb_spark.workloads import temporal as WT
+
+        rows = [
+            # user 1: signs up week of Jan 1, active weeks 0 and 2
+            (1, "2024-01-02 00:00:00", 1, "signup", 0.0),
+            (2, "2024-01-16 00:00:00", 1, "view", 0.0),
+            # user 2: signs up week of Jan 8, active weeks 0 and 1
+            (3, "2024-01-09 00:00:00", 2, "signup", 0.0),
+            (4, "2024-01-15 00:00:00", 2, "click", 0.0),
+            # user 3: never signs up — excluded entirely
+            (5, "2024-01-03 00:00:00", 3, "view", 0.0),
+        ]
+        monkeypatch.setattr(
+            WT, "load_tables", lambda s, d: {"events": _events_df(spark, rows)}
+        )
+        got = {(r["cohort_week"], r["week_offset"]): r["active_users"]
+               for r in WT.cohort_retention(spark, "x").collect()}
+        assert got == {
+            ("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+        }
