@@ -187,6 +187,8 @@ COLS = {
     "funnel_conversion": [("stage", "string"), ("users", "bigint")],
     "cohort_retention": [("cohort_week", "string"), ("week_offset", "int"),
                          ("active_users", "bigint")],
+    "sliding_window_revenue": [("win_start", "string"), ("n", "bigint"),
+                               ("value_sum", "double")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -277,7 +279,8 @@ def build_gate() -> dict:
     #    the rest pack into one suite, freeing slots for media/stream)
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
           "sessionize", "range_join_attrib", "rollup_gauges",
-          "temporal_diff", "funnel_conversion", "cohort_retention")
+          "temporal_diff", "funnel_conversion", "cohort_retention",
+          "sliding_window_revenue")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")

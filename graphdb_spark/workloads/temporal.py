@@ -513,6 +513,49 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+def sliding_window_revenue(spark, sf_dir):
+    """Hopping event-time windows (the Structured Streaming window
+    primitive, here in batch): 7-day windows sliding 1 day over
+    purchase revenue. Spark emits one row per non-empty window via
+    F.window (each row lands in 7 windows, epoch-aligned daily);
+    the oracle regenerates the same day-aligned window series and
+    replays the containment join."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_start"),
+            "n",
+            "value_sum",
+        )
+        .orderBy("win_start")
+    )
+
+
+SLIDING_WINDOW_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) - INTERVAL 6 DAY AS lo,
+         date_trunc('day', MAX(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+)
+SELECT strftime(d, '%Y-%m-%d') AS win_start,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+FROM days JOIN events
+  ON event_type = 'purchase' AND ts >= d AND ts < d + INTERVAL 7 DAY
+GROUP BY d ORDER BY win_start
+"""
+
+
 QUERIES = {
     "temporal_replay": (temporal_replay, TEMPORAL_REPLAY_SQL),
     "time_window_agg": (time_window_agg, TIME_WINDOW_SQL),
@@ -523,4 +566,5 @@ QUERIES = {
     "temporal_diff": (temporal_diff, TEMPORAL_DIFF_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
+    "sliding_window_revenue": (sliding_window_revenue, SLIDING_WINDOW_SQL),
 }
