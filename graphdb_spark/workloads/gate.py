@@ -189,6 +189,8 @@ COLS = {
                          ("active_users", "bigint")],
     "sliding_window_revenue": [("win_start", "string"), ("n", "bigint"),
                                ("value_sum", "double")],
+    "g_closeness_seeds": [("seed", "string"), ("n_reached", "bigint"),
+                          ("total_depth", "bigint"), ("mean_depth", "double")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
 }
@@ -294,7 +296,7 @@ def build_gate() -> dict:
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
-          "g_hits_top")
+          "g_hits_top", "g_closeness_seeds")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup")

@@ -618,6 +618,50 @@ ORDER BY auth DESC, h.id ASC LIMIT 20"""
     return sql
 
 
+def g_closeness_seeds(spark, sf_dir):
+    """Depth-bounded closeness centrality for the PPR seed set
+    (traversal.closeness_seeds): one multi-source BFS (undirected,
+    <=3 hops) + one aggregate. Oracle: recursive CTE with UNION
+    dedup (bounds the recursion at |seeds| x |V| x depths — UNION ALL
+    would enumerate paths and explode), then min-depth per (seed,id)."""
+    from graphdb_spark.operators.traversal import closeness_seeds
+
+    g = graph_session(spark, sf_dir)
+    return closeness_seeds(
+        g.edges, list(PPR_SOURCES), max_depth=3, direction="both"
+    ).orderBy("seed")
+
+
+CLOSENESS_SQL = f"""
+WITH RECURSIVE edges_dir AS (
+  SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+         'o_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || CAST(l_orderkey AS VARCHAR),
+         'p_' || CAST(l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+), edges_all AS (
+  SELECT src, dst FROM edges_dir
+  UNION ALL
+  SELECT dst, src FROM edges_dir
+), reach(seed, id, depth) AS (
+  SELECT seed, seed, 0 FROM (
+    VALUES {", ".join(f"('{s}')" for s in PPR_SOURCES)}
+  ) AS seeds(seed)
+  UNION
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN edges_all e ON e.src = r.id
+  WHERE r.depth < 3
+), m AS (
+  SELECT seed, id, MIN(depth) AS d FROM reach GROUP BY 1, 2
+)
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(d) AS BIGINT) AS total_depth,
+  ROUND(AVG(d), 6) AS mean_depth
+FROM m WHERE d > 0 GROUP BY seed ORDER BY seed
+"""
+
+
 def _cooccur_edges(spark, sf_dir):
     """Part co-occurrence graph: undirected edge between parts that
     appear in the same order (canonical string-ordered pair)."""

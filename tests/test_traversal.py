@@ -194,3 +194,38 @@ def test_weighted_sssp_type_filter(spark):
         for r in T.weighted_sssp(e, "a", max_hops=2, t="EXPENSIVE").collect()
     }
     assert got == {"a": 0, "b": 100}
+
+
+class TestMultiSourceBfs:
+    def _edges(self, spark):
+        rows = [("a", "E", "b"), ("b", "E", "c"), ("c", "E", "d"),
+                ("x", "E", "y")]
+        return spark.createDataFrame(
+            [(s, r, d, {}) for s, r, d in rows],
+            "src string, relationship string, dst string, properties map<string,string>",
+        )
+
+    def test_per_seed_min_depths(self, spark):
+        from graphdb_spark.operators.traversal import bfs, multi_source_bfs
+
+        e = self._edges(spark)
+        got = {(r["seed"], r["id"]): r["depth"]
+               for r in multi_source_bfs(e, ["a", "b", "x"], max_depth=3).collect()}
+        assert got[("a", "d")] == 3 and got[("b", "d")] == 2
+        assert got[("x", "y")] == 1
+        assert ("a", "y") not in got and ("x", "b") not in got
+        # must agree with k independent single-source runs
+        for s in ["a", "b", "x"]:
+            single = {r["id"]: r["depth"] for r in bfs(e, s, max_depth=3).collect()}
+            multi = {i: d for (sd, i), d in got.items() if sd == s}
+            assert multi == single, s
+
+    def test_closeness_aggregates(self, spark):
+        from graphdb_spark.operators.traversal import closeness_seeds
+
+        got = {r["seed"]: (r["n_reached"], r["total_depth"], r["mean_depth"])
+               for r in closeness_seeds(
+                   self._edges(spark), ["a", "x"], max_depth=3
+               ).collect()}
+        assert got["a"] == (3, 6, 2.0)   # b@1 c@2 d@3
+        assert got["x"] == (1, 1, 1.0)   # y@1
