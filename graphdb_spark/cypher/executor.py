@@ -1191,7 +1191,15 @@ class _Executor:
             if np.var and np.var in created_vars:
                 return created_vars[np.var]
             if np.var and np.var in self.node_vars:
-                rows = self.binding.select(f"{np.var}__id").distinct().collect()
+                # bounded probe (like _resolve_endpoint): we only need to
+                # know "exactly one distinct id?" — never materialize a
+                # multi-million-row binding on the driver just to error
+                rows = (
+                    self.binding.select(f"{np.var}__id")
+                    .distinct()
+                    .limit(2)
+                    .collect()
+                )
                 if len(rows) != 1:
                     raise CypherExecutionError(
                         f"CREATE with multi-bound variable {np.var!r}"

@@ -350,6 +350,12 @@ def edit_verified_pairs(docs: DataFrame, candidates: DataFrame,
     all-pairs; cost here is |candidates|, which the recall stage keeps
     near-linear. The two text joins are broadcast-or-shuffle hash
     joins on the id; texts never shuffle more than the candidate set.
+
+    Cross-engine note: Spark's ``levenshtein``/``length`` count
+    CHARACTERS while DuckDB's count BYTES, so ``edit_sim`` (and the
+    min_sim cut) can diverge on non-ASCII text — exact oracle replay
+    assumes ASCII (the testdata corpus is); pre-normalize text if
+    feeding multibyte corpora through a byte-based twin.
     """
     ta = docs.select(F.col(id_col).alias("doc_a"),
                      F.col(text_col).alias("__ta"))
@@ -365,7 +371,12 @@ def edit_verified_pairs(docs: DataFrame, candidates: DataFrame,
             F.round(
                 F.lit(1.0)
                 - F.col("lev")
-                / F.greatest(F.length("__ta"), F.length("__tb")).cast("double"),
+                # greatest(..., 1): two empty texts would otherwise be
+                # 0/0 -> null edit_sim and silently drop an exact-dup
+                # pair; with the floor they score lev=0, edit_sim=1.0
+                / F.greatest(
+                    F.length("__ta"), F.length("__tb"), F.lit(1)
+                ).cast("double"),
                 6,
             ),
         )

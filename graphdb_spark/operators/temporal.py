@@ -125,7 +125,12 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # across the bin boundary for near-multiple timestamps
     W = int(bin_width_ms)
     p = points.withColumn("__bin", F.expr(f"{point_ms} div {W}"))
-    i = intervals.withColumn(
+    # guard BEFORE the explode: for a corrupt/reversed interval
+    # (end <= start) F.sequence would silently generate a DESCENDING
+    # bin series — no wrong matches (the containment filter drops
+    # them) but one bad row could fan out to millions of bins; an
+    # empty/invalid interval must produce zero bins, zero work
+    i = intervals.filter(F.col(end_ms) > F.col(start_ms)).withColumn(
         "__bin",
         F.explode(
             F.sequence(

@@ -567,6 +567,9 @@ def multi_source_bfs(edges: DataFrame, start_ids: list[str],
     cap already accounts for in rows."""
     spark = edges.sparkSession
     step = _edges_step(edges, t, direction)
+    # dedupe seeds (order-preserving): a repeated seed id would emit
+    # duplicate (seed, seed, 0) rows and double-count every frontier
+    start_ids = list(dict.fromkeys(start_ids))
     visited = local_df(
         spark, [(s, s, 0) for s in start_ids],
         "seed string, id string, depth int",

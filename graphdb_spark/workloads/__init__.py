@@ -18,6 +18,7 @@ Float discipline (so Spark and DuckDB hash-match exactly):
 
 from graphdb_spark.workloads import (
     admin_gate,
+    cypher_dml,
     cypher_queries,
     embeddings,
     graph,
@@ -31,7 +32,7 @@ from graphdb_spark.workloads import (
 
 ALL_MODULES = (
     relational, graph, cypher_queries, temporal, text, pipeline, embeddings,
-    media, stream_views, admin_gate,
+    media, stream_views, admin_gate, cypher_dml,
 )
 
 
@@ -39,7 +40,7 @@ def all_queries():
     """The DRIVER-facing registry: ≤50 gate entries (the driver's
     correctness gate evaluates at most 50 — see workloads/gate.py),
     with related queries packed into oracle-checked suites so every
-    one of the 76 underlying queries is still driver-verified."""
+    underlying query is still driver-verified."""
     from graphdb_spark.workloads.gate import GATE
 
     return {name: fn for name, (fn, _sql) in GATE.items()}
@@ -54,7 +55,7 @@ def all_oracles():
 
 
 def all_unpacked_queries():
-    """Every individual workload query (76) — used by bench.py and the
+    """Every individual workload query — used by bench.py and the
     per-query local parity tests; the driver sees the packed gate."""
     out = {}
     for m in ALL_MODULES:

@@ -461,6 +461,47 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def sql_registry_funcs(spark, sf_dir):
+    """Engine SQL function registry (VERDICT r3 item 2 — component
+    #49): ``register_sql_functions`` publishes gs_h64 / gs_norm_text /
+    gs_fingerprint / gs_token_count as Spark SQL temp functions; this
+    constituent exercises ALL FOUR **through spark.sql** (the path a
+    SQL user takes), over the documents table.  The DuckDB twin
+    re-expresses each function portably (the h64 trick from NOTES:
+    hex-prefix md5 → BIGINT is bit-identical cross-engine), so the
+    registry can never silently rot."""
+    from graphdb_spark import functions as gfn  # noqa: PLC0415
+
+    gfn.register_sql_functions(spark)
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "gs_docs"
+    )
+    return spark.sql("""
+        SELECT doc_id,
+               gs_h64(text) AS h64,
+               gs_fingerprint(text) AS fp,
+               gs_token_count(text) AS n_toks,
+               length(gs_norm_text(text)) AS norm_len
+        FROM gs_docs
+    """)
+
+
+SQL_REGISTRY_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(lower(trim(text)),
+           '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g') AS ntext
+  FROM documents
+)
+SELECT doc_id,
+  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h64,
+  CAST(('0x' || substr(md5(ntext), 1, 8)) AS BIGINT) AS fp,
+  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+  CAST(length(ntext) AS INT) AS norm_len
+FROM norm
+"""
+
+
 # ---------------------------------------------------------------- algebra
 
 
@@ -752,6 +793,7 @@ QUERIES = {
     "fhir_patients": (fhir_patients, FHIR_PATIENTS_SQL),
     "hl7_segments": (hl7_segments, HL7_SEGMENTS_SQL),
     "plugin_exec": (plugin_exec, PLUGIN_EXEC_SQL),
+    "sql_registry_funcs": (sql_registry_funcs, SQL_REGISTRY_SQL),
     "pipe_value_filter": (pipe_value_filter, PIPE_VALUE_FILTER_SQL),
     "include_two_stage": (include_two_stage, INCLUDE_TWO_STAGE_SQL),
 }

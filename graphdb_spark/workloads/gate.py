@@ -1,5 +1,5 @@
-"""The driver-facing correctness-gate registry: 50 entries covering
-all 106 workload queries.
+"""The driver-facing correctness-gate registry: at most 50 entries
+covering every workload query (see COVERAGE.md for the live count).
 
 Round 1 evidence (CORRECTNESS_r01.json) shows the driver evaluates at
 most 50 ``queries()`` entries — it recorded exactly the first 50 of 76
@@ -59,6 +59,7 @@ from __future__ import annotations
 
 from graphdb_spark.workloads import (
     admin_gate,
+    cypher_dml,
     cypher_queries,
     embeddings,
     graph,
@@ -193,6 +194,19 @@ COLS = {
                           ("total_depth", "bigint"), ("mean_depth", "double")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
+    # round-4: Cypher-surface DML + SQL function registry (VERDICT r3
+    # items 1-2 — the last two pytest-only surfaces)
+    "cypher_dml_final": [("id", "string"), ("label", "string"),
+                         ("propstr", "string")],
+    "cypher_dml_edges": [("src", "string"), ("relationship", "string"),
+                         ("dst", "string"), ("propstr", "string")],
+    "cypher_dml_checks": [("chk", "string"), ("ok", "bigint")],
+    "approx_distinct_sketch": [("l_returnflag", "string"),
+                               ("exact_parts", "bigint"),
+                               ("within_bound", "bigint")],
+    "sql_registry_funcs": [("doc_id", "bigint"), ("h64", "bigint"),
+                           ("fp", "bigint"), ("n_toks", "bigint"),
+                           ("norm_len", "int")],
 }
 
 
@@ -210,7 +224,8 @@ CONSTITUENTS: dict = {}
 
 
 def build_gate() -> dict:
-    """name -> (fn, oracle_sql). 48 entries, every family first-class."""
+    """name -> (fn, oracle_sql). Capped at 50 entries (asserted below),
+    every operator family first-class."""
     R, G, C, T, X, E = (
         relational, graph, cypher_queries, temporal, text, embeddings,
     )
@@ -247,12 +262,13 @@ def build_gate() -> dict:
     suite("tpch_deep_suite", R, "q8_market_share", "q9_profit",
           "q21_waiting_orders", "q2_min_supplier", "q16_supplier_counts",
           "q20_excess_share")
+    # approx_distinct_sketch folded in (round 4) to free a slot for
+    # cypher_dml_suite under the 50-entry cap
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
-          "quantile_sketch")
+          "quantile_sketch", "approx_distinct_sketch")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
     suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers",
           "item_cooccur_topk")
-    keep(R, "approx_distinct_sketch")
     # -- graph
     keep(G, "g_bfs_reachability")
     keep(G, "g_label_prop_communities")
@@ -290,9 +306,13 @@ def build_gate() -> dict:
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",
           "mut_checks")
+    # the Cypher-SURFACE DML path (through GraphSession.execute()) —
+    # r3's last pytest-only Cypher row, now a first-class gate entry
+    suite("cypher_dml_suite", cypher_dml, "cypher_dml_final",
+          "cypher_dml_edges", "cypher_dml_checks")
     suite("ingest_codec_suite", admin_gate, "ingest_csv_json",
           "snapshot_roundtrip", "fhir_patients", "hl7_segments",
-          "plugin_exec")
+          "plugin_exec", "sql_registry_funcs")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",

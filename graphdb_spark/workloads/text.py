@@ -462,12 +462,12 @@ WITH sh AS (
 SELECT doc_a, doc_b,
   CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
   ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-        / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+        / greatest(length(da.text), length(db.text), 1), 6) AS edit_sim
 FROM cand
 JOIN documents da ON da.doc_id = doc_a
 JOIN documents db ON db.doc_id = doc_b
 WHERE ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-      / greatest(length(da.text), length(db.text)), 6) >= 0.95
+      / greatest(length(da.text), length(db.text), 1), 6) >= 0.95
 ORDER BY doc_a, doc_b
 """
 
