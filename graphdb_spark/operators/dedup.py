@@ -263,7 +263,9 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       min_est: float = 0.25,
                       max_iter: int = 20,
-                      sig: DataFrame | None = None) -> DataFrame:
+                      fixpoint_budget: int = 8,
+                      sig: DataFrame | None = None,
+                      pairs: DataFrame | None = None) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs above
     ``min_est`` become edges; connected components via iterative min-id
     propagation; canonical doc = smallest doc_id in the cluster.
@@ -275,10 +277,21 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
     shuffle joins — near-dup clusters are shallow), so the result is
     deterministic and replayable as a recursive SQL closure. Scale
     shape: candidate edges only (never all-pairs); each iteration is
-    one equi-join + grouped min."""
-    pairs = minhash_lsh_candidates(docs, text_col, id_col, k, sig=sig).filter(
-        F.col("est_jaccard") >= min_est
-    )
+    one equi-join + grouped min.
+
+    Insurance against adversarial chains (VERDICT r3): if the fixpoint
+    has not converged after ``fixpoint_budget`` rounds, the cluster
+    diameter is pathological (e.g. a 10k-doc linked chain, where min-id
+    propagation would need 10k rounds) — switch to the O(log n)
+    large-star/small-star CC (traversal.connected_components_large)
+    over the same candidate edges. Both algorithms label every
+    component by its min vertex id, so the fallback is
+    result-identical, just a different round complexity."""
+    if pairs is None:
+        pairs = minhash_lsh_candidates(docs, text_col, id_col, k,
+                                       sig=sig).filter(
+            F.col("est_jaccard") >= min_est
+        )
     sym = (
         pairs.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("nbr"))
         .unionByName(
@@ -303,7 +316,8 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
     )
     n_labels = labels.count()
     labels = _rightsize(labels, n_labels)
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(min(max_iter, fixpoint_budget)):
         prop = (
             sym.join(
                 _maybe_broadcast(
@@ -332,7 +346,19 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
         n_changed = new_labels.filter(F.col("__chg")).count()
         labels = _rightsize(new_labels, n_labels).drop("__chg")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        from graphdb_spark.operators.traversal import (  # noqa: PLC0415
+            connected_components_large,
+        )
+
+        comp = connected_components_large(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")),
+        )
+        return comp.select(F.col("id").alias(id_col),
+                           F.col("component").alias("canonical"))
     return labels.select(F.col("id").alias(id_col), "canonical")
 
 

@@ -683,3 +683,26 @@ def test_mixed_fixed_varlen_path_reification(person_graph):
     assert got2 == {
         (("alice", "bob", "diana"), ("KNOWS", "WORKS_WITH"), 2),
     }
+
+
+def test_create_multi_bound_var_fails_fast(spark):
+    """VERDICT r3 item 3: CREATE referencing a variable bound to many
+    rows must error via a bounded probe (limit 2), never materialize
+    the full binding on the driver."""
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+
+    n = 5000
+    v = local_df(
+        spark,
+        [(f"b_{i}", "Bulk", {}) for i in range(n)],
+        "id string, label string, properties map<string,string>",
+    )
+    e = local_df(
+        spark, [],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    g = GraphSession(spark, v, e)
+    with pytest.raises(CypherExecutionError, match="multi-bound"):
+        g.cypher("MATCH (n:Bulk) CREATE (n)-[:SELF]->(m:New {id: 'm1'})")

@@ -222,3 +222,44 @@ def test_edit_verified_matches_python_levenshtein(docs, spark):
     cand = spark.createDataFrame([(1, 4)], "doc_a bigint, doc_b bigint")
     got = D.edit_verified_pairs(docs, cand, min_sim=0.0).collect()[0]
     assert got["lev"] == lev(rows[1], rows[4])
+
+
+def test_edit_verified_empty_texts_score_one(spark):
+    """Two empty texts are exact duplicates: the denominator floor
+    (greatest(len_a, len_b, 1)) must make them edit_sim=1.0 instead of
+    a 0/0 null that silently drops the pair (ADVICE r3)."""
+    d = spark.createDataFrame([(1, ""), (2, "")], "doc_id bigint, text string")
+    cand = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    got = D.edit_verified_pairs(d, cand, min_sim=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["lev"], r["edit_sim"])
+            for r in got] == [(1, 2, 0, 1.0)]
+
+
+def test_near_dup_clusters_chain_falls_back_to_logn_cc(spark):
+    """VERDICT r3 item 4: an adversarial linked chain (diameter >>
+    fixpoint_budget) must not spin O(diameter) propagation rounds —
+    after fixpoint_budget rounds the operator reroutes through the
+    O(log n) large-star/small-star CC and still labels the whole chain
+    with its min id."""
+    n = 2000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a bigint, doc_b bigint"
+    ).repartition(8)
+    docs = spark.createDataFrame([(0, "unused")], "doc_id bigint, text string")
+    got = D.near_dup_clusters(docs, fixpoint_budget=4, pairs=chain)
+    rows = got.collect()
+    assert len(rows) == n
+    assert {r["canonical"] for r in rows} == {1}
+    assert {r["doc_id"] for r in rows} == set(range(1, n + 1))
+
+
+def test_near_dup_clusters_shallow_keeps_fixpoint(spark):
+    """A shallow duplicate group converges inside the budget — same
+    output either way, but the fixpoint path (no fallback) handles it."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "doc_a bigint, doc_b bigint"
+    )
+    docs = spark.createDataFrame([(0, "unused")], "doc_id bigint, text string")
+    got = {r["doc_id"]: r["canonical"]
+           for r in D.near_dup_clusters(docs, pairs=pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

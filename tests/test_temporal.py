@@ -274,3 +274,22 @@ class TestCohortRetention:
             ("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
         }
+
+
+class TestRangeJoinInvalidIntervals:
+    def test_reversed_interval_yields_no_bins(self, spark):
+        """ADVICE r3: a corrupt interval (end <= start) must produce
+        ZERO bins (zero work), not a descending F.sequence fan-out."""
+        from graphdb_spark.datamodel import local_df
+        from graphdb_spark.operators.temporal import range_join
+
+        p = local_df(spark, [(1, 100, 1.0)], "k bigint, ts_ms bigint, v double")
+        i = local_df(
+            spark,
+            # reversed by ~1e9 ms: naive sequence would explode ~1e5
+            # descending bins; the guard must drop the row pre-explode
+            [(1, 1_000_000_000, 0, "bad"), (1, 50, 200, "good")],
+            "k bigint, start_ms bigint, end_ms bigint, win string",
+        )
+        rows = range_join(p, i, keys=("k",), bin_width_ms=10_000).collect()
+        assert [r["win"] for r in rows] == ["good"]
