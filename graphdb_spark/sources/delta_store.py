@@ -140,3 +140,23 @@ __all__ = [
     "merge_edge_updates",
     "delete_from_table",
 ]
+
+
+def load_table_version(spark, path: str, version: int,
+                       fmt: str = "auto") -> DataFrame:
+    """Time travel: read the table AS OF a past commit version.
+
+    Delta mode: the transaction log serves any retained version
+    (``versionAsOf``). Parquet mode has no log — callers get an
+    explicit error instead of silently-wrong data; the engine's
+    emulated history path is parquet *snapshots* (sources.readers
+    snapshot_export/import + operators.temporal replay), which the
+    temporal_diff gate entry verifies."""
+    if _fmt(fmt) != "delta":
+        raise RuntimeError(
+            "time travel requires delta-spark (parquet fallback keeps "
+            "no version history; use snapshot_export per version)"
+        )
+    return (
+        spark.read.format("delta").option("versionAsOf", version).load(path)
+    )
