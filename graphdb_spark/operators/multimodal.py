@@ -3,12 +3,14 @@ metadata — the training-data-pipeline surface (north-star extras).
 
 Spark-side plumbing is real and tested: schemas, partition-friendly
 batch iteration (mapInPandas), Arrow-batched UDF signatures, frame
-sampling arithmetic. The codec step itself is STUBBED — the container
-has no image/audio libraries — behind ``_decode_image_bytes`` /
-``_decode_audio_bytes`` which raise NotImplementedError unless
-``fake=True`` supplies the deterministic fake decoder (dimensions and
-features derived from the md5 of the payload, so tests are stable and
-the pipeline shape is end-to-end real).
+sampling arithmetic. Image decode is REAL when PIL is importable;
+audio decode is REAL for WAV payloads via the stdlib ``wave`` module
+(sample rate / channels / frame count / duration + a 64-block
+amplitude ahash). Both also accept ``fake=True`` — a deterministic
+pseudo-decoder derived from md5(payload) — which is what the driver
+gate replays cross-engine (the real codecs can't be expressed in SQL;
+the fake contract can, nibble by nibble). Unsupported codecs raise —
+never a silent wrong answer.
 
 Scale notes: binaries ride as parquet binary columns; decode is
 mapInPandas (per-partition Arrow batches, no per-row Python overhead);
@@ -128,6 +130,108 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def _decode_audio_bytes(payload: bytes, fake: bool):
+    """Real decode for WAV via stdlib ``wave`` (VERDICT r3 item 7 —
+    audio parity with the image path): header fields + a 64-block
+    mean-amplitude sign hash (the audio analogue of the 8×8 image
+    ahash; robust to uniform gain along block boundaries, cheap, and
+    deterministic). fake=True → pseudo-decode from md5(payload), the
+    SQL-replayable contract the gate verifies. 8/16-bit PCM only;
+    anything else raises."""
+    if fake:
+        h = hashlib.md5(payload or b"").digest()
+        sample_rate = 8000 + 100 * h[0]
+        n_channels = 1 + (h[1] % 2)
+        n_samples = 1000 + 256 * h[2] + h[3]
+        duration_ms = n_samples * 1000 // sample_rate
+        ahash = int.from_bytes(h[4:12], "big", signed=True)
+        return sample_rate, n_channels, n_samples, duration_ms, ahash
+    import array
+    import io
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(payload or b"")) as w:
+        sr = w.getframerate()
+        nc = w.getnchannels()
+        sw = w.getsampwidth()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 2:
+        samples = array.array("h")
+        samples.frombytes(raw)
+        if sys.byteorder == "big":  # WAV PCM is little-endian
+            samples.byteswap()
+        mono = samples[::nc]
+    elif sw == 1:  # 8-bit WAV is unsigned, center at 0
+        mono = [b - 128 for b in raw[::nc]]
+    else:
+        raise NotImplementedError(
+            f"audio decode supports 8/16-bit PCM WAV, got width {sw}"
+        )
+    n = len(mono)
+    if n == 0:
+        ahash = 0
+    else:
+        means = []
+        for i in range(64):
+            seg = mono[i * n // 64:(i + 1) * n // 64] or mono[:1]
+            means.append(sum(abs(s) for s in seg) / len(seg))
+        grand = sum(means) / 64.0
+        bits = 0
+        for m in means:
+            bits = (bits << 1) | (1 if m >= grand else 0)
+        ahash = bits - (1 << 64) if bits >= (1 << 63) else bits
+    return sr, nc, nf, nf * 1000 // sr, ahash
+
+
+def decode_audio(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract audio rows via mapInPandas (Arrow
+    batches) — same plumbing shape as :func:`decode_images`. Output:
+    AUDIO_FEATURES_SCHEMA."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                sr, nc, ns, dur, ah = _decode_audio_bytes(payload, fake)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": sr,
+                        "n_channels": nc,
+                        "n_samples": ns,
+                        "duration_ms": dur,
+                        "n_bytes": len(payload or b""),
+                        "ahash": ah,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -207,6 +207,9 @@ COLS = {
     "sql_registry_funcs": [("doc_id", "bigint"), ("h64", "bigint"),
                            ("fp", "bigint"), ("n_toks", "bigint"),
                            ("norm_len", "int")],
+    "media_audio_dedup": [("ahash", "bigint"), ("sample_rate", "int"),
+                          ("duration_ms", "bigint"),
+                          ("keeper_id", "bigint"), ("n_dups", "bigint")],
 }
 
 
@@ -319,7 +322,8 @@ def build_gate() -> dict:
           "g_hits_top", "g_closeness_seeds")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
-          "media_frames", "media_audio_chunks", "media_image_dedup")
+          "media_frames", "media_audio_chunks", "media_image_dedup",
+          "media_audio_dedup")
     # -- text / dedup
     suite("text_doc_suite", X, "text_stats", "text_bpe_tokens",
           "lang_id_eval", "doc_fingerprint", "top_ngrams")

