@@ -317,37 +317,43 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
     n_labels = labels.count()
     labels = _rightsize(labels, n_labels)
     converged = False
-    for _ in range(min(max_iter, fixpoint_budget)):
-        prop = (
-            sym.join(
-                _maybe_broadcast(
-                    labels.withColumnRenamed("id", "nbr"), n_labels
-                ),
-                "nbr",
+    from graphdb_spark.operators.traversal import _no_aqe
+
+    with _no_aqe(docs.sparkSession):
+        for _ in range(min(max_iter, fixpoint_budget)):
+            prop = (
+                sym.join(
+                    _maybe_broadcast(
+                        labels.withColumnRenamed("id", "nbr"), n_labels
+                    ),
+                    "nbr",
+                )
+                .groupBy("id")
+                .agg(F.min("canonical").alias("nmin"))
             )
-            .groupBy("id")
-            .agg(F.min("canonical").alias("nmin"))
-        )
-        prop = _maybe_broadcast(prop, n_labels)  # ≤ one row per id
-        # carry a changed flag (min-propagation only lowers labels), so
-        # ONE lazy-checkpoint + count job both materializes the
-        # iteration and answers convergence — the old eager checkpoint
-        # + self-join diff + isEmpty was 2 jobs and an extra shuffle
-        nxt = F.least(F.col("canonical"), F.coalesce("nmin", F.col("canonical")))
-        new_labels = (
-            labels.join(prop, "id", "left")
-            .select(
-                "id",
-                nxt.alias("canonical"),
-                (nxt < F.col("canonical")).alias("__chg"),
+            prop = _maybe_broadcast(prop, n_labels)  # ≤ one row per id
+            # carry a changed flag (min-propagation only lowers labels),
+            # so ONE lazy-checkpoint + count job both materializes the
+            # iteration and answers convergence — the old eager
+            # checkpoint + self-join diff + isEmpty was 2 jobs and an
+            # extra shuffle
+            nxt = F.least(
+                F.col("canonical"), F.coalesce("nmin", F.col("canonical"))
             )
-            .localCheckpoint(eager=False)
-        )
-        n_changed = new_labels.filter(F.col("__chg")).count()
-        labels = _rightsize(new_labels, n_labels).drop("__chg")
-        if n_changed == 0:
-            converged = True
-            break
+            new_labels = (
+                labels.join(prop, "id", "left")
+                .select(
+                    "id",
+                    nxt.alias("canonical"),
+                    (nxt < F.col("canonical")).alias("__chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_changed = new_labels.filter(F.col("__chg")).count()
+            labels = _rightsize(new_labels, n_labels).drop("__chg")
+            if n_changed == 0:
+                converged = True
+                break
     if not converged:
         from graphdb_spark.operators.traversal import (  # noqa: PLC0415
             connected_components_large,

@@ -143,6 +143,7 @@ class GraphSession:
         # the executor's label counts a stale broadcast decision)
         self._frontier_cache = {}
         self._label_count_cache = None
+        self._branch_cache = {}
         self._register_views()
         return self
 
@@ -259,11 +260,40 @@ class GraphSession:
 
     # ------------------------------------------------------------ analytics
 
+    def max_branch(self, direction: str = "out") -> int:
+        """Max per-vertex branching factor in the followed direction —
+        the static bound that lets bfs() prove a short traversal's
+        frontiers stay broadcastable and compile to ONE lazy plan (no
+        per-hop probe jobs). One aggregate job per direction per state;
+        memoized on this immutable session state (like the frontier
+        cache) and invalidated by set_state."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if not hasattr(self, "_branch_cache"):
+            self._branch_cache = {}
+        hit = self._branch_cache.get(direction)
+        if hit is not None:
+            return hit
+        e = self._e
+        if direction == "out":
+            keyed = e.select(F.col("src").alias("k"))
+        elif direction == "in":
+            keyed = e.select(F.col("dst").alias("k"))
+        else:
+            keyed = e.select(F.col("src").alias("k")).unionByName(
+                e.select(F.col("dst").alias("k"))
+            )
+        row = keyed.groupBy("k").count().agg(F.max("count")).collect()
+        n = int(row[0][0] or 0)
+        self._branch_cache[direction] = n
+        return n
+
     def bfs(self, start_id: str, max_depth: int = 5, t: str | None = None,
             direction: str = "out"):
         from graphdb_spark.operators.traversal import bfs
 
-        return bfs(self._e, start_id, max_depth, t, direction)
+        return bfs(self._e, start_id, max_depth, t, direction,
+                   max_branch=self.max_branch(direction))
 
     def shortest_path(self, src_id: str, dst_id: str, max_depth: int = 5,
                       t: str | None = None, direction: str = "both"):

@@ -352,13 +352,13 @@ SELECT id, out_degree, in_degree, total FROM (
 
 def g_bfs_reachability(spark, sf_dir):
     """BFS from one customer over PLACED+CONTAINS, depth <= 2
-    (operators/traversal.bfs — the iterative frontier-join operator,
-    oracle-checked against a recursive CTE)."""
-    from graphdb_spark.operators.traversal import bfs
-
+    (operators/traversal.bfs, oracle-checked against a recursive CTE).
+    Via GraphSession.bfs so the memoized max-branch bound lets the
+    short traversal take the one-action unrolled plan; graphs where
+    the bound is too big fall back to the iterative probe loop."""
     g = graph_session(spark, sf_dir)
     return (
-        bfs(g.edges, "c_1", max_depth=2, direction="out")
+        g.bfs("c_1", max_depth=2, direction="out")
         .select("id", F.col("depth").cast("int").alias("depth"))
         .orderBy("depth", "id")
     )

@@ -229,3 +229,52 @@ class TestMultiSourceBfs:
                ).collect()}
         assert got["a"] == (3, 6, 2.0)   # b@1 c@2 d@3
         assert got["x"] == (1, 1, 1.0)   # y@1
+
+
+def test_bfs_unrolled_matches_iterative(spark):
+    """The provably-bounded one-action unrolled BFS must return exactly
+    the iterative loop's (id, min-depth) rows — including on a cyclic
+    graph, where the unrolled plan re-expands visited vertices but the
+    min(depth) collapse keeps the BFS layering."""
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.operators.traversal import bfs
+
+    edges = local_df(
+        spark,
+        [("a", "R", "b", {}), ("b", "R", "c", {}), ("c", "R", "a", {}),
+         ("b", "R", "d", {}), ("d", "R", "e", {})],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    for depth in (1, 2, 3):
+        it = {(r["id"], r["depth"])
+              for r in bfs(edges, "a", max_depth=depth).collect()}
+        un = {(r["id"], r["depth"])
+              for r in bfs(edges, "a", max_depth=depth,
+                           max_branch=2).collect()}
+        assert it == un, f"depth={depth}"
+
+
+def test_session_bfs_uses_memoized_branch_bound(spark):
+    """GraphSession.bfs passes the memoized max-branch stat; the stat
+    is computed once per state and invalidated by set_state."""
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+
+    v = local_df(
+        spark, [(x, "N", {}) for x in "abc"],
+        "id string, label string, properties map<string,string>",
+    )
+    e = local_df(
+        spark, [("a", "R", "b", {}), ("a", "R", "c", {})],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    g = GraphSession(spark, v, e)
+    assert g.max_branch("out") == 2
+    assert g.max_branch("out") == 2  # memo hit
+    got = {(r["id"], r["depth"]) for r in g.bfs("a", max_depth=2).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 1)}
+    # mutation invalidates the bound
+    g.set_state(edges=e.limit(1))
+    assert g.max_branch("out") == 1
