@@ -415,3 +415,70 @@ def edit_verified_pairs(docs: DataFrame, candidates: DataFrame,
         .filter(F.col("edit_sim") >= min_sim)
         .select("doc_a", "doc_b", "lev", "edit_sim")
     )
+
+
+def substring_dup_stats(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 50,
+                        stride: int = 1) -> DataFrame:
+    """Cross-document EXACT-substring duplication (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    char-granular): every k-char window (at ``stride``) is hashed; a
+    window hash seen in >= 2 DISTINCT documents marks a duplicated
+    span. Per document: window count, duplicated-window count, and the
+    duplication ratio — the score a training pipeline cuts or trims on.
+    Catches copied paragraphs that whole-doc MinHash misses (a long doc
+    with one lifted paragraph has low Jaccard but a solid run of
+    duplicated windows).
+
+    Scale: the explode carries (h64, doc_id) only — 16 bytes/window,
+    never the text; stride divides the blowup (stride=k/2 gives 2x
+    coverage redundancy instead of k-x). Two keyed shuffles: hash ->
+    distinct-doc count (map-side combinable), then one hash-keyed
+    join back. No all-pairs anywhere; skew-safe because a window hash
+    hot enough to skew IS the boilerplate being hunted and aggregates
+    before the join. Exact replay: windows are substring() + the
+    portable h64, both bit-identical in DuckDB."""
+    from graphdb_spark.operators.text import h64
+
+    # guard short texts: sequence(1, 0, +stride) raises in Spark — a
+    # doc shorter than k chars has zero windows (and no output row)
+    idx = F.when(
+        F.length(text_col) >= k,
+        F.sequence(
+            F.lit(1), F.length(text_col) - F.lit(k) + 1, F.lit(stride)
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.col(text_col).substr(i, F.lit(k))
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", h64(F.col("win")).alias("h"))
+    )
+    cross = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    return (
+        wins.join(cross.withColumn("__dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.col("n_dup_windows")
+                / F.greatest(F.col("n_windows"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )

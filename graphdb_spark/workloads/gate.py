@@ -210,6 +210,10 @@ COLS = {
     "media_audio_dedup": [("ahash", "bigint"), ("sample_rate", "int"),
                           ("duration_ms", "bigint"),
                           ("keeper_id", "bigint"), ("n_dups", "bigint")],
+    "dedup_substring_spans": [("doc_id", "bigint"),
+                              ("n_windows", "bigint"),
+                              ("n_dup_windows", "bigint"),
+                              ("dup_ratio", "double")],
 }
 
 
@@ -329,7 +333,8 @@ def build_gate() -> dict:
           "lang_id_eval", "doc_fingerprint", "top_ngrams")
     keep(X, "dedup_exact")
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
-          "dedup_simhash_pairs", "dedup_lev_verified")
+          "dedup_simhash_pairs", "dedup_lev_verified",
+          "dedup_substring_spans")
     keep(X, "dedup_cluster_canonical")
     keep(X, "sample_mix")
     # -- training-data pipeline (boilerplate / PII / packing /

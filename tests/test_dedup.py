@@ -263,3 +263,39 @@ def test_near_dup_clusters_shallow_keeps_fixpoint(spark):
     got = {r["doc_id"]: r["canonical"]
            for r in D.near_dup_clusters(docs, pairs=pairs).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_substring_dup_stats_finds_lifted_paragraph(spark):
+    """A long doc with one paragraph lifted verbatim from another must
+    show duplicated windows exactly over the shared span — the signal
+    whole-doc MinHash misses at low overall Jaccard."""
+    shared = "this exact paragraph was copied verbatim between them! "
+    a = ("unique opening text talks about storage engines for a while "
+         + shared + "then document A continues on its own topic at length")
+    b = ("completely different beginning with other words here today "
+         + shared + "and document B also diverges after the lifted part")
+    c = "a short standalone document with no copied content whatsoever"
+    d = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           D.substring_dup_stats(d, k=20, stride=1).collect()}
+    assert got[1]["n_dup_windows"] > 0
+    assert got[2]["n_dup_windows"] > 0
+    assert got[3]["n_dup_windows"] == 0
+    # the duplicated run ~= len(shared) - k + 1 windows on each side
+    expect = len(shared) - 20 + 1
+    assert abs(got[1]["n_dup_windows"] - expect) <= 2
+    assert got[1]["dup_ratio"] > 0 and got[3]["dup_ratio"] == 0.0
+    # doc shorter than k -> zero windows -> absent
+    tiny = spark.createDataFrame([(9, "short")], "doc_id bigint, text string")
+    assert D.substring_dup_stats(tiny, k=20).count() == 0
+
+
+def test_substring_dup_stats_self_repeat_not_cross_doc(spark):
+    """A doc repeating ITS OWN phrase is not cross-doc duplication:
+    window hashes must be counted per DISTINCT doc."""
+    t = "echo echo echo echo echo echo echo echo echo echo echo echo"
+    d = spark.createDataFrame([(1, t)], "doc_id bigint, text string")
+    rows = D.substring_dup_stats(d, k=10, stride=1).collect()
+    assert rows[0]["n_dup_windows"] == 0
