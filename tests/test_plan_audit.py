@@ -252,3 +252,28 @@ def test_top_ngrams_partial_agg_topk(spark, sf_dir):
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_unrolled_bfs_plans_broadcast_only(spark, sf_dir):
+    """The provably-bounded unrolled BFS must be ONE lazy plan whose
+    hop joins are all broadcast hash joins — no sort-merge exchange of
+    the edge table, no per-hop probe artifacts (checkpoint scans)."""
+    from graphdb_spark.workloads.graph import graph_session
+
+    g = graph_session(spark, sf_dir)
+    df = g.bfs("c_1", max_depth=2, direction="out")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_dup_plan_no_cartesian_partial_agg(spark, sf_dir):
+    """Span-dedup must meet windows only through the hash equi-join
+    (never all-pairs) and pre-aggregate map-side before the shuffle."""
+    from graphdb_spark.workloads.text import dedup_substring_spans
+
+    df = dedup_substring_spans(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
