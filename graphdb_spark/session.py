@@ -144,6 +144,7 @@ class GraphSession:
         self._frontier_cache = {}
         self._label_count_cache = None
         self._branch_cache = {}
+        self._cypher_plan_cache = {}
         self._register_views()
         return self
 
@@ -227,11 +228,49 @@ class GraphSession:
         """SQL passthrough over the registered views (SURVEY.md §7 M5)."""
         return self.spark.sql(query)
 
+    #: plan-cache capacity; read paths repeat heavily (dashboards,
+    #: bench best-of-N), DML never caches, so a small LRU suffices
+    CYPHER_PLAN_CACHE_MAX = 128
+
     def cypher(self, query: str):
-        """Cypher subset entry point (lazy import to keep core light)."""
+        """Cypher subset entry point (lazy import to keep core light).
+
+        Read statements (those that produce a DataFrame) are PLAN-
+        CACHED per query text on this immutable state — the standard
+        engine plan cache: a repeated MATCH…RETURN skips tokenize/
+        parse/bind entirely and goes straight to execution. Mutations
+        and KV ops are never cached (they have side effects and return
+        summaries), and set_state drops the cache wholesale, so a
+        cached plan can never read stale state (its lazy DataFrame
+        references the exact vertices/edges snapshots it was planned
+        against)."""
+        import re
+
         from graphdb_spark.cypher.executor import execute_cypher
 
-        return execute_cypher(self, query)
+        if not hasattr(self, "_cypher_plan_cache"):
+            self._cypher_plan_cache = {}
+        # a DataFrame result is NOT sufficient for cacheability:
+        # `MERGE … RETURN n.x` returns a DataFrame AND mutates. Only
+        # statements free of DML keywords cache; a false positive
+        # (keyword inside a string literal) merely skips the cache —
+        # never a stale read
+        cacheable = not re.search(
+            r"\b(CREATE|MERGE|DELETE|REMOVE|SET)\b", query.upper()
+        )
+        if cacheable:
+            hit = self._cypher_plan_cache.get(query)
+            if hit is not None:
+                return hit
+        out = execute_cypher(self, query)
+        if cacheable and isinstance(out, DataFrame):
+            if len(self._cypher_plan_cache) >= self.CYPHER_PLAN_CACHE_MAX:
+                # drop the oldest entry (dict preserves insert order)
+                self._cypher_plan_cache.pop(
+                    next(iter(self._cypher_plan_cache))
+                )
+            self._cypher_plan_cache[query] = out
+        return out
 
     def execute(self, query: str):
         """Language-detecting entry point — the QueryExecEngine

@@ -41,3 +41,31 @@ def test_execute_detects_graphql(person_graph):
     assert res["language"] == "graphql" and res["status"] == "parse_only"
     res = person_graph.execute("{ person { name } }")
     assert res["language"] == "graphql"
+
+
+def test_cypher_plan_cache_hits_and_invalidates(spark):
+    """Read statements are plan-cached per query text; mutations are
+    not cached and set_state invalidates, so reads after DML see the
+    new state."""
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(
+        spark,
+        local_df(spark, [("a", "N", {})],
+                 "id string, label string, properties map<string,string>"),
+        local_df(spark, [],
+                 "src string, relationship string, dst string, "
+                 "properties map<string,string>"),
+    )
+    q = "MATCH (n:N) RETURN n.id AS id"
+    d1 = g.cypher(q)
+    d2 = g.cypher(q)
+    assert d1 is d2  # plan-cache hit (same lazy DataFrame object)
+    assert d1.count() == 1
+    # DML returns a summary (not cached), and invalidates the cache
+    out = g.cypher("CREATE (:N {id: 'b'})")
+    assert out["created_vertices"] == 1
+    d3 = g.cypher(q)
+    assert d3 is not d1
+    assert d3.count() == 2
