@@ -222,4 +222,9 @@ def bulk_insert(g: GraphSession, vertices: list[tuple] | None = None,
                 "properties map<string,string>",
             )
         )
-    return g.set_state(vertices=v, edges=e)
+    g = g.set_state(vertices=v, edges=e)
+    # validation was skipped: the graph may now hold dangling
+    # edges, so the Cypher planner must stop eliding anonymous-
+    # endpoint existence joins for this state
+    g.integrity_validated = False
+    return g

@@ -79,10 +79,24 @@ class GraphSession:
     """Two-DataFrame property graph + KV store + query surfaces."""
 
     def __init__(self, spark: SparkSession, vertices: DataFrame | None = None,
-                 edges: DataFrame | None = None, strict_indexing: bool = False):
+                 edges: DataFrame | None = None, strict_indexing: bool = False,
+                 assume_integrity: bool | None = None):
         self.spark = spark
         self._v = vertices if vertices is not None else empty_vertices(spark)
         self._e = edges if edges is not None else empty_edges(spark)
+        # referential-integrity knowledge: True when every edge endpoint
+        # provably exists (validated ingest, FK-derived construction, an
+        # empty graph). The Cypher planner uses it to elide the
+        # existence join for anonymous unconstrained endpoint nodes —
+        # `MATCH (c)-[r:T]->()` — which is otherwise a full
+        # edges x vertices shuffle that returns every row. bulk_insert
+        # (validation-skipping, may leave dangling edges) clears it.
+        # Default: True only when BOTH tables start empty (trivially
+        # consistent), else False — a directly-constructed arbitrary
+        # pair is unknown.
+        if assume_integrity is None:
+            assume_integrity = vertices is None and edges is None
+        self.integrity_validated = assume_integrity
         self._kv = local_df(spark, [], "key string, value string")
         # index_property registry: we never *need* indexes (scans + pushdown
         # replace them) but keep the API + a strict conformance mode in which
@@ -115,6 +129,14 @@ class GraphSession:
                   edges: DataFrame | None = None,
                   kv: DataFrame | None = None):
         """Swap in new state after a mutation (read-your-writes).
+
+        Integrity note: ``integrity_validated`` is PRESERVED across
+        swaps because every official mutation path (operators/
+        mutations except bulk_insert, the Cypher DML executor, the
+        streaming fold) endpoint-validates what it writes; bulk_insert
+        clears the flag itself. A caller swapping in arbitrary
+        unvalidated edges directly must clear ``integrity_validated``
+        or anonymous-endpoint Cypher matches may assume too much.
 
         Every few swaps the new state is localCheckpointed (lazily):
         without periodic cuts, chained mutations build an ever-deeper
@@ -176,6 +198,7 @@ class GraphSession:
                     c for c in e.columns if c not in ("src", "relationship", "dst")
                 ])
             )
+        kw.setdefault("assume_integrity", validate)
         return cls(spark, v, e, **kw)
 
     def save(self, vertices_path: str, edges_path: str, mode: str = "overwrite"):

@@ -33,7 +33,12 @@ def graph_session(spark, sf_dir) -> GraphSession:
     key = (id(spark.sparkContext), sf_dir)
     if key not in _GRAPH_CACHE:
         v, e = tpch_graph(spark, sf_dir)
-        _GRAPH_CACHE[key] = GraphSession(spark, v.cache(), e.cache())
+        # FK-derived from TPC-H keys: every edge endpoint exists by
+        # construction, so the Cypher planner may elide anonymous-
+        # endpoint existence joins
+        _GRAPH_CACHE[key] = GraphSession(
+            spark, v.cache(), e.cache(), assume_integrity=True
+        )
     return _GRAPH_CACHE[key]
 
 

