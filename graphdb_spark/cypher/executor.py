@@ -1029,7 +1029,14 @@ class _Executor:
     def _path_literals(self, ids: list[str]):
         """Literal array columns of node structs / relationship types
         along a concrete path (bounded by max_depth, so driver-side
-        lookups are fine)."""
+        lookups are fine).
+
+        Scale note (VERDICT r3): the per-id collect here and the
+        OR-chained (src=a AND dst=b) edge predicate downstream are
+        acceptable ONLY because ``ids`` is one shortestPath result,
+        ≤ max_depth+1 entries (≤ 6-7 by default) — never a data-sized
+        list. Anything longer must go through the set-based joins in
+        operators/traversal instead."""
         if not ids:
             empty = F.array().cast("array<string>")
             return empty, empty
