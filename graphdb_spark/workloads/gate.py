@@ -24,35 +24,45 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       q2_min_supplier, q16_supplier_counts,
                       q20_excess_share
 - agg_suite:          distinct_agg, cube_counts, rollup_orders,
-                      quantile_sketch
+                      quantile_sketch, approx_distinct_sketch
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
-- set_join_suite:     set_ops, anti_semi_join, top_customers
+- set_join_suite:     set_ops, anti_semi_join, top_customers,
+                      item_cooccur_topk
 - g_counts_suite:     g_vertex_counts, g_edge_counts
 - g_scan_suite:       g_label_scan, g_keyset_pagination
 - g_lookup_suite:     g_point_lookup, g_edge_membership
 - g_degree_suite:     g_degree_topk, g_bidirectional_degree
 - g_property_suite:   g_property_presence, g_properties_explode
 - text_doc_suite:     text_stats, text_bpe_tokens, lang_id_eval,
-                      doc_fingerprint
+                      doc_fingerprint, top_ngrams
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
-                      dedup_simhash_pairs
+                      dedup_simhash_pairs, dedup_lev_verified,
+                      dedup_substring_spans
 - emb_stats_suite:    emb_norms, emb_centroid_dist
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
-                      repetition_stats, unigram_rarity, filter_funnel
+                      repetition_stats, unigram_rarity, filter_funnel,
+                      domain_cap, url_host_stats
 - temporal_suite:     time_window_agg, asof_last_click, sessionize,
-                      range_join_attrib
+                      range_join_attrib, rollup_gauges, temporal_diff,
+                      funnel_conversion, cohort_retention,
+                      sliding_window_revenue
 - media_suite:        media_decode, media_resize, media_frames,
-                      media_audio_chunks
+                      media_audio_chunks, media_image_dedup,
+                      media_audio_dedup
 - cypher_lang_suite:  cypher_case_banding, cypher_union,
                       cypher_pattern_predicate, cypher_string_predicates,
                       cypher_two_hop_distinct, cypher_undirected
 - mutation_suite:     mut_graph_final, mut_counts, mut_checks
+- cypher_dml_suite:   cypher_dml_final, cypher_dml_edges,
+                      cypher_dml_checks
 - ingest_codec_suite: ingest_csv_json, snapshot_roundtrip,
-                      fhir_patients, hl7_segments, plugin_exec
+                      fhir_patients, hl7_segments, plugin_exec,
+                      sql_registry_funcs
 - algebra_suite:      pipe_value_filter, include_two_stage,
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
-                      g_weighted_sssp, g_kcore
+                      g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
+                      g_closeness_seeds
 """
 
 from __future__ import annotations

@@ -49,6 +49,14 @@ PIPELINE = (
 ).split()
 # session-3 batch 2: iterative analytics + basket/heavy-hitter shapes
 EXTRA = "g_ppr_top g_hits_top item_cooccur_topk top_ngrams".split()
+# round 4: span dedup + the newly-gated surfaces (Cypher DML script,
+# SQL function registry, audio fingerprint dedup) and the changed
+# traversal paths at 10x
+R4 = (
+    "dedup_substring_spans cypher_dml_final cypher_dml_edges "
+    "cypher_dml_checks sql_registry_funcs media_audio_dedup "
+    "g_bfs_reachability g_closeness_seeds cypher_grouped_count"
+).split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -65,7 +73,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     qs = workloads.all_unpacked_queries()
     oracles = workloads.all_unpacked_oracles()
     failures = {}
-    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA:
+    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4:
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -78,7 +86,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
         if problems:
             failures[name] = problems
     spark.stop()
-    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA)
+    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
