@@ -458,3 +458,107 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
             hub = hub.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
     return hub.join(auth, "id").select("id", "hub", "auth")
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, coeff) — local clustering coefficient
+    per vertex over the undirected simple graph: coeff = closed wedges
+    at v / possible wedges = 2·tri(v) / (deg(v)·(deg(v)−1)).
+
+    Same edge-iterator core as ``triangle_count`` (one canonical edge
+    materialization shared by the degree and wedge passes); vertices
+    with degree < 2 have no wedges and are excluded (coeff undefined).
+    Scale shape: two groupBys + the triangle semi-join — no all-pairs,
+    no per-vertex neighborhood collection (the classic scale killer at
+    100 TB is grouping neighbor SETS per vertex; credit-counting
+    triangles avoids materializing any neighborhood)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e1 = und.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    corners = (
+        tris.select(F.col("p").alias("id"))
+        .unionByName(tris.select(F.col("x").alias("id")))
+        .unionByName(tris.select(F.col("y").alias("id")))
+    )
+    tri = corners.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "id", "left")
+        .na.fill({"triangles": 0})
+        .select(
+            "id",
+            "degree",
+            "triangles",
+            F.round(
+                F.lit(2.0) * F.col("triangles").cast("double")
+                / (F.col("degree").cast("double")
+                   * (F.col("degree").cast("double") - F.lit(1.0))),
+                6,
+            ).alias("coeff"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (m_edges, r): Newman degree assortativity — the Pearson
+    correlation of endpoint degrees over every edge, both orientations
+    (so the statistic is symmetric on the undirected projection).
+
+    Cross-engine determinism: all five moments are EXACT integer sums
+    (degrees are ints); the only floating-point work is one final
+    expression with identical shape in Spark and the DuckDB oracle, so
+    the doubles are bit-identical before the ROUND. At scale this is
+    two shuffles (degree groupBy + one aggregate); the double-orient
+    union is a projection, not a second scan."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    both = (
+        und.join(da, "a").join(db, "b")
+        .select(F.col("da").alias("x"), F.col("db").alias("y"))
+    )
+    both = both.unionByName(both.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    mom = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return mom.select(
+        (F.col("m") / F.lit(2)).cast("bigint").alias("m_edges"),
+        F.round((m * sxy - sx * sx) / (m * sxx - sx * sx), 6).alias("r"),
+    )

@@ -287,3 +287,67 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", F.col("rn").cast("int").alias("rn"),
                 "neighbor_id", "cos_sim")
     )
+
+
+def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroid_mode: str = "deterministic") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    coarse-quantize every vector to a centroid cell, then inside each
+    cell drop any vector whose cosine to a LOWER-ID cell-mate is
+    >= threshold ("first occurrence kept" — the same deterministic
+    keep-min-id policy as exact dedup, so the whole pipeline is
+    replayable). Returns (vec_id, cid, keep).
+
+    Scale shape: the cells are the candidate generator — the pairwise
+    cosine is quadratic only WITHIN a cell (corpus/n_cells per cell in
+    expectation), identical to the IVF probe bound; no all-pairs join
+    exists in the plan. centroid_mode as in ``ivf_topk``:
+    "deterministic" (id < n_cells — bit-replayable in the SQL oracle)
+    or "kmeans" (quality path, fixed seed)."""
+    from pyspark.sql.window import Window
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(embeddings, n_cells, vec_col)
+    else:
+        cents = emb.filter(F.col("vid") < n_cells).select(
+            F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+        )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vid", "vec", "cid",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("ccos"),
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vid", "vec", "cid")
+        .localCheckpoint(eager=True)  # consumed by both pair sides + output
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return assign.join(dropped, "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        "cid",
+        F.when(F.col("dropped").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )

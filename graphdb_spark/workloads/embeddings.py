@@ -298,6 +298,55 @@ WHERE cos_sim >= {threshold} ORDER BY id_a, id_b
 """
 
 
+
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embedding corpus: 16 deterministic centroid
+    cells, drop any vector with a lower-id cell-mate at cosine >= 0.35
+    (operators/similarity.semantic_dedup). One (vec_id, cid, keep) row
+    per vector."""
+    e = _emb(spark, sf_dir)
+    return S.semantic_dedup(
+        e, n_cells=16, threshold=0.35, centroid_mode="deterministic"
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_sql(n_cells: int = 16, threshold: float = 0.35) -> str:
+    cos_cell = _IVF_COS.format(
+        dot=_DOT.format(a="e.vec", b="c.cvec", dim=DIM),
+        qa=_SQ_SUM.format(v="e.vec"),
+        qb=_SQ_SUM.format(v="c.cvec"),
+    )
+    cos_pair = _IVF_COS.format(
+        dot=_DOT.format(a="a.vec", b="b.vec", dim=DIM),
+        qa=_SQ_SUM.format(v="a.vec"),
+        qb=_SQ_SUM.format(v="b.vec"),
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id AS vid, embedding AS vec FROM embeddings
+), cents AS (
+  SELECT vid AS cid, vec AS cvec FROM emb WHERE vid < {n_cells}
+), scored_cells AS (
+  SELECT e.vid, e.vec, c.cid, {cos_cell} AS ccos
+  FROM emb e CROSS JOIN cents c
+), ranked_cells AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+            ORDER BY ccos DESC, cid ASC) AS arn
+  FROM scored_cells
+), assign AS (
+  SELECT vid, vec, cid FROM ranked_cells WHERE arn = 1
+), dropped AS (
+  SELECT DISTINCT b.vid
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vid < b.vid
+  WHERE {cos_pair} >= {threshold}
+)
+SELECT a.vid AS vec_id, a.cid,
+       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assign a LEFT JOIN dropped d ON a.vid = d.vid
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "emb_cosine_neardup": (emb_cosine_neardup, _neardup_sql()),
@@ -305,4 +354,5 @@ QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _lsh_sql()),
     "emb_centroid_dist": (emb_centroid_dist, EMB_CENTROID_SQL),
+    "semantic_dedup": (semantic_dedup, _semantic_dedup_sql()),
 }

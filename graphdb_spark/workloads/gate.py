@@ -38,7 +38,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
                       dedup_simhash_pairs, dedup_lev_verified,
                       dedup_substring_spans
-- emb_stats_suite:    emb_norms, emb_centroid_dist
+- emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
                       repetition_stats, unigram_rarity, filter_funnel,
@@ -62,7 +62,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - algebra_suite:      pipe_value_filter, include_two_stage,
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
-                      g_closeness_seeds
+                      g_closeness_seeds, g_clustering_coeff,
+                      g_assortativity
 """
 
 from __future__ import annotations
@@ -202,6 +203,11 @@ COLS = {
                                ("value_sum", "double")],
     "g_closeness_seeds": [("seed", "string"), ("n_reached", "bigint"),
                           ("total_depth", "bigint"), ("mean_depth", "double")],
+    "g_clustering_coeff": [("id", "string"), ("degree", "bigint"),
+                           ("triangles", "bigint"), ("coeff", "double")],
+    "g_assortativity": [("m_edges", "bigint"), ("r", "double")],
+    "semantic_dedup": [("vec_id", "bigint"), ("cid", "bigint"),
+                       ("keep", "bigint")],
     "temporal_diff": [("change", "string"), ("n", "bigint"),
                       ("value_delta", "double")],
     # round-4: Cypher-surface DML + SQL function registry (VERDICT r3
@@ -333,7 +339,8 @@ def build_gate() -> dict:
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
-          "g_hits_top", "g_closeness_seeds")
+          "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
+          "g_assortativity")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",
@@ -357,7 +364,8 @@ def build_gate() -> dict:
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")
     keep(E, "emb_cosine_neardup")
-    suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist")
+    suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist",
+          "semantic_dedup")
 
     assert len(gate) <= 50, f"driver gate cap exceeded: {len(gate)}"
     return gate

@@ -784,6 +784,103 @@ GROUP BY 1 ORDER BY n DESC, community LIMIT 10
 """
 
 
+
+def g_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient on the part co-occurrence graph
+    (operators/analytics.local_clustering): 2*tri(v)/(deg(v)*(deg(v)-1))
+    per vertex with deg >= 2, top 10 (coeff desc, id asc)."""
+    from graphdb_spark.operators.analytics import local_clustering
+
+    return (
+        local_clustering(_cooccur_edges(spark, sf_dir))
+        .orderBy(F.desc("coeff"), F.asc("id"))
+        .limit(10)
+    )
+
+
+# und/canon/wedges/tris replicate G_TRIANGLE_SQL; deg counts canonical
+# endpoints; the coeff expression shape matches the Spark side exactly
+G_CLUSTERING_SQL = """
+WITH und AS (
+  SELECT DISTINCT
+    'p_' || CAST(LEAST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sa,
+    'p_' || CAST(GREATEST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), canon AS (
+  SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b FROM und
+), deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+  ) GROUP BY id
+), wedges AS (
+  SELECT e1.a AS p, e1.b AS x, e2.b AS y
+  FROM canon e1 JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+), tris AS (
+  SELECT p, x, y FROM wedges
+  WHERE EXISTS (SELECT 1 FROM canon c WHERE c.a = wedges.x AND c.b = wedges.y)
+), corners AS (
+  SELECT p AS id FROM tris
+  UNION ALL SELECT x FROM tris
+  UNION ALL SELECT y FROM tris
+), tri AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM corners GROUP BY id
+)
+SELECT d.id, d.degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND((2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE))
+             / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)),
+             6) AS coeff
+FROM deg d LEFT JOIN tri t USING (id)
+WHERE d.degree >= 2
+ORDER BY coeff DESC, id ASC LIMIT 10
+"""
+
+
+def g_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman r) of the part co-occurrence graph
+    (operators/analytics.degree_assortativity): one (m_edges, r) row;
+    exact integer moments, one shared-shape double expression."""
+    from graphdb_spark.operators.analytics import degree_assortativity
+
+    return degree_assortativity(_cooccur_edges(spark, sf_dir))
+
+
+G_ASSORT_SQL = """
+WITH und AS (
+  SELECT DISTINCT
+    'p_' || CAST(LEAST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sa,
+    'p_' || CAST(GREATEST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), canon AS (
+  SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b FROM und
+), deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+  ) GROUP BY id
+), oriented AS (
+  SELECT da.d AS x, db.d AS y
+  FROM canon e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id
+), sym AS (
+  SELECT x, y FROM oriented UNION ALL SELECT y AS x, x AS y FROM oriented
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM sym
+)
+SELECT CAST(m // 2 AS BIGINT) AS m_edges,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS r
+FROM mom
+"""
+
+
 QUERIES = {
     "g_bfs_reachability": (g_bfs_reachability, G_BFS_SQL),
     "g_label_prop_communities": (g_label_prop_communities, G_LABEL_PROP_SQL),
