@@ -83,7 +83,13 @@ def create_edge(g: GraphSession, src: str, rel: str, dst: str,
     kept = g.edges.filter(
         ~((F.col("src") == src) & (F.col("relationship") == rel) & (F.col("dst") == dst))
     )
-    return g.set_state(edges=kept.unionByName(_erow(g.spark, src, rel, dst, props)))
+    g = g.set_state(edges=kept.unionByName(_erow(g.spark, src, rel, dst, props)))
+    if not validate:
+        # like bulk_insert: the endpoint check was skipped, so this
+        # state may hold a dangling edge — the Cypher planner must stop
+        # eliding anonymous-endpoint existence joins for it
+        g.integrity_validated = False
+    return g
 
 
 def delete_vertices(g: GraphSession, ids_df: DataFrame) -> GraphSession:

@@ -317,6 +317,18 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
         cents = emb.filter(F.col("vid") < n_cells).select(
             F.col("vid").alias("cid"), F.col("vec").alias("cvec")
         )
+        # deterministic mode requires ids that start at/near 0: with
+        # sparse or non-numeric ids the filter yields ZERO centroids
+        # and the crossJoin below would silently return an empty
+        # result — every vector would vanish from a dedup operator's
+        # output. Fail loudly instead (callers with arbitrary ids
+        # should pass centroid_mode="kmeans").
+        if cents.limit(1).count() == 0:
+            raise ValueError(
+                "semantic_dedup(centroid_mode='deterministic') found no "
+                f"vectors with {id_col} < n_cells={n_cells}; ids must be "
+                "dense from 0 — use centroid_mode='kmeans' for arbitrary ids"
+            )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vid", "vec", "cid",
         F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("ccos"),

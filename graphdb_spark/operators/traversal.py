@@ -42,14 +42,29 @@ def _no_aqe(spark):
     scheduler cost that dominates these loops at bench SFs (measured:
     BFS −12%, near-dup clustering −20% wall with AQE off at sf0.1;
     plan shapes identical). Scoped to the loop and restored on exit;
-    the caller's final action still plans under the session's AQE."""
+    the caller's final action still plans under the session's AQE.
+
+    Re-entrant: nested scopes (e.g. near_dup_clusters falling back to
+    connected_components_large mid-loop) restore the ORIGINAL session
+    value only when the outermost scope exits — a naive save/restore
+    would capture the inner scope's "false" as the value to put back
+    and disable AQE for the rest of the session. The depth counter is
+    not a cross-thread lock: spark.conf is session-global, so
+    concurrent queries on other threads of the same session lose AQE
+    for the duration regardless (documented single-writer assumption;
+    all engine entry points run driver-side single-threaded)."""
     key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    depth = getattr(spark, "_gs_no_aqe_depth", 0)
+    if depth == 0:
+        spark._gs_no_aqe_orig = spark.conf.get(key)
+        spark.conf.set(key, "false")
+    spark._gs_no_aqe_depth = depth + 1
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        spark._gs_no_aqe_depth -= 1
+        if spark._gs_no_aqe_depth == 0:
+            spark.conf.set(key, spark._gs_no_aqe_orig)
 
 # Frontiers/visited sets live in localCheckpoint RDDs, which carry NO
 # size statistics — Spark assumes worst-case size and plans a

@@ -282,8 +282,12 @@ class GraphSession:
             r"\b(CREATE|MERGE|DELETE|REMOVE|SET)\b", query.upper()
         )
         if cacheable:
-            hit = self._cypher_plan_cache.get(query)
+            hit = self._cypher_plan_cache.pop(query, None)
             if hit is not None:
+                # true LRU: re-insert on hit so dict order = recency
+                # and eviction below drops the least-recently-USED
+                # entry, not the least-recently-inserted
+                self._cypher_plan_cache[query] = hit
                 return hit
         out = execute_cypher(self, query)
         if cacheable and isinstance(out, DataFrame):

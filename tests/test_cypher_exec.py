@@ -724,8 +724,6 @@ def test_anonymous_endpoint_elision_and_dangling_safety(spark):
     assert g.integrity_validated
     out = g.cypher("MATCH (p:P)-[r:R]->() RETURN p.id AS id ORDER BY id")
     assert [r["id"] for r in out.collect()] == ["a", "c"]
-    # plan must not join vertices for the anonymous endpoint: exactly
-    # one vertex-side scan (for p) in the optimized plan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # dangling edge via bulk_insert flips the flag
     g2 = bulk_insert(g, edges=[("a", "R", "zz_missing", {})])
@@ -733,3 +731,15 @@ def test_anonymous_endpoint_elision_and_dangling_safety(spark):
     out2 = g2.cypher("MATCH (p:P)-[r:R]->() RETURN p.id AS id ORDER BY id")
     # the dangling edge's endpoint does not exist -> excluded
     assert [r["id"] for r in out2.collect()] == ["a", "c"]
+    # the elision itself must be visible in the plan, not just the
+    # (equality-preserving) results: the identical query on the
+    # unvalidated graph carries exactly one extra Join — the
+    # anonymous-endpoint existence join that the validated graph
+    # elides. Same query text, same shape, so join count is structural.
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    njoins, njoins2 = plan.count("Join "), plan2.count("Join ")
+    assert njoins2 == njoins + 1, (
+        f"expected elision to remove exactly one join: validated plan has "
+        f"{njoins}, unvalidated {njoins2}\n--- validated ---\n{plan}\n"
+        f"--- unvalidated ---\n{plan2}"
+    )

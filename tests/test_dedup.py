@@ -299,3 +299,41 @@ def test_substring_dup_stats_self_repeat_not_cross_doc(spark):
     d = spark.createDataFrame([(1, t)], "doc_id bigint, text string")
     rows = D.substring_dup_stats(d, k=10, stride=1).collect()
     assert rows[0]["n_dup_windows"] == 0
+
+
+def test_semantic_dedup_deterministic_requires_dense_ids(spark):
+    """Deterministic centroid mode derives centroids from vid < n_cells;
+    sparse (non-0-based) ids would yield ZERO centroids and an empty
+    crossJoin — every vector silently vanishing from a dedup operator.
+    Must raise instead (ADVICE r4)."""
+    import pytest
+
+    rows = [(1000 + i, [float(i), 1.0, 0.0, 0.0]) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="dense from 0"):
+        S.semantic_dedup(e, n_cells=4, centroid_mode="deterministic")
+    # kmeans mode handles arbitrary ids: every vector keeps a verdict
+    out = S.semantic_dedup(e, n_cells=2, threshold=0.999,
+                           centroid_mode="kmeans")
+    assert out.count() == 6
+
+
+def test_no_aqe_scope_is_reentrant(spark):
+    """Nested _no_aqe scopes must restore the ORIGINAL session value on
+    outermost exit — a naive save/restore captures the inner scope's
+    'false' and disables AQE for the rest of the session (ADVICE r4)."""
+    from graphdb_spark.operators.traversal import _no_aqe
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        with _no_aqe(spark):
+            assert spark.conf.get(key) == "false"
+            with _no_aqe(spark):
+                assert spark.conf.get(key) == "false"
+            # inner exit must NOT restore yet (it captured 'false')
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, orig)

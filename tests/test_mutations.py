@@ -114,6 +114,21 @@ def test_bulk_insert_skips_validation(person_graph):
     assert g.edges.filter("dst = 'nobody'").count() == 1
 
 
+def test_create_edge_unvalidated_clears_integrity(person_graph):
+    """create_edge(validate=False) skips the endpoint check exactly
+    like bulk_insert, so it must also clear integrity_validated — or
+    the Cypher anonymous-endpoint join elision would return the
+    dangling edge as if its endpoint existed."""
+    person_graph.integrity_validated = True  # simulate a validated state
+    g = M.create_edge(person_graph, "alice", "KNOWS", "ghost",
+                      validate=False)
+    assert g.edges.filter("dst = 'ghost'").count() == 1
+    assert not g.integrity_validated
+    # the validating path preserves the flag
+    g2 = M.create_edge(g, "alice", "KNOWS", "bob")
+    assert not g2.integrity_validated  # already cleared, stays cleared
+
+
 def test_update_vertex_upsert(person_graph):
     g = M.update_vertex(person_graph, "alice", "Admin", {"age": 31})
     row = g.vertices.filter("id = 'alice'").collect()[0]

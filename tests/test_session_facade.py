@@ -69,3 +69,34 @@ def test_cypher_plan_cache_hits_and_invalidates(spark):
     d3 = g.cypher(q)
     assert d3 is not d1
     assert d3.count() == 2
+
+
+def test_cypher_plan_cache_is_lru_not_fifo(spark):
+    """A cache hit must refresh recency: after filling the cache to
+    capacity, re-using the OLDEST entry and then inserting one more
+    must evict the second-oldest, not the just-hit one."""
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+
+    g = GraphSession(
+        spark,
+        local_df(spark, [("a", "N", {})],
+                 "id string, label string, properties map<string,string>"),
+        local_df(spark, [],
+                 "src string, relationship string, dst string, "
+                 "properties map<string,string>"),
+    )
+    old_max = GraphSession.CYPHER_PLAN_CACHE_MAX
+    GraphSession.CYPHER_PLAN_CACHE_MAX = 2
+    try:
+        q1 = "MATCH (n:N) RETURN n.id AS id"
+        q2 = "MATCH (n:N) RETURN n.id AS id2"
+        q3 = "MATCH (n:N) RETURN n.id AS id3"
+        d1 = g.cypher(q1)
+        g.cypher(q2)
+        assert g.cypher(q1) is d1   # hit refreshes q1's recency
+        g.cypher(q3)                # at capacity: evicts q2, NOT q1
+        assert g.cypher(q1) is d1   # q1 survived (LRU); FIFO would evict it
+        assert q2 not in g._cypher_plan_cache
+    finally:
+        GraphSession.CYPHER_PLAN_CACHE_MAX = old_max
