@@ -284,3 +284,40 @@ def normalize_url(url: Column) -> Column:
     dropped, lowercased. (Full RFC 3986 normalization needs a parser;
     this is the deterministic subset both engines replay exactly.)"""
     return F.lower(F.regexp_replace(url, r"[?#].*", ""))
+
+
+# BM25 (Okapi) full-text relevance — the classic inverted-index
+# ranking function, computed WITHOUT materializing an inverted index:
+# per-document term frequencies come from higher-order array functions
+# over the token array (map-side, zero shuffle, stays in codegen), so
+# the only shuffles in a BM25 top-k are two scalar aggregates (corpus
+# size + per-term document frequencies, both a handful of rows) and
+# the final TakeOrdered. At 100 TB this is one scan + broadcast-sized
+# stats — the inverted index the reference would build is replaced by
+# Parquet predicate pushdown + the array filter.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_freq(toks: Column, term: str) -> Column:
+    """Occurrences of ``term`` in the token array (JVM higher-order
+    filter — no explode, no shuffle)."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("bigint")
+
+
+def bm25_idf(n_docs: Column, df: Column) -> Column:
+    """Robertson/Sparck-Jones idf with the Lucene +1 smoothing (always
+    positive, even for terms in more than half the corpus)."""
+    return F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+
+
+def bm25_weight(tf: Column, dl: Column, avgdl: Column,
+                k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """Per-term BM25 saturation weight tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))."""
+    tfd = tf.cast("double")
+    return (tfd * (k1 + 1.0)) / (
+        tfd + k1 * (1.0 - b + b * dl.cast("double") / avgdl)
+    )

@@ -22,7 +22,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - tpch_window_suite:  window_top_order_per_segment, window_running_total
 - tpch_deep_suite:    q8_market_share, q9_profit, q21_waiting_orders,
                       q2_min_supplier, q16_supplier_counts,
-                      q20_excess_share
+                      q20_excess_share, q11_important_value
 - agg_suite:          distinct_agg, cube_counts, rollup_orders,
                       quantile_sketch, approx_distinct_sketch
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
@@ -34,7 +34,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - g_degree_suite:     g_degree_topk, g_bidirectional_degree
 - g_property_suite:   g_property_presence, g_properties_explode
 - text_doc_suite:     text_stats, text_bpe_tokens, lang_id_eval,
-                      doc_fingerprint, top_ngrams
+                      doc_fingerprint, top_ngrams, text_bm25_topk
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
                       dedup_simhash_pairs, dedup_lev_verified,
                       dedup_substring_spans
@@ -46,7 +46,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - temporal_suite:     time_window_agg, asof_last_click, sessionize,
                       range_join_attrib, rollup_gauges, temporal_diff,
                       funnel_conversion, cohort_retention,
-                      sliding_window_revenue
+                      sliding_window_revenue, decayed_user_value
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks, media_image_dedup,
                       media_audio_dedup
@@ -63,7 +63,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
                       g_closeness_seeds, g_clustering_coeff,
-                      g_assortativity
+                      g_assortativity, g_adamic_adar
 """
 
 from __future__ import annotations
@@ -230,6 +230,19 @@ COLS = {
                               ("n_windows", "bigint"),
                               ("n_dup_windows", "bigint"),
                               ("dup_ratio", "double")],
+    # round-5: keyword search / link prediction / decayed aggregates /
+    # quality mixing / the q11 global-scalar-HAVING shape
+    "text_bm25_topk": [("doc_id", "bigint"), ("n_hit_terms", "bigint"),
+                       ("bm25", "double")],
+    "g_adamic_adar": [("src_a", "string"), ("src_b", "string"),
+                      ("common", "bigint"), ("score", "double")],
+    "decayed_user_value": [("user_id", "bigint"), ("n_events", "bigint"),
+                           ("raw_sum", "double"),
+                           ("decayed_sum", "double")],
+    "quality_mix_bins": [("bin", "int"), ("n_docs", "bigint"),
+                         ("min_q", "double"), ("max_q", "double"),
+                         ("n_kept", "bigint")],
+    "q11_important_value": [("p_partkey", "bigint"), ("value", "double")],
 }
 
 
@@ -284,7 +297,7 @@ def build_gate() -> dict:
     #    partsupp patterns re-rooted on lineitem — no partsupp table)
     suite("tpch_deep_suite", R, "q8_market_share", "q9_profit",
           "q21_waiting_orders", "q2_min_supplier", "q16_supplier_counts",
-          "q20_excess_share")
+          "q20_excess_share", "q11_important_value")
     # approx_distinct_sketch folded in (round 4) to free a slot for
     # cypher_dml_suite under the 50-entry cap
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
@@ -321,7 +334,7 @@ def build_gate() -> dict:
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
           "sessionize", "range_join_attrib", "rollup_gauges",
           "temporal_diff", "funnel_conversion", "cohort_retention",
-          "sliding_window_revenue")
+          "sliding_window_revenue", "decayed_user_value")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     keep(stream_views, "stream_fold_degrees")
@@ -340,14 +353,15 @@ def build_gate() -> dict:
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
-          "g_assortativity")
+          "g_assortativity", "g_adamic_adar")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",
           "media_audio_dedup")
     # -- text / dedup
     suite("text_doc_suite", X, "text_stats", "text_bpe_tokens",
-          "lang_id_eval", "doc_fingerprint", "top_ngrams")
+          "lang_id_eval", "doc_fingerprint", "top_ngrams",
+          "text_bm25_topk")
     keep(X, "dedup_exact")
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
           "dedup_simhash_pairs", "dedup_lev_verified",
@@ -359,7 +373,8 @@ def build_gate() -> dict:
     suite("pipeline_suite", pipeline, "boilerplate_chunks",
           "pii_redaction", "seq_packing", "contamination_overlap",
           "gopher_quality", "repetition_stats", "unigram_rarity",
-          "filter_funnel", "domain_cap", "url_host_stats")
+          "filter_funnel", "domain_cap", "url_host_stats",
+          "quality_mix_bins")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")

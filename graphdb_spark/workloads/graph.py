@@ -903,3 +903,35 @@ QUERIES = {
     "g_properties_explode": (g_properties_explode, G_PROPERTIES_EXPLODE_SQL),
     "g_bidirectional_degree": (g_bidirectional_degree, G_BIDIR_SQL),
 }
+
+
+def g_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (analytics.adamic_adar) on the
+    CONTAINS edges: top-20 order pairs most likely to be 'related' by
+    their shared parts, each shared part weighted 1/ln(its order
+    count). Pairs meet only through the dst equi-join (per-part deg²
+    bound, hubs pruned above max_degree) — no all-pairs anywhere."""
+    from graphdb_spark.operators.analytics import adamic_adar
+
+    g = graph_session(spark, sf_dir)
+    contains = g.edges.filter(F.col("relationship") == "CONTAINS")
+    return adamic_adar(contains, max_degree=1000, top_k=20)
+
+
+G_ADAMIC_ADAR_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'o_' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p_' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+), deg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY dst
+), w AS (
+  SELECT e.src, e.dst, CAST(ROUND(1.0 / ln(deg.deg), 6) AS DECIMAL(28,10)) AS w
+  FROM e JOIN deg ON e.dst = deg.dst WHERE deg.deg BETWEEN 2 AND 1000
+)
+SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS common,
+  CAST(ROUND(SUM(a.w), 6) AS DOUBLE) AS score
+FROM w a JOIN w b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2
+ORDER BY score DESC, src_a, src_b LIMIT 20
+"""

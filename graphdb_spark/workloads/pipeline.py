@@ -746,3 +746,77 @@ QUERIES = {
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "url_host_stats": (url_host_stats, URL_HOST_SQL),
 }
+
+
+# --------------------------------------- quality deciles + mixing
+
+def quality_mix_bins(spark, sf_dir):
+    """Quality-decile binning + decile-proportional mixing: score every
+    doc with the composite quality heuristic (operators/text.quality_
+    score), ntile into 10 bins on (score, doc_id), then keep docs at a
+    rate growing with quality (bin b keeps ~b*10% via the portable
+    h64(doc_id) hash — no RNG, replayable). The per-bin report is the
+    curriculum/mixing table a pre-training pipeline feeds its sampler.
+
+    Scale note: ntile over a global ORDER BY is exact-but-single-
+    partition here (5k docs); at 100 TB the same deciles come from
+    approx_percentile cutpoints broadcast back as a map-side CASE —
+    the keep-hash and the report shape are unchanged. The oracle pins
+    the exact-ntile semantics both engines share (floor distribution,
+    remainder to leading buckets)."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", T.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.orderBy("q", "doc_id")
+    binned = scored.withColumn("bin", F.ntile(10).over(w))
+    keep = (
+        (T.h64(F.col("doc_id").cast("string")) % 100)
+        < F.col("bin") * 10
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _quality_mix_sql() -> str:
+    """DuckDB twin of quality_score (same constants) + ntile + keep."""
+    toks = _TOKS.format(x="lower(text)")
+    stops = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    punct = (
+        "ROUND(CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', "
+        "'g')) AS DOUBLE) / greatest(length(text), 1), 6)"
+    )
+    stop_ratio = (
+        f"ROUND(CAST(len(list_intersect({toks}, [{stops}])) AS DOUBLE)"
+        " / 10.0, 6)"
+    )
+    q = (
+        "ROUND(((CASE WHEN length(text) BETWEEN 200 AND 50000 THEN 1.0 "
+        "ELSE 0.5 END) + "
+        f"(CASE WHEN {punct} < 0.1 THEN 1.0 ELSE 0.3 END) + "
+        f"(CASE WHEN {stop_ratio} > 0.2 THEN 1.0 ELSE 0.6 END)) / 3.0, 6)"
+    )
+    h = _H64.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {q} AS q FROM documents
+), binned AS (
+  SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS bin FROM scored
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(q) AS min_q, MAX(q) AS max_q,
+  CAST(SUM(CASE WHEN {h} % 100 < bin * 10 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+QUERIES["quality_mix_bins"] = (quality_mix_bins, _quality_mix_sql())

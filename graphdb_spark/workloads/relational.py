@@ -1464,3 +1464,62 @@ QUERIES = {
     "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
     "q20_excess_share": (q20_excess_share, Q20_SQL),
 }
+
+
+def q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape: grouped HAVING against a GLOBAL scalar
+    aggregate — parts whose total line value exceeds a fixed fraction
+    of the corpus-wide total (Q11's partsupp value re-rooted on
+    lineitem; the TESTDATA has no partsupp table). Q11's literal
+    fraction is 0.0001/SF — scale-dependent by design — so the shape
+    is pinned scale-invariantly: parts above 1.2x the MEAN part value
+    (value*n_parts*5 > total*6, exact decimals — ~top 15% of the
+    synthetic distribution at every SF). The global (total, n)
+    is a one-row aggregate broadcast into the HAVING — the same plan
+    Q11 needs at 100 TB: two passes over the grouped values, no
+    re-scan of the fact table, no correlated per-group subquery.
+
+    All arithmetic in exact DECIMAL until the final cast so the
+    fraction compare is bit-identical on both engines."""
+    t = load_tables(spark, sf_dir)
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(dec2(F.col("l_extendedprice"))
+                   * (F.lit(1).cast("decimal(12,2)")
+                      - dec2(F.col("l_discount")))).alias("value_dec"))
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # HAVING value > 1.2 * (total / n_parts) — kept in exact decimals
+        .filter(F.col("value_dec") * F.col("n_parts") * 5
+                > F.col("total_dec") * 6)
+        .select(
+            "p_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      AS value_dec
+  FROM lineitem GROUP BY 1
+), total AS (
+  SELECT SUM(value_dec) AS total_dec, CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM per_part)
+SELECT p_partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS value
+FROM per_part, total
+WHERE value_dec * n_parts * 5 > total_dec * 6
+ORDER BY value DESC, p_partkey
+"""
+
+QUERIES["q11_important_value"] = (q11_important_value, Q11_SQL)

@@ -568,3 +568,66 @@ QUERIES = {
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "sliding_window_revenue": (sliding_window_revenue, SLIDING_WINDOW_SQL),
 }
+
+
+# ---- exponentially time-decayed aggregation ------------------------------
+
+DECAY_HALF_LIFE_MS = 7 * 24 * 3_600_000  # 7 days
+
+
+def decayed_user_value(spark, sf_dir):
+    """Per-user exponentially time-decayed engagement value: each
+    event's value weighted by 0.5^(age/half-life), age measured from
+    the corpus max timestamp (the 'now' of the batch). The decayed sum
+    is the standard freshness-weighted feature for recommendation /
+    training-data recency mixing.
+
+    Scale shape: one tiny max-ts aggregate broadcast back (scalar), the
+    weight is a map-side codegen expression, then ONE keyed groupBy —
+    identical shuffle profile to a plain per-user sum. Per-event
+    contributions are rounded then summed as DECIMAL so the result is
+    independent of partition summation order (doubles are not
+    associative; decimals are)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    now = ev.agg(F.max(F.unix_millis("ts")).alias("now_ms"))
+    weighted = ev.select(
+        "user_id",
+        F.col("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+    ).crossJoin(F.broadcast(now)).withColumn(
+        "contrib",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                (F.col("now_ms") - F.col("ts_ms"))
+                / F.lit(float(DECAY_HALF_LIFE_MS)),
+            )
+            * F.col("value"),
+            6,
+        ).cast("decimal(28,10)"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("raw_sum"),
+            F.round(F.sum("contrib"), 6).cast("double").alias("decayed_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DECAYED_VALUE_SQL = f"""
+WITH now AS (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS raw_sum,
+  CAST(ROUND(SUM(CAST(ROUND(
+    pow(0.5, (now_ms - epoch_ms(ts)) / {float(DECAY_HALF_LIFE_MS)}) * value,
+  6) AS DECIMAL(28,10))), 6) AS DOUBLE) AS decayed_sum
+FROM events, now
+GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["decayed_user_value"] = (decayed_user_value, DECAYED_VALUE_SQL)

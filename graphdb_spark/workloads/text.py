@@ -531,3 +531,103 @@ QUERIES = {
     "dedup_lev_verified": (dedup_lev_verified, DEDUP_LEV_SQL),
     "top_ngrams": (top_ngrams, TOP_NGRAMS_SQL),
 }
+
+
+# ---- BM25 keyword ranking ------------------------------------------------
+
+# query terms chosen for idf contrast in the synthetic vocab: three
+# common terms (~78% df) + one rare ("dup", ~5% df)
+BM25_TERMS = ("spark", "window", "merge", "dup")
+
+
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for a 4-term keyword query (operators/text
+    bm25_* primitives). No inverted index and no explode: per-doc term
+    frequencies are higher-order array filters (map-side, codegen), the
+    corpus stats (N, avgdl, per-term df) are ONE tiny aggregate
+    broadcast back, and the only other shuffle is the final 20-row
+    TakeOrdered. At 100 TB: one scan + a scalar-stats broadcast."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.lower(F.col("text")))
+    nt = len(BM25_TERMS)
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[T.term_freq(toks, t).alias(f"tf_{i}")
+          for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # explicit exact-int sum / count (not avg()) so both engines
+        # divide the same two exact numbers
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+          for i in range(nt)],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(nt):
+        c = T.bm25_idf(F.col("n_docs"), F.col(f"df_{i}")) * T.bm25_weight(
+            F.col(f"tf_{i}"), F.col("dl"), F.col("avgdl")
+        )
+        score = c if score is None else score + c
+    n_hit = None
+    for i in range(nt):
+        h = (F.col(f"tf_{i}") > 0).cast("bigint")
+        n_hit = h if n_hit is None else n_hit + h
+    return (
+        scored.select(
+            "doc_id",
+            n_hit.alias("n_hit_terms"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("n_hit_terms") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_sql(k1: float = T.BM25_K1, b: float = T.BM25_B) -> str:
+    """DuckDB twin generated from the SAME constants/terms so the two
+    sides cannot drift."""
+    toks = _TOKS.format(x="lower(text)")
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * "
+        f"CAST(dl AS DOUBLE) / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    {tf_cols}
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+    {df_cols}
+  FROM base
+)
+SELECT doc_id, n_hit_terms, bm25 FROM (
+  SELECT doc_id, CAST({hits} AS BIGINT) AS n_hit_terms,
+    ROUND({contribs}, 6) AS bm25
+  FROM base, stats)
+WHERE n_hit_terms > 0
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+QUERIES["text_bm25_topk"] = (text_bm25_topk, _bm25_sql())

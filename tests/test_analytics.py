@@ -221,3 +221,45 @@ def test_hits_hubs_and_authorities(spark):
     # sum-normalized to n on both scores
     assert abs(sum(h for h, _ in got.values()) - 4.0) < 1e-9
     assert abs(sum(a for _, a in got.values()) - 4.0) < 1e-9
+
+
+class TestAdamicAdar:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_scores_and_ordering(self, spark):
+        """Hand-computed: orders a,b share parts p1 (deg 2) and p2
+        (deg 3); a,c share only p2. AA(a,b) = 1/ln2 + 1/ln3 >
+        AA(a,c) = 1/ln3."""
+        import math
+
+        from graphdb_spark.operators.analytics import adamic_adar
+
+        e = self._edges(spark, [
+            ("a", "p1"), ("b", "p1"),
+            ("a", "p2"), ("b", "p2"), ("c", "p2"),
+        ])
+        got = {(r["src_a"], r["src_b"]): (r["common"], r["score"])
+               for r in adamic_adar(e).collect()}
+        assert got[("a", "b")][0] == 2
+        assert abs(got[("a", "b")][1]
+                   - round(round(1 / math.log(2), 6)
+                           + round(1 / math.log(3), 6), 6)) < 1e-9
+        assert got[("a", "c")] == got[("b", "c")]
+        assert got[("a", "b")][1] > got[("a", "c")][1]
+
+    def test_hub_pruning_and_dedup(self, spark):
+        """dst above max_degree contributes nothing (hub pruning);
+        duplicate edges collapse before counting."""
+        from graphdb_spark.operators.analytics import adamic_adar
+
+        rows = [(s, "hub") for s in "abcde"] + [
+            ("a", "p1"), ("b", "p1"), ("a", "p1"),  # dup edge
+        ]
+        e = self._edges(spark, rows)
+        got = {(r["src_a"], r["src_b"]): r["common"]
+               for r in adamic_adar(e, max_degree=4).collect()}
+        # only p1 survives the cap (hub deg=5 > 4)
+        assert got == {("a", "b"): 1}
+        # without the cap the hub connects all 10 pairs
+        assert adamic_adar(e, max_degree=100).count() == 10

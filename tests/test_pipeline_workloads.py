@@ -313,3 +313,41 @@ class TestUrlOps:
             ("foo.com", "https://www.foo.com/a"),
             ("bar.org", "http://bar.org:8080/b"),
         ]
+
+
+def test_bm25_primitives(spark):
+    """term_freq / idf / weight semantics on a 3-doc corpus: the doc
+    containing the RARE term outranks docs with only the common term,
+    and tf saturates (k1 bound)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common common common"),
+         (3, "other words only")],
+        "doc_id bigint, text string",
+    )
+    toks = T.tokens(F.lower(F.col("text")))
+    tf = d.select(
+        "doc_id",
+        T.term_freq(toks, "common").alias("tf_c"),
+        T.term_freq(toks, "rare").alias("tf_r"),
+    )
+    got = {r["doc_id"]: (r["tf_c"], r["tf_r"]) for r in tf.collect()}
+    assert got == {1: (2, 1), 2: (4, 0), 3: (0, 0)}
+    # idf: rare term (df=1 of 3) ≫ common term (df=2 of 3)
+    row = d.agg(
+        T.bm25_idf(F.lit(3), F.lit(1)).alias("idf_rare"),
+        T.bm25_idf(F.lit(3), F.lit(2)).alias("idf_common"),
+    ).collect()[0]
+    assert row["idf_rare"] > row["idf_common"] > 0
+    assert abs(row["idf_rare"] - math.log(1 + 2.5 / 1.5)) < 1e-12
+    # saturation: doubling tf at equal dl less than doubles the weight
+    w = d.agg(
+        T.bm25_weight(F.lit(2), F.lit(10), F.lit(10.0)).alias("w2"),
+        T.bm25_weight(F.lit(4), F.lit(10), F.lit(10.0)).alias("w4"),
+    ).collect()[0]
+    assert w["w2"] < w["w4"] < 2 * w["w2"]
