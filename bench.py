@@ -48,6 +48,10 @@ HEADLINE = [
     "gopher_quality",
     "repetition_stats",
     "ann_bruteforce_topk",
+    # round 5: keyword search / link prediction / decayed aggregates
+    "text_bm25_topk",
+    "g_adamic_adar",
+    "decayed_user_value",
 ]
 
 # Report the best warm run out of 3 (driver invokes this script once

@@ -588,22 +588,44 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
     shared = (
         e.join(deg.filter((F.col("deg") >= 2)
                           & (F.col("deg") <= max_degree)), "dst")
+        # decimal(18,6) not (28,10): the weight is ≤ 1/ln 2 at 6 dp and
+        # per-pair sums are bounded by max_degree, so 12 integer digits
+        # can never overflow — and ≤18-digit decimals stay LONG-backed
+        # in Tungsten (an order of magnitude faster to hash-aggregate
+        # over millions of pairs than the BigDecimal-backed (28,10))
         .withColumn("w", F.round(F.lit(1.0) / F.log(F.col("deg")), 6)
-                    .cast("decimal(28,10)"))
+                    .cast("decimal(18,6)"))
     )
+    # The self-join EXPLODES: |output| ≈ Σ_dst deg²/2 ≫ |input|. AQE
+    # sizes post-shuffle partitions by the (small) INPUT bytes and
+    # coalesces to a handful of tasks, serializing the explosion
+    # (measured at sf0.1: 3 tasks, 22 s → 32 tasks, ~2 s). An explicit
+    # hash repartition on the join key is user-specified partitioning,
+    # which AQE leaves alone — and both join sides inherit it, so the
+    # pair join adds no extra exchange.
+    n_part = max(shared.sparkSession.sparkContext.defaultParallelism, 8)
+    shared = shared.repartition(n_part, "dst")
     a, b = shared.alias("a"), shared.alias("b")
+    exploded = a.join(
+        b,
+        (F.col("a.dst") == F.col("b.dst"))
+        & (F.col("a.src") < F.col("b.src")),
+    ).select(
+        F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"),
+        F.col("a.w").alias("w"),
+    )
+    # Same explosion blindness on the aggregate: pairs are mostly
+    # unique, so partial aggregation barely shrinks the shuffle and
+    # AQE again coalesces the post-join exchange by stale pre-join
+    # size estimates. Pin the aggregate's partitioning explicitly —
+    # groupBy over data already hash-partitioned on exactly its keys
+    # adds no further exchange.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.dst") == F.col("b.dst"))
-            & (F.col("a.src") < F.col("b.src")),
-        )
-        .groupBy(
-            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
-        )
+        exploded.repartition(n_part, "src_a", "src_b")
+        .groupBy("src_a", "src_b")
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.round(F.sum(F.col("a.w")), 6).cast("double").alias("score"),
+            F.round(F.sum("w"), 6).cast("double").alias("score"),
         )
     )
     if top_k is not None:

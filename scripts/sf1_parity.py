@@ -57,6 +57,12 @@ R4 = (
     "cypher_dml_checks sql_registry_funcs media_audio_dedup "
     "g_bfs_reachability g_closeness_seeds cypher_grouped_count"
 ).split()
+# round 5: search/link-prediction/decay/mixing/global-HAVING shapes —
+# log-based scoring and decimal-decayed sums must stay exact at 10x
+R5 = (
+    "text_bm25_topk g_adamic_adar decayed_user_value quality_mix_bins "
+    "q11_important_value"
+).split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -73,7 +79,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     qs = workloads.all_unpacked_queries()
     oracles = workloads.all_unpacked_oracles()
     failures = {}
-    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4:
+    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5:
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -86,7 +92,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
         if problems:
             failures[name] = problems
     spark.stop()
-    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4)
+    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0

@@ -277,3 +277,41 @@ def test_substring_dup_plan_no_cartesian_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bm25_no_explode_no_python(spark, sf_dir):
+    """BM25 must stay codegen'd: tf via higher-order array filters (no
+    Generate/explode of the token stream), no Python execution, and
+    the corpus stats joined back by BROADCAST (a scalar row)."""
+    from graphdb_spark.workloads.text import text_bm25_topk
+
+    df = text_bm25_topk(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # no token explode anywhere
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_adamic_adar_pairs_meet_through_dst(spark, sf_dir):
+    """Pair generation must be the dst equi-join (deg-squared bound),
+    never a cartesian/nested-loop pair join."""
+    from graphdb_spark.workloads.graph import g_adamic_adar
+
+    plan = plan_of(g_adamic_adar(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "dst" in plan  # join keyed on the shared destination
+
+
+def test_decayed_value_single_keyed_exchange(spark, sf_dir):
+    """The decayed aggregate must shuffle ONLY on user_id (plus the
+    scalar now-row broadcast): same exchange profile as a plain sum."""
+    from graphdb_spark.workloads.temporal import decayed_user_value
+
+    plan = plan_of(decayed_user_value(spark, sf_dir))
+    ex = [l for l in plan.splitlines()
+          if "Exchange hashpartitioning" in l]
+    assert all("user_id" in l for l in ex), ex
+    assert "BatchEvalPython" not in plan
