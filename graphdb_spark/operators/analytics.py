@@ -633,3 +633,79 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
             F.desc("score"), F.asc("src_a"), F.asc("src_b")
         ).limit(top_k)
     return pairs
+
+
+def jaccard_links(edges: DataFrame, max_degree: int = 1000,
+                  top_k: int | None = None,
+                  broadcast_degrees: bool = True) -> DataFrame:
+    """Common-neighbor Jaccard link prediction: for every source pair
+    sharing >= 1 destination, jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    (union via deg_a + deg_b - common; all-integer until one final
+    division, so the score is bit-stable across engines).
+
+    Same candidate-generation bound as ``adamic_adar``: pairs meet ONLY
+    through the dst equi-join, hub destinations above ``max_degree``
+    are pruned from candidate generation (the quadratic term), while
+    source degrees |N(src)| count ALL destinations — the hub cap
+    bounds cost, not the denominator semantics. The degree table
+    scales with |V| (not |E|); ``broadcast_degrees`` joins it
+    broadcast when the vertex set fits (right at bench SFs), shuffle
+    otherwise — flip it off on a billion-vertex graph."""
+    e = edges.select("src", "dst").distinct()
+    deg_dst = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ddeg"))
+    shared = e.join(
+        deg_dst.filter(
+            (F.col("ddeg") >= 2) & (F.col("ddeg") <= max_degree)
+        ),
+        "dst",
+    ).select("src", "dst")
+    # pin the explosion-stage partitioning (see adamic_adar: AQE sizes
+    # by pre-explosion input bytes and would serialize the pair join)
+    n_part = max(e.sparkSession.sparkContext.defaultParallelism, 8)
+    shared = shared.repartition(n_part, "dst")
+    a, b = shared.alias("a"), shared.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .repartition(n_part, "src_a", "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sdeg")
+    )
+    deg_a = sdeg.select(
+        F.col("src").alias("src_a"), F.col("sdeg").alias("deg_a")
+    )
+    deg_b = sdeg.select(
+        F.col("src").alias("src_b"), F.col("sdeg").alias("deg_b")
+    )
+    if broadcast_degrees:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
+    pairs = (
+        common.join(deg_a, "src_a")
+        .join(deg_b, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b") - F.col("common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if top_k is not None:
+        pairs = pairs.orderBy(
+            F.desc("jaccard"), F.asc("src_a"), F.asc("src_b")
+        ).limit(top_k)
+    return pairs

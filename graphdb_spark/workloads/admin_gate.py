@@ -786,6 +786,7 @@ QUERIES = {
     "g_clustering_coeff": (_graph.g_clustering_coeff, _graph.G_CLUSTERING_SQL),
     "g_assortativity": (_graph.g_assortativity, _graph.G_ASSORT_SQL),
     "g_adamic_adar": (_graph.g_adamic_adar, _graph.G_ADAMIC_ADAR_SQL),
+    "g_jaccard_links": (_graph.g_jaccard_links, _graph.G_JACCARD_SQL),
     "agg_messages_degree": (agg_messages_degree, AGG_MESSAGES_DEGREE_SQL),
     "all_shortest_f6": (all_shortest_f6, ALL_SHORTEST_F6_SQL),
     "motif_one_hop": (motif_one_hop, MOTIF_ONE_HOP_SQL),

@@ -356,3 +356,168 @@ QUERIES = {
     "emb_centroid_dist": (emb_centroid_dist, EMB_CENTROID_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql()),
 }
+
+
+# --------------------------------------------------- ANN recall eval
+
+ANN_RECALL_K = 10
+
+
+def ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the two approximate-ANN paths (hyperplane-LSH and
+    IVF cell-probe) against the exact brute-force top-10 — the
+    measure-don't-guess query an ANN deployment runs before trusting
+    an index at scale. One row per variant: (variant, n_hits,
+    recall_at_10), hits = |approx top-10 ∩ exact top-10| summed over
+    the 5 probe queries.
+
+    Scale shape: the exact side is |queries| x N (5 here; a recall
+    AUDIT always runs on a small probe sample, never the full query
+    log), each approx side is its own bucket/cell-bounded plan, and
+    the intersection joins are on 50-row results."""
+    e = _emb(spark, sf_dir)
+    k = ANN_RECALL_K
+    exact = S.cosine_topk(e, QUERY_IDS, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    variants = [
+        ("ivf", S.ivf_topk(e, QUERY_IDS, k=k, n_cells=16, n_probe=2)),
+        ("lsh", S.lsh_bucket_topk(e, QUERY_IDS, k=k, n_planes=8, dim=DIM)),
+    ]
+    denom = len(QUERY_IDS) * k
+    outs = []
+    for name, df in variants:
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        outs.append(
+            hits.select(
+                F.lit(name).alias("variant"),
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / denom, 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    return outs[0].unionAll(outs[1]).orderBy("variant")
+
+
+def _recall_sql(k: int = ANN_RECALL_K, n_cells: int = 16,
+                n_probe: int = 2, n_planes: int = 8) -> str:
+    """DuckDB twin: replays the same three top-k pipelines (brute /
+    LSH / IVF, identical constants) and intersects neighbor sets."""
+    ids = ", ".join(map(str, QUERY_IDS))
+    denom = len(QUERY_IDS) * k
+    cos = (
+        "ROUND({dot} / (sqrt({qa}) * sqrt({qb})), 6)"
+    )
+    # exact brute-force top-k
+    ex_cos = cos.format(
+        dot=_DOT.format(a="q.qvec", b="e.embedding", dim=DIM),
+        qa=_SQ_SUM.format(v="q.qvec"),
+        qb=_SQ_SUM.format(v="e.embedding"),
+    )
+    # LSH buckets (same hyperplanes as similarity.hyperplanes)
+    planes = S.hyperplanes(DIM, n_planes)
+    plane_lits = [
+        "[" + ", ".join(f"{c:.1f}" for c in row) + "]" for row in planes
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=plane_lits[p], dim=DIM)} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    lsh_cos = cos.format(
+        dot=_DOT.format(a="q.qvec", b="e.vec", dim=DIM),
+        qa=_SQ_SUM.format(v="q.qvec"),
+        qb=_SQ_SUM.format(v="e.vec"),
+    )
+    # IVF cells (same deterministic centroids as _ivf_sql)
+    ivf_cell_cos = cos.format(
+        dot=_DOT.format(a="e.vec", b="c.cvec", dim=DIM),
+        qa=_SQ_SUM.format(v="e.vec"),
+        qb=_SQ_SUM.format(v="c.cvec"),
+    )
+    ivf_cand_cos = cos.format(
+        dot=_DOT.format(a="p.qvec", b="a.vec", dim=DIM),
+        qa=_SQ_SUM.format(v="p.qvec"),
+        qb=_SQ_SUM.format(v="a.vec"),
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({ids})
+), ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {ex_cos} AS cos_sim
+  FROM q CROSS JOIN embeddings e WHERE q.query_id != e.vec_id
+), ex_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM ex_scored
+), exact AS (
+  SELECT query_id, neighbor_id FROM ex_ranked WHERE rn <= {k}
+), lemb AS (
+  SELECT vec_id AS vid, embedding AS vec,
+    CAST(({bits}) AS BIGINT) AS bucket
+  FROM embeddings
+), lq AS (
+  SELECT vid AS query_id, vec AS qvec, bucket AS qbucket FROM lemb
+  WHERE vid IN ({ids})
+), lsh_scored AS (
+  SELECT q.query_id, e.vid AS neighbor_id, {lsh_cos} AS cos_sim
+  FROM lq q JOIN lemb e ON q.qbucket = e.bucket
+  WHERE q.query_id != e.vid
+), lsh_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM lsh_scored
+), lsh_top AS (
+  SELECT query_id, neighbor_id FROM lsh_ranked WHERE rn <= {k}
+), iemb AS (
+  SELECT vec_id AS vid, embedding AS vec FROM embeddings
+), cents AS (
+  SELECT vid AS cid, vec AS cvec FROM iemb WHERE vid < {n_cells}
+), scored_cells AS (
+  SELECT e.vid, e.vec, c.cid, {ivf_cell_cos} AS ccos
+  FROM iemb e CROSS JOIN cents c
+), ranked_cells AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+            ORDER BY ccos DESC, cid ASC) AS arn
+  FROM scored_cells
+), assign AS (
+  SELECT vid, vec, cid FROM ranked_cells WHERE arn = 1
+), probes AS (
+  SELECT vid AS query_id, vec AS qvec, cid AS pcid
+  FROM ranked_cells
+  WHERE arn <= {n_probe} AND vid IN ({ids})
+), ivf_cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id, {ivf_cand_cos} AS cos_sim
+  FROM probes p JOIN assign a ON p.pcid = a.cid
+  WHERE p.query_id != a.vid
+), ivf_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM ivf_cand
+), ivf_top AS (
+  SELECT query_id, neighbor_id FROM ivf_ranked WHERE rn <= {k}
+), hits_lsh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lsh_top t
+  JOIN exact x ON t.query_id = x.query_id
+             AND t.neighbor_id = x.neighbor_id
+), hits_ivf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ivf_top t
+  JOIN exact x ON t.query_id = x.query_id
+             AND t.neighbor_id = x.neighbor_id
+)
+SELECT * FROM (
+  SELECT 'ivf' AS variant, n AS n_hits,
+    ROUND(CAST(n AS DOUBLE) / {denom}, 6) AS recall_at_10 FROM hits_ivf
+  UNION ALL
+  SELECT 'lsh', n, ROUND(CAST(n AS DOUBLE) / {denom}, 6) FROM hits_lsh
+) ORDER BY variant
+"""
+
+
+QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())

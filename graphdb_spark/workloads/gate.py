@@ -42,7 +42,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
                       repetition_stats, unigram_rarity, filter_funnel,
-                      domain_cap, url_host_stats
+                      domain_cap, url_host_stats, quality_mix_bins,
+                      doc_chunking, dsir_importance
 - temporal_suite:     time_window_agg, asof_last_click, sessionize,
                       range_join_attrib, rollup_gauges, temporal_diff,
                       funnel_conversion, cohort_retention,
@@ -63,7 +64,9 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
                       g_closeness_seeds, g_clustering_coeff,
-                      g_assortativity, g_adamic_adar
+                      g_assortativity, g_adamic_adar, g_jaccard_links
+- emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
+                      ann_recall_eval
 """
 
 from __future__ import annotations
@@ -243,6 +246,16 @@ COLS = {
                          ("min_q", "double"), ("max_q", "double"),
                          ("n_kept", "bigint")],
     "q11_important_value": [("p_partkey", "bigint"), ("value", "double")],
+    # round-5 session-2: RAG chunking / DSIR importance / ANN recall /
+    # Jaccard link prediction
+    "doc_chunking": [("doc_id", "bigint"), ("chunk_idx", "int"),
+                     ("n_tok", "bigint"), ("chunk_h64", "bigint")],
+    "dsir_importance": [("doc_id", "bigint"), ("n_tokens", "bigint"),
+                        ("dsir_score", "double")],
+    "ann_recall_eval": [("variant", "string"), ("n_hits", "bigint"),
+                        ("recall_at_10", "double")],
+    "g_jaccard_links": [("src_a", "string"), ("src_b", "string"),
+                        ("common", "bigint"), ("jaccard", "double")],
 }
 
 
@@ -353,7 +366,7 @@ def build_gate() -> dict:
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
-          "g_assortativity", "g_adamic_adar")
+          "g_assortativity", "g_adamic_adar", "g_jaccard_links")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",
@@ -374,13 +387,13 @@ def build_gate() -> dict:
           "pii_redaction", "seq_packing", "contamination_overlap",
           "gopher_quality", "repetition_stats", "unigram_rarity",
           "filter_funnel", "domain_cap", "url_host_stats",
-          "quality_mix_bins")
+          "quality_mix_bins", "doc_chunking", "dsir_importance")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")
     keep(E, "emb_cosine_neardup")
     suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist",
-          "semantic_dedup")
+          "semantic_dedup", "ann_recall_eval")
 
     assert len(gate) <= 50, f"driver gate cap exceeded: {len(gate)}"
     return gate

@@ -959,3 +959,60 @@ WITH e AS (
 SELECT src_a, src_b, common, score FROM pairs
 ORDER BY score DESC, src_a, src_b LIMIT 20
 """
+
+
+def g_jaccard_links(spark, sf_dir):
+    """Common-neighbor Jaccard link prediction
+    (analytics.jaccard_links) on the same CONTAINS edge set as
+    g_adamic_adar: top-20 order pairs by |shared parts| / |union of
+    parts|. Integer keys in flight, graph-style ids prefixed only on
+    the final 20 rows; candidate pairs meet only through the dst
+    equi-join with the hub cap, while the denominator uses FULL
+    source degrees."""
+    from graphdb_spark.operators.analytics import jaccard_links
+    from graphdb_spark.sources.tpch import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = li.select(F.col("l_orderkey").alias("src"),
+                  F.col("l_partkey").alias("dst"))
+    pairs = jaccard_links(e, max_degree=1000)
+    return (
+        pairs.select(
+            F.concat(F.lit("o_"), F.col("src_a").cast("string"))
+            .alias("src_a"),
+            F.concat(F.lit("o_"), F.col("src_b").cast("string"))
+            .alias("src_b"),
+            "common", "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(20)
+    )
+
+
+G_JACCARD_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem
+), ddeg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS ddeg FROM e GROUP BY dst
+), shared AS (
+  SELECT e.src, e.dst
+  FROM e JOIN ddeg ON e.dst = ddeg.dst WHERE ddeg.ddeg BETWEEN 2 AND 1000
+), common AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM shared a JOIN shared b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+), sdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS sdeg FROM e GROUP BY src
+), pairs AS (
+  SELECT 'o_' || CAST(c.src_a AS VARCHAR) AS src_a,
+         'o_' || CAST(c.src_b AS VARCHAR) AS src_b,
+         c.common,
+         ROUND(CAST(c.common AS DOUBLE)
+               / CAST(da.sdeg + db.sdeg - c.common AS DOUBLE), 6) AS jaccard
+  FROM common c
+  JOIN sdeg da ON c.src_a = da.src
+  JOIN sdeg db ON c.src_b = db.src
+)
+SELECT src_a, src_b, common, jaccard FROM pairs
+ORDER BY jaccard DESC, src_a, src_b LIMIT 20
+"""

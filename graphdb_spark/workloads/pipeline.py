@@ -820,3 +820,175 @@ FROM binned GROUP BY bin ORDER BY bin
 
 
 QUERIES["quality_mix_bins"] = (quality_mix_bins, _quality_mix_sql())
+
+
+# --------------------------------------- RAG chunking + DSIR mixing
+
+CHUNK_SIZE = 64     # tokens per chunk
+CHUNK_STRIDE = 48   # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+def doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking (RAG / context-window prep):
+    split each doc's token stream into CHUNK_SIZE-token windows at
+    CHUNK_STRIDE (16-token overlap), one row per chunk with its token
+    count and content fingerprint — the unit a retrieval index or a
+    packed pre-training shard actually stores.
+
+    Scale shape: tokenize + sequence + explode + slice are all
+    whole-stage-codegen expressions over one scan; there is NO shuffle
+    at all (per-doc work only, chunk rows inherit the scan partitions).
+    At 100 TB the explode multiplies rows ~n_tokens/stride x, which is
+    the output size itself — nothing to optimize away. Overlapping
+    chunks duplicate only stride-boundary tokens (16/64 = 25%), the
+    standard RAG recall/storage trade."""
+    d = _docs(spark, sf_dir, spread=True)
+    base = d.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks"), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    ch = base.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return ch.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS INT)").alias(
+            "chunk_idx"
+        ),
+        F.size(chunk).cast("bigint").alias("n_tok"),
+        T.h64(F.array_join(chunk, " ")).alias("chunk_h64"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _chunking_sql() -> str:
+    toks = _TOKS.format(x="lower(text)")
+    h = _H64.format(
+        x=f"array_to_string(toks[start:start + {CHUNK_SIZE - 1}], ' ')"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+    unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE})) AS start
+  FROM base
+)
+SELECT doc_id, CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(len(toks[start:start + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_tok,
+  {h} AS chunk_h64
+FROM st ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES["doc_chunking"] = (doc_chunking, _chunking_sql())
+
+
+DSIR_BUCKETS = 256  # hashed-feature dimensionality (Xie et al. use 10k)
+
+
+def dsir_importance(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): featurize each doc as hashed-unigram
+    bucket counts, estimate add-1-smoothed bucket distributions for a
+    target slice (doc_id % 10 == 0 — the benchmark-domain stand-in,
+    same slice contamination_overlap uses) and for the raw corpus, and
+    score every doc by its log-likelihood ratio
+    sum_tokens[ ln p_target(bucket) - ln p_raw(bucket) ].
+    Top-50 docs by score = the ones importance resampling would keep.
+
+    Scale shape: one explode + ONE hash aggregate to (doc_id, bucket)
+    counts; both corpus distributions aggregate from that same table
+    (256-row results), and the per-bucket weight table joins back as a
+    broadcast. Per-bucket contributions are rounded then summed as
+    decimal, so the score is partition-order independent."""
+    d = _docs(spark, sf_dir, spread=True)
+    tok = d.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id", (T.h64(F.col("tok")) % DSIR_BUCKETS).alias("b")
+    )
+    # one shuffle to per-doc bucket counts; everything else derives
+    db = tok.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    raw = db.groupBy("b").agg(F.sum("cnt").alias("n_raw"))
+    tgt = (
+        db.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("n_tgt"))
+    )
+    dist = (
+        raw.join(tgt, "b", "left")
+        .withColumn("n_tgt", F.coalesce(F.col("n_tgt"), F.lit(0)))
+    )
+    tot = dist.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    w = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("n_tgt") + 1).cast("double")
+                / (F.col("tot_tgt") + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("n_raw") + 1).cast("double")
+                / (F.col("tot_raw") + DSIR_BUCKETS).cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)").alias("w"),
+    )
+    scored = (
+        db.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("w")), 6)
+            .cast("double")
+            .alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_score"), "doc_id").limit(50)
+
+
+def _dsir_sql() -> str:
+    toks = _TOKS.format(x="lower(text)")
+    h = _H64.format(x="tok")
+    nb = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h} % {nb} AS b
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+), db AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, b
+), raw AS (
+  SELECT b, SUM(cnt) AS n_raw FROM db GROUP BY b
+), tgt AS (
+  SELECT b, SUM(cnt) AS n_tgt FROM db WHERE doc_id % 10 = 0 GROUP BY b
+), dist AS (
+  SELECT raw.b, n_raw, COALESCE(n_tgt, 0) AS n_tgt
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+), tot AS (
+  SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM dist
+), w AS (
+  SELECT b,
+    CAST(ROUND(
+      ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + {nb} AS DOUBLE))
+      - ln(CAST(n_raw + 1 AS DOUBLE) / CAST(tot_raw + {nb} AS DOUBLE)),
+    6) AS DECIMAL(18,6)) AS w
+  FROM dist, tot
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+  CAST(ROUND(SUM(cnt * w), 6) AS DOUBLE) AS dsir_score
+FROM db JOIN w ON db.b = w.b
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id LIMIT 50
+"""
+
+
+QUERIES["dsir_importance"] = (dsir_importance, _dsir_sql())
