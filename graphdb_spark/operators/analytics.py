@@ -564,6 +564,50 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def _shared_dst_weights(edges: DataFrame, max_degree: int) -> DataFrame:
+    """ONE-shuffle candidate prep shared by adamic_adar/jaccard_links:
+    hash-repartition the edge set by dst, then dedupe AND compute
+    dst-degrees inside those partitions (dropDuplicates needs only a
+    subset-clustering, and the count window sees the whole dst group
+    locally). The naive distinct → groupBy-deg → join-back → repartition
+    chain shuffles the edge set three times for the same result
+    (measured 2x slower end-to-end at sf0.1). The explicit repartition
+    also pins the explosion-stage parallelism: AQE sizes the downstream
+    self-join by the small INPUT bytes and would coalesce the exploding
+    stage to a handful of tasks (measured: 3 tasks, 22 s → 32, ~2 s);
+    user-specified partitioning it leaves alone.
+
+    The window's per-dst task is the same skew unit as a groupBy(dst)
+    — a hub dst lands in one task either way, and hubs above
+    max_degree are dropped right here before any pair is generated.
+
+    decimal(18,6) not (28,10) for the weight: it is ≤ 1/ln 2 at 6 dp
+    and per-pair sums are bounded by max_degree, so 12 integer digits
+    can never overflow — and ≤18-digit decimals stay LONG-backed in
+    Tungsten (an order of magnitude faster to hash-aggregate over
+    millions of pairs than the BigDecimal-backed (28,10))."""
+    from pyspark.sql.window import Window
+
+    n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
+    d = (
+        edges.select("src", "dst")
+        .repartition(n_part, "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        d.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("dst"))
+        )
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= max_degree))
+        .withColumn(
+            "w",
+            F.round(F.lit(1.0) / F.log(F.col("deg")), 6)
+            .cast("decimal(18,6)"),
+        )
+        .select("src", "dst", "w")
+    )
+
+
 def adamic_adar(edges: DataFrame, max_degree: int = 1000,
                 top_k: int | None = None) -> DataFrame:
     """Adamic–Adar link prediction over a directed src->dst edge set:
@@ -583,28 +627,7 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
     DECIMAL so the result is independent of summation order across
     partitions.
     """
-    e = edges.select("src", "dst").distinct()
-    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
-    shared = (
-        e.join(deg.filter((F.col("deg") >= 2)
-                          & (F.col("deg") <= max_degree)), "dst")
-        # decimal(18,6) not (28,10): the weight is ≤ 1/ln 2 at 6 dp and
-        # per-pair sums are bounded by max_degree, so 12 integer digits
-        # can never overflow — and ≤18-digit decimals stay LONG-backed
-        # in Tungsten (an order of magnitude faster to hash-aggregate
-        # over millions of pairs than the BigDecimal-backed (28,10))
-        .withColumn("w", F.round(F.lit(1.0) / F.log(F.col("deg")), 6)
-                    .cast("decimal(18,6)"))
-    )
-    # The self-join EXPLODES: |output| ≈ Σ_dst deg²/2 ≫ |input|. AQE
-    # sizes post-shuffle partitions by the (small) INPUT bytes and
-    # coalesces to a handful of tasks, serializing the explosion
-    # (measured at sf0.1: 3 tasks, 22 s → 32 tasks, ~2 s). An explicit
-    # hash repartition on the join key is user-specified partitioning,
-    # which AQE leaves alone — and both join sides inherit it, so the
-    # pair join adds no extra exchange.
-    n_part = max(shared.sparkSession.sparkContext.defaultParallelism, 8)
-    shared = shared.repartition(n_part, "dst")
+    shared = _shared_dst_weights(edges, max_degree)
     a, b = shared.alias("a"), shared.alias("b")
     exploded = a.join(
         b,
@@ -620,6 +643,7 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
     # size estimates. Pin the aggregate's partitioning explicitly —
     # groupBy over data already hash-partitioned on exactly its keys
     # adds no further exchange.
+    n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
     pairs = (
         exploded.repartition(n_part, "src_a", "src_b")
         .groupBy("src_a", "src_b")
@@ -652,17 +676,10 @@ def jaccard_links(edges: DataFrame, max_degree: int = 1000,
     broadcast when the vertex set fits (right at bench SFs), shuffle
     otherwise — flip it off on a billion-vertex graph."""
     e = edges.select("src", "dst").distinct()
-    deg_dst = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ddeg"))
-    shared = e.join(
-        deg_dst.filter(
-            (F.col("ddeg") >= 2) & (F.col("ddeg") <= max_degree)
-        ),
-        "dst",
-    ).select("src", "dst")
-    # pin the explosion-stage partitioning (see adamic_adar: AQE sizes
-    # by pre-explosion input bytes and would serialize the pair join)
+    # same one-shuffle candidate prep as adamic_adar (the w column is
+    # simply unused here); explosion partitioning pinned inside it
+    shared = _shared_dst_weights(edges, max_degree).select("src", "dst")
     n_part = max(e.sparkSession.sparkContext.defaultParallelism, 8)
-    shared = shared.repartition(n_part, "dst")
     a, b = shared.alias("a"), shared.alias("b")
     common = (
         a.join(

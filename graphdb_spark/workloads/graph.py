@@ -923,7 +923,11 @@ def g_adamic_adar(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
     e = li.select(F.col("l_orderkey").alias("src"),
                   F.col("l_partkey").alias("dst"))
-    pairs = adamic_adar(e, max_degree=1000)
+    # top-k BEFORE prefixing: TakeOrdered over 9M (long, long, double)
+    # rows instead of a total order over 9M concatenated strings
+    # (measured ~2x on the whole query at sf0.1). Ties break on the
+    # integer keys; the oracle ranks on the same integers.
+    pairs = adamic_adar(e, max_degree=1000, top_k=20)
     return (
         pairs.select(
             F.concat(F.lit("o_"), F.col("src_a").cast("string"))
@@ -933,7 +937,6 @@ def g_adamic_adar(spark, sf_dir):
             "common", "score",
         )
         .orderBy(F.desc("score"), "src_a", "src_b")
-        .limit(20)
     )
 
 
@@ -949,15 +952,18 @@ WITH e AS (
   SELECT e.src, e.dst, CAST(ROUND(1.0 / ln(deg.deg), 6) AS DECIMAL(18,6)) AS w
   FROM e JOIN deg ON e.dst = deg.dst WHERE deg.deg BETWEEN 2 AND 1000
 ), pairs AS (
-  SELECT 'o_' || CAST(a.src AS VARCHAR) AS src_a,
-         'o_' || CAST(b.src AS VARCHAR) AS src_b,
+  SELECT a.src AS ka, b.src AS kb,
          CAST(COUNT(*) AS BIGINT) AS common,
          CAST(ROUND(SUM(a.w), 6) AS DOUBLE) AS score
   FROM w a JOIN w b ON a.dst = b.dst AND a.src < b.src
   GROUP BY 1, 2
+), topk AS (
+  -- rank on the INTEGER keys (matching the Spark top_k), prefix after
+  SELECT * FROM pairs ORDER BY score DESC, ka, kb LIMIT 20
 )
-SELECT src_a, src_b, common, score FROM pairs
-ORDER BY score DESC, src_a, src_b LIMIT 20
+SELECT 'o_' || CAST(ka AS VARCHAR) AS src_a,
+       'o_' || CAST(kb AS VARCHAR) AS src_b, common, score
+FROM topk ORDER BY score DESC, src_a, src_b
 """
 
 
