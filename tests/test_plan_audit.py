@@ -315,3 +315,65 @@ def test_decayed_value_single_keyed_exchange(spark, sf_dir):
           if "Exchange hashpartitioning" in l]
     assert all("user_id" in l for l in ex), ex
     assert "BatchEvalPython" not in plan
+
+
+def test_doc_chunking_zero_shuffle(spark, sf_dir):
+    """Chunking is per-doc work: tokenize + sequence + explode + slice
+    in one codegen'd scan — the ONLY exchange allowed is the explicit
+    input spread (round-robin), never a hash/aggregate shuffle, and no
+    Python evaluation."""
+    from graphdb_spark.workloads.pipeline import doc_chunking
+
+    df = doc_chunking(spark, sf_dir)
+    # strip the deterministic output ORDER BY (presentation, not
+    # computation — the driver melts and sorts anyway)
+    plan = plan_of(df.limit(10**9))
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dsir_weight_join_is_broadcast(spark, sf_dir):
+    """The 256-row bucket-weight table must come back as a broadcast
+    join; the only hash exchanges are on doc/bucket keys (the one
+    explode aggregate and its derivatives) — no cartesian, no Python."""
+    from graphdb_spark.workloads.pipeline import dsir_importance
+
+    plan = plan_of(dsir_importance(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_adamic_prep_single_edge_exchange(spark, sf_dir):
+    """The one-shuffle candidate prep: in the FINAL adaptive plan the
+    edge set is hash-exchanged on dst exactly once — the self-join's
+    second side must be a ReusedExchange of the same stage (dedup +
+    degree + weight all happen inside those partitions, so both sides
+    canonicalize identically) — and the only other hash exchange is
+    the pair aggregate on (src_a, src_b)."""
+    from graphdb_spark.workloads.graph import g_adamic_adar
+
+    df = g_adamic_adar(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    ex = [l for l in plan.splitlines()
+          if "Exchange hashpartitioning" in l]
+    dst_ex = [l for l in ex
+              if "dst" in l and "ReusedExchange" not in l]
+    pair_ex = [l for l in ex if "src_a" in l and "src_b" in l]
+    assert len(dst_ex) == 1, dst_ex
+    assert len(pair_ex) == 1, pair_ex
+    assert any("ReusedExchange" in l and "dst" in l
+               for l in plan.splitlines()), plan
+
+
+def test_ann_recall_no_python_no_cartesian_beyond_probe(spark, sf_dir):
+    """Recall eval composes three audited plans; the only cross joins
+    allowed are the labeled brute-force probe and the IVF centroid
+    assignment (both broadcast, |queries| x N and N x n_cells); no
+    Python evaluation anywhere."""
+    from graphdb_spark.workloads.embeddings import ann_recall_eval
+
+    plan = plan_of(ann_recall_eval(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan  # crossJoins are broadcast
