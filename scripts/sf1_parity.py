@@ -63,6 +63,12 @@ R5 = (
     "text_bm25_topk g_adamic_adar decayed_user_value quality_mix_bins "
     "q11_important_value"
 ).split()
+# round-5 session-2: chunking/DSIR/recall/jaccard — explode-slice
+# fingerprints, smoothed log-ratios, set intersections, and the
+# shared one-shuffle pair prep at 10x
+R5B = (
+    "doc_chunking dsir_importance ann_recall_eval g_jaccard_links"
+).split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -79,7 +85,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     qs = workloads.all_unpacked_queries()
     oracles = workloads.all_unpacked_oracles()
     failures = {}
-    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5:
+    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5 + R5B:
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -92,7 +98,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
         if problems:
             failures[name] = problems
     spark.stop()
-    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5)
+    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5 + R5B)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
