@@ -67,6 +67,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_assortativity, g_adamic_adar, g_jaccard_links
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
                       ann_recall_eval
+- stream_suite:       stream_fold_degrees, stream_windowed_counts
 """
 
 from __future__ import annotations
@@ -256,6 +257,13 @@ COLS = {
                         ("recall_at_10", "double")],
     "g_jaccard_links": [("src_a", "string"), ("src_b", "string"),
                         ("common", "bigint"), ("jaccard", "double")],
+    "stream_fold_degrees": [("id", "string"), ("label", "string"),
+                            ("out_degree", "bigint"),
+                            ("in_degree", "bigint")],
+    "stream_windowed_counts": [("window_start_ms", "bigint"),
+                               ("event_type", "string"),
+                               ("n", "bigint"),
+                               ("value_sum", "double")],
 }
 
 
@@ -350,7 +358,10 @@ def build_gate() -> dict:
           "sliding_window_revenue", "decayed_user_value")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
-    keep(stream_views, "stream_fold_degrees")
+    # change-log fold semantics + a TRUE streaming execution (file
+    # source -> watermark window agg -> availableNow memory sink)
+    suite("stream_suite", stream_views, "stream_fold_degrees",
+          "stream_windowed_counts")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",
