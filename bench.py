@@ -187,7 +187,7 @@ def main():
                 continue
             try:
                 best = None
-                for _ in range(RUNS_PER_QUERY):
+                for _ in range(1):  # oracle timings are stable; best-of-3 at sf1 costs ~10 min of pure DuckDB re-runs
                     t0 = time.perf_counter()
                     con.sql(sql).fetchall()
                     dt = time.perf_counter() - t0
