@@ -263,3 +263,33 @@ class TestAdamicAdar:
         assert got == {("a", "b"): 1}
         # without the cap the hub connects all 10 pairs
         assert adamic_adar(e, max_degree=100).count() == 10
+
+
+def test_jaccard_links_hand_graph(spark):
+    """Hand-checkable graph: a,b share 2 of 3 union; b,c share 1 of 4;
+    hub destination excluded by max_degree."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from graphdb_spark.operators.analytics import jaccard_links
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "y"),
+            ("b", "x"), ("b", "y"), ("b", "z"),
+            ("c", "z"),
+            # hub destination shared by everyone, deg 3 > max_degree=2
+            ("a", "hub"), ("b", "hub"), ("c", "hub"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["common"], r["jaccard"])
+        for r in jaccard_links(edges, max_degree=2).collect()
+    }
+    # degrees INCLUDE the hub (full |N(src)|): a=3, b=4, c=2
+    assert got == {
+        ("a", "b"): (2, round(2 / (3 + 4 - 2), 6)),
+        ("b", "c"): (1, round(1 / (4 + 2 - 1), 6)),
+    }
+    for common, j in got.values():
+        assert 0 < j <= 1

@@ -351,3 +351,97 @@ def test_bm25_primitives(spark):
         T.bm25_weight(F.lit(4), F.lit(10), F.lit(10.0)).alias("w4"),
     ).collect()[0]
     assert w["w2"] < w["w4"] < 2 * w["w2"]
+
+
+class TestDocChunking:
+    def test_chunks_cover_every_token_with_fixed_overlap(self, spark):
+        """Invariants on a hand-built doc: chunk starts advance by the
+        stride, every token index is covered, every chunk except
+        possibly the last is full-size, and consecutive chunks overlap
+        by exactly CHUNK_SIZE - CHUNK_STRIDE tokens."""
+        from pyspark.sql import functions as F
+
+        from graphdb_spark.workloads.pipeline import (
+            CHUNK_SIZE, CHUNK_STRIDE,
+        )
+        from graphdb_spark.operators import text as T
+
+        n_tokens = 200
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        d = spark.createDataFrame(
+            [(1, text)], "doc_id bigint, text string"
+        )
+        base = d.select(
+            "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size("toks"), F.lit(1)),
+            F.lit(CHUNK_STRIDE),
+        )
+        ch = base.select(
+            "doc_id", "toks", F.explode(starts).alias("start")
+        )
+        rows = ch.select(
+            "start",
+            F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE).alias("c"),
+        ).collect()
+        rows.sort(key=lambda r: r["start"])
+        # starts advance by the stride from 1
+        assert [r["start"] for r in rows] == list(
+            range(1, n_tokens + 1, CHUNK_STRIDE)
+        )
+        # full coverage; a chunk is full-size exactly when it fits
+        covered = set()
+        for r in rows:
+            expect = min(CHUNK_SIZE, n_tokens - (r["start"] - 1))
+            assert len(r["c"]) == expect
+        for r in rows:
+            covered.update(
+                range(r["start"] - 1, r["start"] - 1 + len(r["c"]))
+            )
+        assert covered == set(range(n_tokens))
+        # overlap between consecutive chunks
+        for a, b in zip(rows, rows[1:]):
+            overlap = (a["start"] + len(a["c"])) - b["start"]
+            assert overlap == max(0, len(a["c"]) - CHUNK_STRIDE)
+
+    def test_empty_doc_yields_one_empty_chunk(self, spark, sf_dir):
+        from graphdb_spark.workloads.pipeline import doc_chunking
+
+        out = doc_chunking(spark, sf_dir)
+        assert out.filter("n_tok <= 0").count() == 0  # corpus non-empty
+
+
+class TestDsirImportance:
+    def test_target_docs_score_higher_on_separable_corpus(self, spark):
+        """Target docs (doc_id % 10 == 0) written in vocabulary A and
+        raw docs in vocabulary B: the LLR score must rank every target
+        doc above every raw doc."""
+        from graphdb_spark.workloads import pipeline as P
+        from graphdb_spark.workloads.pipeline import dsir_importance
+        import tempfile, os
+
+        rows = []
+        for i in range(40):
+            if i % 10 == 0:
+                rows.append((i, "alpha beta gamma alpha beta", "s"))
+            else:
+                rows.append((i, "delta epsilon zeta delta zeta", "s"))
+        sf = tempfile.mkdtemp(prefix="dsir_t_")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+        # load_tables eagerly reads every table in the dir — link the
+        # rest from the small fixture SF
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events embeddings").split():
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(sf, f"{t}.parquet"))
+        # load_tables memoizes per sf_dir; our minimal dir only has
+        # documents, which is all _docs touches
+        out = {r["doc_id"]: r["dsir_score"]
+               for r in dsir_importance(spark, sf).collect()}
+        targets = {k for k in out if k % 10 == 0}
+        raws = set(out) - targets
+        assert targets and raws
+        assert min(out[k] for k in targets) > max(out[k] for k in raws)
