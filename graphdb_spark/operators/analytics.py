@@ -726,3 +726,58 @@ def jaccard_links(edges: DataFrame, max_degree: int = 1000,
             F.desc("jaccard"), F.asc("src_a"), F.asc("src_b")
         ).limit(top_k)
     return pairs
+
+
+def deterministic_walks(edges: DataFrame, seeds: DataFrame,
+                        n_steps: int = 4) -> DataFrame:
+    """Graph-ML walk sampling (node2vec/DeepWalk corpus generation)
+    with DETERMINISTIC pseudo-random neighbor choice: at step s from
+    node v, the next hop is argmin over out-neighbors d of
+    h64('<v>_<s>_<d>') — a replayable stand-in for a uniform draw
+    (the hash varies per (node, step), so revisits at later steps take
+    different branches; no RNG, so the DuckDB oracle replays walks
+    exactly). Walks stop early at sinks.
+
+    ``seeds``: one column ``walk_id`` (also the start node). Returns
+    (walk_id, step, node) with step 0 = the seed.
+
+    Scale shape: each step is one equi-join of the O(|walks|) frontier
+    against the edge set plus an argmin aggregate expressed as
+    min(struct(h, dst)) — partial-agg friendly, no window sort. State
+    is the frontier itself; at 1000 executors a billion concurrent
+    walks are just a billion-row frontier hash-joined per step (the
+    same plan GraphFrames' aggregateMessages would give), and the
+    walk corpus streams out as (walk, step) rows without ever
+    materializing adjacency lists per walker."""
+    from graphdb_spark.operators.text import h64
+
+    e = edges.select("src", "dst").distinct()
+    frontier = seeds.select(
+        F.col("walk_id"), F.col("walk_id").alias("node")
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for s in range(1, n_steps + 1):
+        h = h64(
+            F.concat_ws(
+                "_",
+                F.col("node").cast("string"),
+                F.lit(str(s)),
+                F.col("dst").cast("string"),
+            )
+        )
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("walk_id", h.alias("h"), "dst")
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("node"))
+        )
+        frontier = nxt
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(s).cast("int").alias("step"), "node"
+            )
+        )
+    return out

@@ -801,3 +801,8 @@ QUERIES = {
     "pipe_value_filter": (pipe_value_filter, PIPE_VALUE_FILTER_SQL),
     "include_two_stage": (include_two_stage, INCLUDE_TWO_STAGE_SQL),
 }
+
+
+QUERIES["g_random_walks"] = (
+    _graph.g_random_walks, _graph._random_walks_sql()
+)

@@ -64,7 +64,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
                       g_closeness_seeds, g_clustering_coeff,
-                      g_assortativity, g_adamic_adar, g_jaccard_links
+                      g_assortativity, g_adamic_adar, g_jaccard_links,
+                      g_random_walks
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
                       ann_recall_eval
 - stream_suite:       stream_fold_degrees, stream_windowed_counts
@@ -257,6 +258,8 @@ COLS = {
                         ("recall_at_10", "double")],
     "g_jaccard_links": [("src_a", "string"), ("src_b", "string"),
                         ("common", "bigint"), ("jaccard", "double")],
+    "g_random_walks": [("walk_id", "bigint"), ("step", "int"),
+                       ("node", "bigint")],
     "stream_fold_degrees": [("id", "string"), ("label", "string"),
                             ("out_degree", "bigint"),
                             ("in_degree", "bigint")],
@@ -377,7 +380,8 @@ def build_gate() -> dict:
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
-          "g_assortativity", "g_adamic_adar", "g_jaccard_links")
+          "g_assortativity", "g_adamic_adar", "g_jaccard_links",
+          "g_random_walks")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",

@@ -1022,3 +1022,68 @@ WITH e AS (
 SELECT src_a, src_b, common, jaccard FROM pairs
 ORDER BY jaccard DESC, src_a, src_b LIMIT 20
 """
+
+
+def g_random_walks(spark, sf_dir):
+    """Deterministic graph-walk sampling (analytics.deterministic_walks)
+    on the events-derived user graph (u -> (u + event_id) % 1000, the
+    same synthetic edge rule stream_fold_degrees uses): 4-step walks
+    from every seed user (u % 25 == 0), next hop = argmin of
+    h64('<node>_<step>_<dst>') over out-neighbors — a replayable
+    uniform-draw stand-in, so the oracle unrolls the exact same walks.
+    One (walk_id, step, node) row per visited node."""
+    from graphdb_spark.operators.analytics import deterministic_walks
+    from graphdb_spark.sources.tpch import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    e = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") + F.col("event_id")) % 1000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = (
+        e.select(F.col("src").alias("walk_id"))
+        .distinct()
+        .filter(F.col("walk_id") % 25 == 0)
+    )
+    return deterministic_walks(e, seeds, n_steps=4).orderBy(
+        "walk_id", "step"
+    )
+
+
+def _random_walks_sql(n_steps: int = 4) -> str:
+    """DuckDB twin: each step unrolled as a ROW_NUMBER pick over the
+    same h64 ranking (ties broken by dst, matching min(struct))."""
+    h64 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+    steps = []
+    prev = "w0"
+    for s in range(1, n_steps + 1):
+        h = h64.format(
+            x=f"CAST(w.node AS VARCHAR) || '_{s}_' || CAST(e.dst AS VARCHAR)"
+        )
+        steps.append(f"""s{s} AS (
+  SELECT walk_id, dst AS node FROM (
+    SELECT w.walk_id, e.dst,
+      ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                         ORDER BY {h}, e.dst) AS rn
+    FROM {prev} w JOIN e ON w.node = e.src) WHERE rn = 1
+)""")
+        prev = f"s{s}"
+    unions = "\nUNION ALL ".join(
+        [f"SELECT walk_id, CAST(0 AS INT) AS step, node FROM w0"]
+        + [f"SELECT walk_id, CAST({s} AS INT), node FROM s{s}"
+           for s in range(1, n_steps + 1)]
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT user_id AS src, (user_id + event_id) % 1000 AS dst
+  FROM events WHERE user_id != (user_id + event_id) % 1000
+), w0 AS (
+  SELECT DISTINCT src AS walk_id, src AS node FROM e WHERE src % 25 = 0
+), {", ".join(steps)}
+{unions}
+ORDER BY walk_id, step
+"""

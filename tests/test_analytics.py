@@ -293,3 +293,34 @@ def test_jaccard_links_hand_graph(spark):
     }
     for common, j in got.values():
         assert 0 < j <= 1
+
+
+def test_deterministic_walks_follow_edges_and_replay(spark):
+    """Every consecutive (node, next) pair in a walk must be a real
+    edge; re-running produces the identical corpus (no RNG)."""
+    from graphdb_spark.operators.analytics import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 10) for i in range(10)]
+        + [(i, (i * 7 + 2) % 10) for i in range(10)],
+        "src bigint, dst bigint",
+    ).filter("src != dst")
+    seeds = spark.createDataFrame([(0,), (5,)], "walk_id bigint")
+    out = deterministic_walks(edges, seeds, n_steps=5)
+    rows = sorted(
+        ((r["walk_id"], r["step"], r["node"]) for r in out.collect())
+    )
+    by_walk = {}
+    for w, s, n in rows:
+        by_walk.setdefault(w, []).append((s, n))
+    eset = {(r["src"], r["dst"]) for r in edges.collect()}
+    for w, path in by_walk.items():
+        assert path[0] == (0, w)  # step 0 is the seed
+        for (s1, n1), (s2, n2) in zip(path, path[1:]):
+            assert s2 == s1 + 1
+            assert (n1, n2) in eset
+    rows2 = sorted(
+        ((r["walk_id"], r["step"], r["node"])
+         for r in deterministic_walks(edges, seeds, n_steps=5).collect())
+    )
+    assert rows == rows2
