@@ -52,6 +52,11 @@ HEADLINE = [
     "text_bm25_topk",
     "g_adamic_adar",
     "decayed_user_value",
+    # round 5 session 3: bigram-LM perplexity filter / tf-idf pair
+    # similarity / int8 quantization audit
+    "lm_bigram_score",
+    "tfidf_cosine_pairs",
+    "emb_quantize_error",
 ]
 
 # Report the best warm run out of 3 (driver invokes this script once

@@ -137,6 +137,18 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def shingles_all(text: Column, k: int = 3) -> Column:
+    """k-word shingles WITH multiplicity (array<string>) — the term
+    stream for tf-weighted models (tf-idf), where `shingles`' distinct
+    set feeds set-similarity (Jaccard/MinHash)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+
+
 def chunk_texts(text: Column, k: int = 8) -> Column:
     """Non-overlapping k-token chunks as array<string> — the
     "paragraph" unit for line/passage-level dedup (CCNet-style

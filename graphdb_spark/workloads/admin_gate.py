@@ -806,3 +806,74 @@ QUERIES = {
 QUERIES["g_random_walks"] = (
     _graph.g_random_walks, _graph._random_walks_sql()
 )
+
+
+# ------------------------------------- multi-format source/sink audit
+
+_FMT_DIR = "/tmp/graphdb_gate_fmt"
+
+
+def format_roundtrip(spark, sf_dir):
+    """Source/sink breadth beyond parquet: write the nation table to
+    ORC, JSON-lines, and CSV with Spark's native writers, read each
+    back (explicit schema — no inference nondeterminism), and emit a
+    per-format checksum row (count, key sum, h64-of-name sum). Proves
+    each format round-trips values losslessly, not just that the
+    writer didn't throw.
+
+    Scale shape: formats are Spark DataSource V1/V2 scans — the same
+    partitioned read path parquet uses (ORC is splittable +
+    predicate-pushdown capable; JSON/CSV splittable uncompressed), so
+    the audit generalizes to big tables; the checksum agg is one
+    partial-aggregated pass per format."""
+    from graphdb_spark.operators.text import h64  # noqa: PLC0415
+    from graphdb_spark.sources.tpch import load_tables  # noqa: PLC0415
+
+    nation = load_tables(spark, sf_dir)["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    schema = nation.schema
+    outs = []
+    for fmt in ("orc", "json", "csv"):
+        path = f"{_FMT_DIR}/{fmt}"
+        w = nation.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true").option("quoteAll", "true")
+        w.save(path)
+        r = spark.read.format(fmt)
+        r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        back = r.load(path)
+        outs.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.sum(h64(F.col("n_name"))).cast("bigint").alias("name_fp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fmt")
+
+
+FORMAT_ROUNDTRIP_SQL = """
+WITH chk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+    CAST(SUM(CAST(('0x' || substr(md5(n_name), 1, 8)) AS BIGINT)) AS BIGINT)
+      AS name_fp
+  FROM nation
+)
+SELECT fmt, n, key_sum, name_fp
+FROM chk, (VALUES ('csv'), ('json'), ('orc')) AS t(fmt)
+ORDER BY fmt
+"""
+
+
+QUERIES["format_roundtrip"] = (format_roundtrip, FORMAT_ROUNDTRIP_SQL)
+
+
+QUERIES["g_modularity"] = (_graph.g_modularity, _graph._modularity_sql())

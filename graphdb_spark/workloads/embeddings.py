@@ -521,3 +521,112 @@ SELECT * FROM (
 
 
 QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())
+
+
+# --------------------------------------- int8 scalar quantization
+
+QUANT_LEVELS = 255  # 8-bit codes 0..255
+
+
+def emb_quantize_error(spark, sf_dir):
+    """Int8 scalar quantization audit: quantize every vector with
+    per-vector min/max scaling (code_i = clamp(floor((x_i - mn)/s +
+    0.5), 0, 255), s = (mx - mn)/255 — the standard symmetric-free
+    scalar quantizer a 100 TB vector store uses to cut memory 4x),
+    reconstruct, and report per-label reconstruction error: n, mean
+    value range, mean RMSE, max RMSE. The query every deployment runs
+    before switching its ANN index to quantized codes.
+
+    Scale shape: pure per-row higher-order-function arithmetic inside
+    whole-stage codegen (zero Python, zero shuffle before the final
+    label-count aggregate). Per-vector RMSE is rounded then summed as
+    decimal(18,6) so label means are partition-order independent;
+    floor() replaces round() in the quantizer because floor is exact
+    on identical doubles in both engines (no half-up vs half-even
+    divergence).
+    """
+    e = _emb(spark, sf_dir)
+    v = F.col("embedding")
+    base = e.select(
+        "vec_id", "label", "embedding",
+        F.array_min(v).cast("double").alias("mn"),
+        ((F.array_max(v).cast("double") - F.array_min(v).cast("double"))
+         / QUANT_LEVELS).alias("s"),
+    )
+
+    def errsq(x):
+        xd = x.cast("double")
+        c = F.when(F.col("s") == 0.0, F.lit(0.0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((xd - F.col("mn")) / F.col("s") + 0.5)
+                    .cast("double"),
+                    F.lit(0.0),
+                ),
+                F.lit(float(QUANT_LEVELS)),
+            )
+        )
+        d = xd - (F.col("mn") + c * F.col("s"))
+        return d * d
+
+    sq = F.aggregate(
+        F.transform(v, errsq), F.lit(0.0), lambda a, b: a + b
+    )
+    per_vec = base.select(
+        "label",
+        (F.col("s") * QUANT_LEVELS).alias("rng"),
+        F.round(F.sqrt(sq / DIM), 6).alias("rmse"),
+    )
+    agg = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("rng"), 6).cast("decimal(18,6)")).alias("_rs"),
+        F.sum(F.col("rmse").cast("decimal(18,6)")).alias("_es"),
+        F.max("rmse").alias("max_rmse"),
+    )
+    return agg.select(
+        "label",
+        "n",
+        F.round(F.col("_rs").cast("double") / F.col("n"), 6)
+        .alias("avg_range"),
+        F.round(F.col("_es").cast("double") / F.col("n"), 6)
+        .alias("avg_rmse"),
+        "max_rmse",
+    ).orderBy("label")
+
+
+def _quantize_sql() -> str:
+    q = QUANT_LEVELS
+    code = (
+        f"CASE WHEN s = 0 THEN 0.0 ELSE "
+        f"least(greatest(floor((CAST(x AS DOUBLE) - mn) / s + 0.5), 0.0), "
+        f"{q}.0) END"
+    )
+    errsq = (
+        f"(CAST(x AS DOUBLE) - (mn + ({code}) * s)) "
+        f"* (CAST(x AS DOUBLE) - (mn + ({code}) * s))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+    CAST(list_min(embedding) AS DOUBLE) AS mn,
+    (CAST(list_max(embedding) AS DOUBLE)
+     - CAST(list_min(embedding) AS DOUBLE)) / {q} AS s
+  FROM embeddings
+), per_vec AS (
+  SELECT label, s * {q} AS rng,
+    ROUND(sqrt(
+      list_reduce(list_transform(embedding, x -> {errsq}), (a, b) -> a + b)
+      / {DIM}), 6) AS rmse
+  FROM base
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(ROUND(rng, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_range,
+  ROUND(CAST(SUM(CAST(rmse AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_rmse,
+  MAX(rmse) AS max_rmse
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
+QUERIES["emb_quantize_error"] = (emb_quantize_error, _quantize_sql())

@@ -37,17 +37,18 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       doc_fingerprint, top_ngrams, text_bm25_topk
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
                       dedup_simhash_pairs, dedup_lev_verified,
-                      dedup_substring_spans
-- emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup
+                      dedup_substring_spans, tfidf_cosine_pairs
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
                       repetition_stats, unigram_rarity, filter_funnel,
                       domain_cap, url_host_stats, quality_mix_bins,
-                      doc_chunking, dsir_importance
+                      doc_chunking, dsir_importance,
+                      lm_bigram_score, stratified_splits
 - temporal_suite:     time_window_agg, asof_last_click, sessionize,
                       range_join_attrib, rollup_gauges, temporal_diff,
                       funnel_conversion, cohort_retention,
-                      sliding_window_revenue, decayed_user_value
+                      sliding_window_revenue, decayed_user_value,
+                      anomaly_hours
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks, media_image_dedup,
                       media_audio_dedup
@@ -59,16 +60,17 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       cypher_dml_checks
 - ingest_codec_suite: ingest_csv_json, snapshot_roundtrip,
                       fhir_patients, hl7_segments, plugin_exec,
-                      sql_registry_funcs
+                      sql_registry_funcs, format_roundtrip
 - algebra_suite:      pipe_value_filter, include_two_stage,
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
                       g_closeness_seeds, g_clustering_coeff,
                       g_assortativity, g_adamic_adar, g_jaccard_links,
-                      g_random_walks
+                      g_random_walks, g_modularity
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
-                      ann_recall_eval
-- stream_suite:       stream_fold_degrees, stream_windowed_counts
+                      ann_recall_eval, emb_quantize_error
+- stream_suite:       stream_fold_degrees, stream_windowed_counts,
+                      stream_dedup_counts
 """
 
 from __future__ import annotations
@@ -267,6 +269,33 @@ COLS = {
                                ("event_type", "string"),
                                ("n", "bigint"),
                                ("value_sum", "double")],
+    # round-5 session-3: hashed-bigram LM scoring / stratified splits /
+    # tf-idf pair similarity / int8 quantization audit / multi-format
+    # roundtrip / streaming dedup-within-watermark
+    "lm_bigram_score": [("doc_id", "bigint"), ("n_bigrams", "bigint"),
+                        ("nll_total", "double"), ("avg_nll", "double")],
+    "stratified_splits": [("lang", "string"), ("split", "string"),
+                          ("n", "bigint"), ("frac", "double"),
+                          ("chars", "bigint")],
+    "tfidf_cosine_pairs": [("doc_a", "bigint"), ("doc_b", "bigint"),
+                           ("n_shared", "bigint"),
+                           ("cos_sim", "double")],
+    "emb_quantize_error": [("label", "int"), ("n", "bigint"),
+                           ("avg_range", "double"),
+                           ("avg_rmse", "double"),
+                           ("max_rmse", "double")],
+    "format_roundtrip": [("fmt", "string"), ("n", "bigint"),
+                         ("key_sum", "bigint"), ("name_fp", "bigint")],
+    "stream_dedup_counts": [("window_start_ms", "bigint"),
+                            ("event_type", "string"),
+                            ("n", "bigint"),
+                            ("value_sum", "double")],
+    "g_modularity": [("community", "string"), ("n_nodes", "bigint"),
+                     ("m_in", "bigint"), ("deg_sum", "bigint"),
+                     ("contrib", "double"), ("q_total", "double")],
+    "anomaly_hours": [("event_type", "string"), ("hour_ms", "bigint"),
+                      ("n", "bigint"), ("baseline_mean", "double"),
+                      ("z", "double")],
 }
 
 
@@ -358,13 +387,14 @@ def build_gate() -> dict:
     suite("temporal_suite", T, "time_window_agg", "asof_last_click",
           "sessionize", "range_join_attrib", "rollup_gauges",
           "temporal_diff", "funnel_conversion", "cohort_retention",
-          "sliding_window_revenue", "decayed_user_value")
+          "sliding_window_revenue", "decayed_user_value",
+          "anomaly_hours")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     # change-log fold semantics + a TRUE streaming execution (file
     # source -> watermark window agg -> availableNow memory sink)
     suite("stream_suite", stream_views, "stream_fold_degrees",
-          "stream_windowed_counts")
+          "stream_windowed_counts", "stream_dedup_counts")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",
@@ -375,13 +405,13 @@ def build_gate() -> dict:
           "cypher_dml_edges", "cypher_dml_checks")
     suite("ingest_codec_suite", admin_gate, "ingest_csv_json",
           "snapshot_roundtrip", "fhir_patients", "hl7_segments",
-          "plugin_exec", "sql_registry_funcs")
+          "plugin_exec", "sql_registry_funcs", "format_roundtrip")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
           "g_assortativity", "g_adamic_adar", "g_jaccard_links",
-          "g_random_walks")
+          "g_random_walks", "g_modularity")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",
@@ -393,7 +423,7 @@ def build_gate() -> dict:
     keep(X, "dedup_exact")
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
           "dedup_simhash_pairs", "dedup_lev_verified",
-          "dedup_substring_spans")
+          "dedup_substring_spans", "tfidf_cosine_pairs")
     keep(X, "dedup_cluster_canonical")
     keep(X, "sample_mix")
     # -- training-data pipeline (boilerplate / PII / packing /
@@ -402,13 +432,14 @@ def build_gate() -> dict:
           "pii_redaction", "seq_packing", "contamination_overlap",
           "gopher_quality", "repetition_stats", "unigram_rarity",
           "filter_funnel", "domain_cap", "url_host_stats",
-          "quality_mix_bins", "doc_chunking", "dsir_importance")
+          "quality_mix_bins", "doc_chunking", "dsir_importance",
+          "lm_bigram_score", "stratified_splits")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")
     keep(E, "emb_cosine_neardup")
     suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist",
-          "semantic_dedup", "ann_recall_eval")
+          "semantic_dedup", "ann_recall_eval", "emb_quantize_error")
 
     assert len(gate) <= 50, f"driver gate cap exceeded: {len(gate)}"
     return gate

@@ -1087,3 +1087,120 @@ WITH e AS (
 {unions}
 ORDER BY walk_id, step
 """
+
+
+def g_modularity(spark, sf_dir):
+    """Community-quality audit: Newman modularity of the 2-iteration
+    LPA partition on the undirected F6 graph — per-community internal
+    edges, degree mass, and contribution m_c/m - (d_c/2m)^2, plus the
+    whole-partition Q (same value on every row), top 10 communities by
+    size. The measure-don't-guess companion to
+    g_label_prop_communities: a community detector you can't score is
+    a community detector you can't trust.
+
+    Scale shape: labels come from the audited LPA plan; the canonical
+    edge set is one distinct; every aggregate below is keyed by vertex
+    or community (no all-pairs); m is a scalar both engines compute
+    from the same table. Contributions are exact integer ratios cast
+    to double (bit-identical cross-engine), rounded then summed as
+    decimal for the order-independent Q."""
+    from graphdb_spark.operators.analytics import label_propagation
+
+    g = graph_session(spark, sf_dir)
+    labels = label_propagation(g.edges, max_iter=2)  # (id, community)
+    canon = (
+        g.edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = canon.count()
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    nn = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    dc = (
+        labels.join(deg, "id")
+        .groupBy("community")
+        .agg(F.sum("degree").cast("bigint").alias("deg_sum"))
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    mc = (
+        canon.join(la, "a").join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_in"))
+    )
+    half = F.col("deg_sum").cast("double") / F.lit(2 * m)
+    per = (
+        nn.join(dc, "community")
+        .join(mc, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("m_in", F.lit(0)).cast("bigint").alias("m_in"),
+            "deg_sum",
+            F.round(
+                F.coalesce("m_in", F.lit(0)).cast("double") / F.lit(m)
+                - half * half,
+                6,
+            ).alias("contrib"),
+        )
+    )
+    qt = per.agg(
+        F.round(F.sum(F.col("contrib").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("q_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(qt))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(10)
+    )
+
+
+def _modularity_sql() -> str:
+    # reuse the unrolled-LPA CTE chain (everything before the final
+    # SELECT of G_LABEL_PROP_SQL), then add the modularity aggregates
+    body = G_LABEL_PROP_SQL.rsplit("SELECT comm AS community", 1)[0]
+    return f"""{body}, canon AS (
+  SELECT DISTINCT LEAST(id, nbr) AS a, GREATEST(id, nbr) AS b FROM und
+), deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+  ) GROUP BY id
+), mt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon
+), nn AS (
+  SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l2 GROUP BY comm
+), dc AS (
+  SELECT l.comm, CAST(SUM(d.degree) AS BIGINT) AS deg_sum
+  FROM l2 l JOIN deg d ON l.vid = d.id GROUP BY l.comm
+), mc AS (
+  SELECT la.comm, CAST(COUNT(*) AS BIGINT) AS m_in
+  FROM canon c JOIN l2 la ON c.a = la.vid JOIN l2 lb ON c.b = lb.vid
+  WHERE la.comm = lb.comm GROUP BY la.comm
+), per AS (
+  SELECT nn.comm AS community, n_nodes,
+    CAST(COALESCE(m_in, 0) AS BIGINT) AS m_in, deg_sum,
+    ROUND(CAST(COALESCE(m_in, 0) AS DOUBLE) / mt.m
+      - (CAST(deg_sum AS DOUBLE) / (2 * mt.m))
+        * (CAST(deg_sum AS DOUBLE) / (2 * mt.m)), 6) AS contrib
+  FROM nn JOIN dc ON nn.comm = dc.comm
+  LEFT JOIN mc ON nn.comm = mc.comm, mt
+), qt AS (
+  SELECT CAST(ROUND(SUM(CAST(contrib AS DECIMAL(18,6))), 6) AS DOUBLE)
+    AS q_total
+  FROM per
+)
+SELECT community, n_nodes, m_in, deg_sum, contrib, q_total
+FROM per, qt ORDER BY n_nodes DESC, community LIMIT 10
+"""

@@ -992,3 +992,203 @@ ORDER BY dsir_score DESC, doc_id LIMIT 50
 
 
 QUERIES["dsir_importance"] = (dsir_importance, _dsir_sql())
+
+
+# ----------------------------------------- hashed-bigram LM scoring
+
+LM_CTX_BUCKETS = 256     # hashed context (first token) space
+LM_BIGRAM_BUCKETS = 1024  # hashed bigram space (per-context add-1 V)
+
+
+def lm_bigram_score(spark, sf_dir):
+    """KenLM-style perplexity filtering with a hashed-bigram LM: train
+    add-1-smoothed conditional bigram probabilities on the corpus
+    itself (buckets: b1 = h64(w1) % 256 contexts, b12 = h64(w1·w2) %
+    1024 bigrams), score every doc by its average negative
+    log-likelihood sum[-ln P(b12|b1)]/n, and return the 50
+    worst-scoring docs — the ones a CCNet/Gopher-style pipeline would
+    drop as unnatural text. (Real pipelines train KenLM on a trusted
+    corpus; the hashed-feature formulation is the same one DSIR uses,
+    so both share the explode→bucket→count shape.)
+
+    Scale shape: one explode to bigram rows, ONE hash aggregate to
+    (doc_id, b1, b12) counts; both LM count tables re-aggregate from
+    that table and join back as a broadcast bounded by the bucket
+    space (<= 256·1024 rows regardless of corpus size — at 100 TB the
+    model is still ~256k rows). Per-bigram NLL is rounded then summed
+    as decimal(18,6) so doc scores are partition-order independent;
+    ln() on identical doubles is bit-identical cross-engine (the
+    bm25/adamic/dsir trick)."""
+    d = _docs(spark, sf_dir, spread=True)
+    base = d.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    w1 = F.element_at("toks", F.col("i"))
+    w2 = F.element_at("toks", F.col("i") + 1)
+    bi = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        (T.h64(w1) % LM_CTX_BUCKETS).alias("b1"),
+        (T.h64(F.concat_ws(" ", w1, w2)) % LM_BIGRAM_BUCKETS)
+        .alias("b12"),
+    )
+    # the single corpus-sized shuffle; everything below derives from it
+    db = bi.groupBy("doc_id", "b1", "b12").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pair = db.groupBy("b1", "b12").agg(F.sum("cnt").alias("n12"))
+    ctx = db.groupBy("b1").agg(F.sum("cnt").alias("n1"))
+    w = pair.join(ctx, "b1").select(
+        "b1",
+        "b12",
+        F.round(
+            -F.log(
+                (F.col("n12") + 1).cast("double")
+                / (F.col("n1") + LM_BIGRAM_BUCKETS).cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)").alias("nll"),
+    )
+    scored = (
+        db.join(F.broadcast(w), ["b1", "b12"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * F.col("nll")), 6)
+            .cast("double")
+            .alias("nll_total"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_total",
+            F.round(F.col("nll_total") / F.col("n_bigrams"), 6)
+            .alias("avg_nll"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_nll"), "doc_id").limit(50)
+
+
+def _lm_bigram_sql() -> str:
+    toks = _TOKS.format(x="lower(text)")
+    h1 = _H64.format(x="toks[i]")
+    h12 = _H64.format(x="toks[i] || ' ' || toks[i + 1]")
+    nc, nb = LM_CTX_BUCKETS, LM_BIGRAM_BUCKETS
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), bi AS (
+  SELECT doc_id, {h1} % {nc} AS b1, {h12} % {nb} AS b12
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+    FROM base WHERE len(toks) >= 2
+  )
+), db AS (
+  SELECT doc_id, b1, b12, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bi GROUP BY doc_id, b1, b12
+), pair AS (
+  SELECT b1, b12, SUM(cnt) AS n12 FROM db GROUP BY b1, b12
+), ctx AS (
+  SELECT b1, SUM(cnt) AS n1 FROM db GROUP BY b1
+), w AS (
+  SELECT pair.b1, b12,
+    CAST(ROUND(
+      -ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + {nb} AS DOUBLE)),
+    6) AS DECIMAL(18,6)) AS nll
+  FROM pair JOIN ctx ON pair.b1 = ctx.b1
+), scored AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+    CAST(ROUND(SUM(cnt * nll), 6) AS DOUBLE) AS nll_total
+  FROM db JOIN w ON db.b1 = w.b1 AND db.b12 = w.b12
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, nll_total,
+  ROUND(nll_total / n_bigrams, 6) AS avg_nll
+FROM scored ORDER BY avg_nll DESC, doc_id LIMIT 50
+"""
+
+
+QUERIES["lm_bigram_score"] = (lm_bigram_score, _lm_bigram_sql())
+
+
+# ------------------------------------- stratified train/val/test split
+
+SPLIT_TRAIN = 0.8  # cumulative cut: rank <= ceil(0.8 n) -> train
+SPLIT_VAL = 0.9    # rank <= ceil(0.9 n) -> val; else test
+
+
+def stratified_splits(spark, sf_dir):
+    """Deterministic stratified train/val/test assignment: rank each
+    doc within its language stratum by a content-independent hash
+    (h64 of doc_id — re-runnable, no RNG), cut at exact 80/90%
+    boundaries, and report per (lang, split): doc count, achieved
+    fraction, and total chars. Exact per-stratum ratios are what a
+    simple global hash split cannot guarantee; this is the split
+    audit table an eval-leakage review starts from.
+
+    Scale shape: one window per lang stratum (rank + stratum count in
+    the same partitioned sort — per-key sort-based window, never a
+    global total order), then a hash aggregate on (lang, split). At
+    100 TB strata sort in parallel across their own partitions; for
+    strata too hot to sort, the documented fallback is the approximate
+    hash-range split (h64 % 100 < 80), which this table then audits."""
+    d = _docs(spark, sf_dir)
+    key = T.h64(F.col("doc_id").cast("string"))
+    win = Window.partitionBy("lang").orderBy(key, "doc_id")
+    tot_w = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(tot_w).alias("tot"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.ceil(F.col("tot") * SPLIT_TRAIN), "train")
+        .when(F.col("rn") <= F.ceil(F.col("tot") * SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("lang", "n_chars", "tot", split.alias("split"))
+        .groupBy("lang", "split", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .select(
+            "lang",
+            "split",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6)
+            .alias("frac"),
+            "chars",
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _splits_sql() -> str:
+    h = _H64.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS tot
+  FROM documents
+), tagged AS (
+  SELECT lang, n_chars, tot,
+    CASE WHEN rn <= ceil(tot * {SPLIT_TRAIN}) THEN 'train'
+         WHEN rn <= ceil(tot * {SPLIT_VAL}) THEN 'val'
+         ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS frac,
+  CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM tagged GROUP BY lang, split, tot ORDER BY lang, split
+"""
+
+
+QUERIES["stratified_splits"] = (stratified_splits, _splits_sql())

@@ -631,3 +631,92 @@ GROUP BY user_id ORDER BY user_id
 """
 
 QUERIES["decayed_user_value"] = (decayed_user_value, DECAYED_VALUE_SQL)
+
+
+# ------------------------------------------- hourly anomaly detection
+
+ANOM_TRAIL = 24   # trailing window (hours), current hour excluded
+ANOM_MIN_N = 12   # need >= 12 trailing hours before judging
+ANOM_TOPK = 20
+
+
+def anomaly_hours(spark, sf_dir):
+    """Event-rate anomaly detection (the monitoring query a 100 TB
+    event pipeline runs continuously): per event_type hourly counts,
+    a trailing-24h baseline (mean/variance over the PRECEDING hours
+    only — RANGE frame on the integer hour index, so gaps in the
+    timeline shrink the baseline instead of silently sliding it),
+    z-score of each hour vs its own past, top-20 |z|.
+
+    Determinism: baseline sums are exact integers (counts and squared
+    counts), so mean/variance/z are identical doubles cross-engine —
+    no decimal folding needed. Scale: one keyed aggregate to hourly
+    grain (tiny vs raw events), one per-type RANGE window over that
+    grain; never a window over raw events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_millis(F.col("ts")) / F.lit(3600000))
+            .cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-ANOM_TRAIL, -1)
+    )
+    base = hourly.select(
+        "event_type", "hr", "n",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("c")
+    var = F.col("sq").cast("double") / F.col("c") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        base.filter(F.col("c") >= ANOM_MIN_N)
+        .select(
+            "event_type",
+            (F.col("hr") * 3600000).alias("hour_ms"),
+            "n",
+            F.round(mean, 6).alias("baseline_mean"),
+            F.when(var > 0, F.round(z, 6)).alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+        .orderBy(F.desc(F.abs(F.col("z"))), "event_type", "hour_ms")
+        .limit(ANOM_TOPK)
+    )
+
+
+ANOMALY_HOURS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, hr, n,
+    COUNT(*) OVER w AS c, SUM(n) OVER w AS s, SUM(n * n) OVER w AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, hr * 3600000 AS hour_ms, n,
+    ROUND(CAST(s AS DOUBLE) / c, 6) AS baseline_mean,
+    CASE WHEN CAST(sq AS DOUBLE) / c
+              - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c) > 0
+      THEN ROUND((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+        / sqrt(CAST(sq AS DOUBLE) / c
+               - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c)), 6)
+    END AS z
+  FROM base WHERE c >= {ANOM_MIN_N}
+)
+SELECT event_type, hour_ms, n, baseline_mean, z FROM scored
+WHERE z IS NOT NULL
+ORDER BY abs(z) DESC, event_type, hour_ms LIMIT {ANOM_TOPK}
+"""
+
+QUERIES["anomaly_hours"] = (anomaly_hours, ANOMALY_HOURS_SQL)

@@ -631,3 +631,129 @@ ORDER BY bm25 DESC, doc_id LIMIT 20
 
 
 QUERIES["text_bm25_topk"] = (text_bm25_topk, _bm25_sql())
+
+
+# ------------------------------------------- tf-idf cosine similarity
+
+TFIDF_DF_MIN = 2   # term must appear in >= 2 docs (else no pair)
+TFIDF_DF_MAX = 20  # posting-list cap: high-df terms are stopword-like
+TFIDF_TOPK = 50
+
+
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine similarity between documents over 3-word
+    shingle terms, via a df-capped inverted index: tf per (doc, term),
+    idf = ln((N+1)/(df+1)), pairs meet ONLY through the posting-list
+    equi-join on terms with TFIDF_DF_MIN <= df <= TFIDF_DF_MAX, cos =
+    dot / (|a||b|), top-50 pairs. The third similarity family next to
+    set-based MinHash/Jaccard and dense embedding cosine.
+
+    Scale shape: every shuffle is keyed (doc,term) / term / doc /
+    pair — never all-pairs; the self-join fan-out is bounded by
+    DF_MAX^2/2 pairs per term (posting-list pruning — the high-df
+    terms it drops are exactly the ones idf sends to ~0). Dots and
+    norms sum per-term products rounded to decimal(18,6), so scores
+    are partition-order independent; ln() is bit-identical
+    cross-engine on the same doubles (bm25/dsir trick)."""
+    d = _docs(spark, sf_dir, spread=True)
+    n_docs = d.count()  # scalar: both engines count the same table
+    tf = (
+        d.select(
+            "doc_id", F.explode(T.shingles_all(F.col("text"))).alias("s")
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tab = (
+        tf.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX))
+        .select(
+            "s",
+            F.log((F.lit(n_docs) + 1).cast("double")
+                  / (F.col("df") + 1).cast("double")).alias("idf"),
+        )
+    )
+    post = tf.join(df_tab, "s").select(
+        "s", "doc_id", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = post.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 6)
+                  .cast("decimal(18,6)")).cast("double")
+        ).alias("nrm")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.round(F.col("a.w") * F.col("b.w"), 6)
+                  .cast("decimal(18,6)")).cast("double").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nrm").alias("nb"))
+    return (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(TFIDF_TOPK)
+    )
+
+
+def _tfidf_sql() -> str:
+    toks = _TOKS.format(x="lower(text)")
+    sh_all = (
+        "list_transform(range(1, greatest(len(t) - 3, 0) + 2), "
+        "i -> array_to_string(t[i:i+2], ' '))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh_all}) AS s
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+), tf AS (
+  SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM sh GROUP BY doc_id, s
+), dfq AS (
+  SELECT s,
+    ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE)
+       / CAST(COUNT(*) + 1 AS DOUBLE)) AS idf
+  FROM tf GROUP BY s
+  HAVING COUNT(*) BETWEEN {TFIDF_DF_MIN} AND {TFIDF_DF_MAX}
+), post AS (
+  SELECT tf.s, doc_id, tf * idf AS w FROM tf JOIN dfq ON tf.s = dfq.s
+), norms AS (
+  SELECT doc_id,
+    sqrt(CAST(SUM(CAST(ROUND(w * w, 6) AS DECIMAL(18,6))) AS DOUBLE))
+      AS nrm
+  FROM post GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared,
+    CAST(SUM(CAST(ROUND(a.w * b.w, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      AS dot
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+  ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM pairs
+JOIN norms na ON pairs.doc_a = na.doc_id
+JOIN norms nb ON pairs.doc_b = nb.doc_id
+ORDER BY cos_sim DESC, doc_a, doc_b LIMIT {TFIDF_TOPK}
+"""
+
+
+QUERIES["tfidf_cosine_pairs"] = (tfidf_cosine_pairs, _tfidf_sql())

@@ -69,6 +69,13 @@ R5 = (
 R5B = (
     "doc_chunking dsir_importance ann_recall_eval g_jaccard_links"
 ).split()
+# round-5 session-3: bigram-LM NLL sums, posting-list tf-idf dots,
+# quantization RMSE folds, per-stratum split cuts, format checksums —
+# every new decimal/ln/floor exactness trick re-proven at 10x
+R5C = (
+    "lm_bigram_score tfidf_cosine_pairs emb_quantize_error "
+    "stratified_splits format_roundtrip"
+).split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -85,7 +92,8 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     qs = workloads.all_unpacked_queries()
     oracles = workloads.all_unpacked_oracles()
     failures = {}
-    for name in TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5 + R5B:
+    for name in (TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
+                 + R5B + R5C):
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))

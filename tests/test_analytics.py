@@ -324,3 +324,21 @@ def test_deterministic_walks_follow_edges_and_replay(spark):
          for r in deterministic_walks(edges, seeds, n_steps=5).collect())
     )
     assert rows == rows2
+
+
+def test_modularity_invariants(spark):
+    """Q-total identical on every row, bounded in [-1, 1], rows sorted
+    by community size; contributions never exceed the community's
+    possible edge share."""
+    from graphdb_spark.workloads.graph import g_modularity
+
+    rows = g_modularity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    qt = {r["q_total"] for r in rows}
+    assert len(qt) == 1
+    assert -1.0 <= qt.pop() <= 1.0
+    sizes = [r["n_nodes"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert r["m_in"] >= 0 and r["deg_sum"] >= r["m_in"]
+        assert r["contrib"] <= 1.0

@@ -445,3 +445,173 @@ class TestDsirImportance:
         raws = set(out) - targets
         assert targets and raws
         assert min(out[k] for k in targets) > max(out[k] for k in raws)
+
+
+def _mini_sf(spark, tmp_name, docs=None, embeddings=None):
+    """Materialize a minimal sf_dir: the given tables as parquet, every
+    other driver table symlinked from the sf0.001 fixture."""
+    import os
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix=tmp_name)
+    have = set()
+    if docs is not None:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+        have.add("documents")
+    if embeddings is not None:
+        spark.createDataFrame(
+            embeddings, "vec_id bigint, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(sf, "embeddings.parquet"))
+        have.add("embeddings")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        if t not in have:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(sf, f"{t}.parquet"))
+    return sf
+
+
+class TestLmBigramScore:
+    def test_gibberish_ranks_worst(self, spark):
+        """One doc of unique never-repeated bigrams among many docs of
+        one common phrase: the gibberish doc must get the highest
+        average NLL (every corpus-frequent bigram is cheap; its
+        singletons are maximally surprising)."""
+        from graphdb_spark.workloads.pipeline import lm_bigram_score
+
+        rows = [(i, "the cat sat on the mat", "en", "s", 0)
+                for i in range(1, 30)]
+        rows.append((0, "zq xv jk wm pl rt yb nc df gh", "en", "s", 0))
+        sf = _mini_sf(spark, "lmbt_", docs=rows)
+        out = lm_bigram_score(spark, sf).collect()
+        assert out[0]["doc_id"] == 0
+        assert out[0]["avg_nll"] > out[1]["avg_nll"]
+        # common-phrase docs all share one identical score
+        rest = {r["avg_nll"] for r in out[1:]}
+        assert len(rest) == 1
+
+    def test_scores_are_positive_and_bounded(self, spark, sf_dir):
+        from graphdb_spark.workloads.pipeline import (
+            LM_BIGRAM_BUCKETS, lm_bigram_score,
+        )
+        import math
+
+        out = lm_bigram_score(spark, sf_dir).collect()
+        assert len(out) == 50
+        # -ln p in (0, ln(n1+V)]; the worst possible surprise is a
+        # singleton bigram in the largest context
+        cap = math.log(10**7 + LM_BIGRAM_BUCKETS)
+        for r in out:
+            assert 0.0 < r["avg_nll"] <= cap
+            assert r["n_bigrams"] >= 1
+
+
+class TestStratifiedSplits:
+    def test_exact_cuts_per_stratum(self, spark, sf_dir):
+        """Within every lang: counts reconstruct the ceil(0.8/0.9)
+        boundaries exactly and fractions sum to 1."""
+        import math
+
+        from graphdb_spark.workloads.pipeline import stratified_splits
+
+        rows = stratified_splits(spark, sf_dir).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], {})[r["split"]] = r["n"]
+        for lang, ns in by_lang.items():
+            tot = sum(ns.values())
+            want_train = math.ceil(tot * 0.8)
+            want_val = math.ceil(tot * 0.9) - want_train
+            assert ns.get("train", 0) == want_train, lang
+            assert ns.get("val", 0) == want_val, lang
+            assert ns.get("test", 0) == tot - want_train - want_val, lang
+
+    def test_assignment_is_deterministic(self, spark, sf_dir):
+        from graphdb_spark.workloads.pipeline import stratified_splits
+
+        a = stratified_splits(spark, sf_dir).collect()
+        b = stratified_splits(spark, sf_dir).collect()
+        assert a == b
+
+
+class TestTfidfCosinePairs:
+    def test_identical_docs_cos_one(self, spark):
+        """Two byte-identical docs and one sharing nothing: the
+        identical pair scores exactly 1.0 (after rounding) and is the
+        only pair emitted (doc 3 shares no df>=2 shingle)."""
+        from graphdb_spark.workloads.text import tfidf_cosine_pairs
+
+        same = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, same, "en", "s", 0),
+            (2, same, "en", "s", 0),
+            (3, "one two three four five six seven eight", "en", "s", 0),
+        ]
+        sf = _mini_sf(spark, "tfidf_t_", docs=rows)
+        out = tfidf_cosine_pairs(spark, sf).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+        assert out[0]["cos_sim"] == 1.0
+        assert out[0]["n_shared"] == 6  # 8 tokens -> 6 3-shingles
+
+    def test_scores_bounded_and_ordered(self, spark, sf_dir):
+        from graphdb_spark.workloads.text import tfidf_cosine_pairs
+
+        out = tfidf_cosine_pairs(spark, sf_dir).collect()
+        assert len(out) == 50
+        sims = [r["cos_sim"] for r in out]
+        assert sims == sorted(sims, reverse=True)
+        assert all(0.0 < s <= 1.000001 for s in sims)
+
+
+class TestEmbQuantizeError:
+    def test_exact_reconstruction_and_known_error(self, spark):
+        """Vectors whose values sit exactly on the 8-bit grid must
+        reconstruct losslessly (rmse 0); a vector with off-grid 0.5s
+        has the hand-computed rmse sqrt(62*0.25/64)."""
+        import math
+
+        from graphdb_spark.workloads.embeddings import emb_quantize_error
+
+        # label 1: exact 8-bit grid (mn=0, mx=255, s=1, all integers)
+        exact = [float(x) for x in ([0, 255] + list(range(1, 63)))]
+        const = [7.5] * 64
+        off = [0.0, 255.0] + [0.5] * 62
+        rows = [
+            (1, exact, 1),
+            (2, const, 2),
+            (3, off, 3),
+        ]
+        sf = _mini_sf(spark, "quant_t_", embeddings=rows)
+        out = {r["label"]: r for r in emb_quantize_error(spark, sf).collect()}
+        assert out[1]["max_rmse"] == 0.0 and out[1]["avg_rmse"] == 0.0
+        assert out[2]["max_rmse"] == 0.0 and out[2]["avg_range"] == 0.0
+        want = round(math.sqrt(62 * 0.25 / 64), 6)
+        assert out[3]["max_rmse"] == want
+        assert out[3]["avg_range"] == 255.0
+
+    def test_error_bounded_by_half_step(self, spark, sf_dir):
+        """Quantization to the nearest of 256 levels can never err by
+        more than half a step: rmse <= range/255/2 for every label
+        (max_rmse vs the label's max range is a safe relaxation
+        because rmse <= per-vector half-step <= max half-step)."""
+        from graphdb_spark.workloads.embeddings import emb_quantize_error
+        from graphdb_spark.workloads.embeddings import _emb
+        from pyspark.sql import functions as F
+
+        out = emb_quantize_error(spark, sf_dir).collect()
+        rng = {
+            r["label"]: r["mx"]
+            for r in _emb(spark, sf_dir)
+            .select(
+                "label",
+                (F.array_max("embedding").cast("double")
+                 - F.array_min("embedding").cast("double")).alias("r"),
+            )
+            .groupBy("label").agg(F.max("r").alias("mx")).collect()
+        }
+        for r in out:
+            assert r["max_rmse"] <= rng[r["label"]] / 255 / 2 + 1e-9

@@ -377,3 +377,74 @@ def test_ann_recall_no_python_no_cartesian_beyond_probe(spark, sf_dir):
     plan = plan_of(ann_recall_eval(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan  # crossJoins are broadcast
+
+
+def test_lm_bigram_model_join_is_broadcast(spark, sf_dir):
+    """The bigram-LM weight table is bounded by the bucket space
+    (256x1024), so it must come back as a broadcast join; no
+    cartesian, no Python evaluation anywhere in the scoring plan."""
+    from graphdb_spark.workloads.pipeline import lm_bigram_score
+
+    plan = plan_of(lm_bigram_score(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tfidf_pairs_meet_through_terms(spark, sf_dir):
+    """tf-idf pair similarity must generate candidates ONLY through
+    the posting-list equi-join on the term key — no cartesian product
+    — and stay JVM-side."""
+    from graphdb_spark.workloads.text import tfidf_cosine_pairs
+
+    plan = plan_of(tfidf_cosine_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_emb_quantize_single_exchange(spark, sf_dir):
+    """Quantization error is per-row higher-order-function arithmetic:
+    the ONLY shuffle is the final per-label aggregate; zero Python."""
+    from graphdb_spark.workloads.embeddings import emb_quantize_error
+
+    plan = plan_of(emb_quantize_error(spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, ex
+    assert "EvalPython" not in plan
+
+
+def test_stratified_splits_window_is_per_stratum(spark, sf_dir):
+    """The split ranking must run as a per-lang partitioned window —
+    never a single-partition global sort — and stay JVM-side. (The
+    final ORDER BY presentation sort is stripped via limit, as in the
+    chunking audit.)"""
+    from graphdb_spark.workloads.pipeline import stratified_splits
+
+    plan = plan_of(stratified_splits(spark, sf_dir).limit(10**9))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_modularity_no_cartesian(spark, sf_dir):
+    """Modularity composes the audited LPA plan with keyed aggregates;
+    the only nested-loop join allowed is the broadcast of the 1-row
+    Q-total — never a CartesianProduct — and no Python."""
+    from graphdb_spark.workloads.graph import g_modularity
+
+    plan = plan_of(g_modularity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_anomaly_window_over_hourly_grain(spark, sf_dir):
+    """The z-score window must run over the (tiny) hourly aggregate,
+    partitioned by event_type — never a single-partition sort, never
+    a window over raw events (the hourly hash aggregate must sit
+    below the window in the plan)."""
+    from graphdb_spark.workloads.temporal import anomaly_hours
+
+    plan = plan_of(anomaly_hours(spark, sf_dir).limit(10**9))
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")

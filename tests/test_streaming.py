@@ -305,3 +305,22 @@ def test_incremental_degree_view(spark, tmp_path):
            for r in spark.sql("SELECT * FROM idv").collect()}
     # a->b was deleted: a keeps out=1 (a->c), b's in-degree nets to 0
     assert got == {"a": (1, 0), "b": (1, 0), "c": (0, 2)}
+
+
+def test_stream_dedup_drops_exactly_injected_dupes(spark):
+    """The dedup-within-watermark gate query stages every
+    event_id % 4 == 0 twice; the engine's keyed state must drop
+    exactly the injected copies, so the window totals equal the
+    distinct event count."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.sources.tpch import load_tables
+    from graphdb_spark.workloads.stream_views import stream_dedup_counts
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_dedup_counts(spark, sf)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    distinct = (
+        load_tables(spark, sf)["events"].select("event_id").distinct().count()
+    )
+    assert total == distinct

@@ -293,3 +293,20 @@ class TestRangeJoinInvalidIntervals:
         )
         rows = range_join(p, i, keys=("k",), bin_width_ms=10_000).collect()
         assert [r["win"] for r in rows] == ["good"]
+
+
+def test_anomaly_hours_invariants(spark):
+    """Anomalies sorted by |z| desc; baselines need >= 12 trailing
+    hours so every mean is positive; z is finite."""
+    import math
+
+    from graphdb_spark.workloads.temporal import anomaly_hours
+
+    rows = anomaly_hours(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    zs = [abs(r["z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    for r in rows:
+        assert r["baseline_mean"] > 0
+        assert math.isfinite(r["z"])
+        assert r["n"] >= 0
