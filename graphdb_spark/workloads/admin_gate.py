@@ -877,3 +877,6 @@ QUERIES["format_roundtrip"] = (format_roundtrip, FORMAT_ROUNDTRIP_SQL)
 
 
 QUERIES["g_modularity"] = (_graph.g_modularity, _graph._modularity_sql())
+
+
+QUERIES["g_walk_pairs"] = (_graph.g_walk_pairs, _graph._walk_pairs_sql())

@@ -24,7 +24,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       q2_min_supplier, q16_supplier_counts,
                       q20_excess_share, q11_important_value
 - agg_suite:          distinct_agg, cube_counts, rollup_orders,
-                      quantile_sketch, approx_distinct_sketch
+                      quantile_sketch, approx_distinct_sketch,
+                      value_histogram
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
 - set_join_suite:     set_ops, anti_semi_join, top_customers,
                       item_cooccur_topk
@@ -48,7 +49,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       range_join_attrib, rollup_gauges, temporal_diff,
                       funnel_conversion, cohort_retention,
                       sliding_window_revenue, decayed_user_value,
-                      anomaly_hours
+                      anomaly_hours, interarrival_gaps
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks, media_image_dedup,
                       media_audio_dedup
@@ -66,7 +67,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
                       g_closeness_seeds, g_clustering_coeff,
                       g_assortativity, g_adamic_adar, g_jaccard_links,
-                      g_random_walks, g_modularity
+                      g_random_walks, g_modularity, g_walk_pairs
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
                       ann_recall_eval, emb_quantize_error
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
@@ -296,6 +297,13 @@ COLS = {
     "anomaly_hours": [("event_type", "string"), ("hour_ms", "bigint"),
                       ("n", "bigint"), ("baseline_mean", "double"),
                       ("z", "double")],
+    "g_walk_pairs": [("u", "bigint"), ("v", "bigint"), ("n", "bigint")],
+    "value_histogram": [("bin", "int"), ("lo", "double"),
+                        ("n", "bigint"), ("price_sum", "double")],
+    "interarrival_gaps": [("user_id", "bigint"), ("n_gaps", "bigint"),
+                          ("p50_gap_ms", "bigint"),
+                          ("p90_gap_ms", "bigint"),
+                          ("max_gap_ms", "bigint")],
 }
 
 
@@ -354,7 +362,8 @@ def build_gate() -> dict:
     # approx_distinct_sketch folded in (round 4) to free a slot for
     # cypher_dml_suite under the 50-entry cap
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
-          "quantile_sketch", "approx_distinct_sketch")
+          "quantile_sketch", "approx_distinct_sketch",
+          "value_histogram")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
     suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers",
           "item_cooccur_topk")
@@ -388,7 +397,7 @@ def build_gate() -> dict:
           "sessionize", "range_join_attrib", "rollup_gauges",
           "temporal_diff", "funnel_conversion", "cohort_retention",
           "sliding_window_revenue", "decayed_user_value",
-          "anomaly_hours")
+          "anomaly_hours", "interarrival_gaps")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     # change-log fold semantics + a TRUE streaming execution (file
@@ -411,7 +420,7 @@ def build_gate() -> dict:
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
           "g_assortativity", "g_adamic_adar", "g_jaccard_links",
-          "g_random_walks", "g_modularity")
+          "g_random_walks", "g_modularity", "g_walk_pairs")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",

@@ -1054,9 +1054,10 @@ def g_random_walks(spark, sf_dir):
     )
 
 
-def _random_walks_sql(n_steps: int = 4) -> str:
+def _random_walks_sql(n_steps: int = 4, seed_mod: int = 25) -> str:
     """DuckDB twin: each step unrolled as a ROW_NUMBER pick over the
-    same h64 ranking (ties broken by dst, matching min(struct))."""
+    same h64 ranking (ties broken by dst, matching min(struct)).
+    ``seed_mod=1`` seeds every source (the walk-pairs corpus)."""
     h64 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
     steps = []
     prev = "w0"
@@ -1082,7 +1083,7 @@ WITH e AS (
   SELECT DISTINCT user_id AS src, (user_id + event_id) % 1000 AS dst
   FROM events WHERE user_id != (user_id + event_id) % 1000
 ), w0 AS (
-  SELECT DISTINCT src AS walk_id, src AS node FROM e WHERE src % 25 = 0
+  SELECT DISTINCT src AS walk_id, src AS node FROM e WHERE src % {seed_mod} = 0
 ), {", ".join(steps)}
 {unions}
 ORDER BY walk_id, step
@@ -1203,4 +1204,69 @@ def _modularity_sql() -> str:
 )
 SELECT community, n_nodes, m_in, deg_sum, contrib, q_total
 FROM per, qt ORDER BY n_nodes DESC, community LIMIT 10
+"""
+
+
+WALK_CTX = 2      # skip-gram context window (steps each side)
+WALK_PAIR_TOPK = 30
+
+
+def g_walk_pairs(spark, sf_dir):
+    """Skip-gram training pairs from the deterministic walks — the
+    step after g_random_walks in a node2vec/DeepWalk pipeline: every
+    (node, context-node) co-occurrence within WALK_CTX steps inside a
+    walk, canonicalized (least, greatest) and counted corpus-wide;
+    top-30 pairs. This is the table an embedding trainer consumes.
+
+    Scale shape: the self-join is keyed by walk_id (each walk has
+    n_steps+1 rows, so fan-out per key is the constant
+    (n_steps+1)·WALK_CTX), then one hash aggregate on the pair; walks
+    never leave their key, no all-pairs."""
+    from graphdb_spark.operators.analytics import deterministic_walks
+    from graphdb_spark.sources.tpch import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    e = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") + F.col("event_id")) % 1000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = e.select(F.col("src").alias("walk_id")).distinct()
+    walks = deterministic_walks(e, seeds, n_steps=4)
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("b.step") > F.col("a.step"))
+            & (F.col("b.step") <= F.col("a.step") + WALK_CTX),
+        )
+        .select(
+            F.least(F.col("a.node"), F.col("b.node")).alias("u"),
+            F.greatest(F.col("a.node"), F.col("b.node")).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "u", "v")
+        .limit(WALK_PAIR_TOPK)
+    )
+
+
+def _walk_pairs_sql() -> str:
+    walks = _random_walks_sql(seed_mod=1).rsplit(
+        "ORDER BY walk_id, step", 1)[0]
+    return f"""
+WITH walks AS ({walks})
+SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT LEAST(a.node, b.node) AS u, GREATEST(a.node, b.node) AS v
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id AND b.step > a.step
+   AND b.step <= a.step + {WALK_CTX}
+)
+GROUP BY u, v
+ORDER BY n DESC, u, v LIMIT {WALK_PAIR_TOPK}
 """

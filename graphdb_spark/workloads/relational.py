@@ -1523,3 +1523,80 @@ ORDER BY value DESC, p_partkey
 """
 
 QUERIES["q11_important_value"] = (q11_important_value, Q11_SQL)
+
+
+# ------------------------------------------------ value histogram
+
+HIST_BINS = 20
+
+
+def value_histogram(spark, sf_dir):
+    """Equi-width histogram of l_extendedprice (the data-profiling
+    primitive behind optimizer statistics and drift monitors): global
+    min/max in one scalar aggregate, 20 bins, per-bin count and price
+    mass. Bin edges are exact doubles both engines derive from the
+    same values, so assignment is bit-identical; per-bin sums fold as
+    decimal for order independence.
+
+    Scale shape: two passes over the column (scalar agg, then one
+    partial-aggregated groupBy on the bin id) — the same shape a
+    100 TB profiler uses; the 2-row stats table rides along as a
+    broadcast."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    x = F.col("l_extendedprice")
+    width = (F.col("mx") - F.col("mn")) / HIST_BINS
+    bin_ = F.least(
+        F.floor((x - F.col("mn")) / width).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            bin_.alias("bin"),
+            F.col("mn"),
+            F.col("mx"),
+            x.alias("price"),
+        )
+        .groupBy("bin", "mn", "mx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("price"), 6).cast("decimal(18,6)")), 6
+            ).cast("double").alias("price_sum"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("mn") + F.col("bin") * (F.col("mx") - F.col("mn"))
+                    / HIST_BINS, 6).alias("lo"),
+            "n",
+            "price_sum",
+        )
+        .orderBy("bin")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH stats AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+  FROM lineitem
+), binned AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - mn)
+                          / ((mx - mn) / {HIST_BINS})) AS INT),
+               {HIST_BINS - 1}) AS bin,
+         mn, mx, l_extendedprice AS price
+  FROM lineitem, stats
+)
+SELECT bin,
+  ROUND(mn + bin * (mx - mn) / {HIST_BINS}, 6) AS lo,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(ROUND(price, 6) AS DECIMAL(18,6))), 6) AS DOUBLE)
+    AS price_sum
+FROM binned GROUP BY bin, mn, mx ORDER BY bin
+"""
+
+
+QUERIES["value_histogram"] = (value_histogram, VALUE_HISTOGRAM_SQL)

@@ -720,3 +720,78 @@ ORDER BY abs(z) DESC, event_type, hour_ms LIMIT {ANOM_TOPK}
 """
 
 QUERIES["anomaly_hours"] = (anomaly_hours, ANOMALY_HOURS_SQL)
+
+
+# --------------------------------------- inter-arrival distribution
+
+GAP_TOPK = 20
+
+
+def interarrival_gaps(spark, sf_dir):
+    """Per-user inter-arrival-time distribution (capacity planning /
+    bot detection): millisecond gaps between a user's consecutive
+    events, with exact discrete percentiles — p50/p90 picked by
+    explicit rank formula rank == ceil(p·n) over the sorted gaps, NOT
+    an engine quantile function, so both engines select the same
+    integer by construction. Top-20 busiest users.
+
+    Scale shape: one per-user window (lag) over events, one per-user
+    rank window over the (much smaller) gap set, one aggregate —
+    every stage keyed by user_id, exact integers end to end."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.unix_millis(F.col("ts"))
+             - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+            F.col("event_id"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    rw = Window.partitionBy("user_id").orderBy("gap_ms", "event_id")
+    ranked = gaps.select(
+        "user_id", "gap_ms",
+        F.row_number().over(rw).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    agg = (
+        ranked.groupBy("user_id", "n")
+        .agg(
+            F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.5),
+                         F.col("gap_ms"))).alias("p50_gap_ms"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.9),
+                         F.col("gap_ms"))).alias("p90_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            "p50_gap_ms", "p90_gap_ms", "max_gap_ms",
+        )
+    )
+    return agg.orderBy(F.desc("n_gaps"), "user_id").limit(GAP_TOPK)
+
+
+INTERARRIVAL_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id,
+    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+), ranked AS (
+  SELECT user_id, gap_ms,
+    row_number() OVER (PARTITION BY user_id ORDER BY gap_ms, event_id)
+      AS rk,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM gaps WHERE gap_ms IS NOT NULL
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+  MAX(CASE WHEN rk = CEIL(n * 0.5) THEN gap_ms END) AS p50_gap_ms,
+  MAX(CASE WHEN rk = CEIL(n * 0.9) THEN gap_ms END) AS p90_gap_ms,
+  MAX(gap_ms) AS max_gap_ms
+FROM ranked GROUP BY user_id, n
+ORDER BY n_gaps DESC, user_id LIMIT {GAP_TOPK}
+"""
+
+QUERIES["interarrival_gaps"] = (interarrival_gaps, INTERARRIVAL_SQL)

@@ -74,7 +74,8 @@ R5B = (
 # every new decimal/ln/floor exactness trick re-proven at 10x
 R5C = (
     "lm_bigram_score tfidf_cosine_pairs emb_quantize_error "
-    "stratified_splits format_roundtrip"
+    "stratified_splits format_roundtrip g_modularity anomaly_hours "
+    "g_walk_pairs value_histogram interarrival_gaps"
 ).split()
 
 
@@ -106,7 +107,8 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
         if problems:
             failures[name] = problems
     spark.stop()
-    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5 + R5B)
+    total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
+                + R5B + R5C)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0

@@ -342,3 +342,40 @@ def test_modularity_invariants(spark):
     for r in rows:
         assert r["m_in"] >= 0 and r["deg_sum"] >= r["m_in"]
         assert r["contrib"] <= 1.0
+
+
+def test_walk_pairs_within_walks(spark):
+    """Every emitted pair must actually co-occur within 2 steps in
+    some walk (checked by reconstructing the walks), and pairs are
+    canonical (u <= v)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators.analytics import deterministic_walks
+    from graphdb_spark.sources.tpch import load_tables
+    from graphdb_spark.workloads.graph import g_walk_pairs
+
+    sf = "/root/testdata/sf0.001"
+    rows = g_walk_pairs(spark, sf).collect()
+    assert rows
+    ev = load_tables(spark, sf)["events"]
+    e = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") + F.col("event_id")) % 1000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = e.select(F.col("src").alias("walk_id")).distinct()
+    walks = {}
+    for r in deterministic_walks(e, seeds, n_steps=4).collect():
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    ok_pairs = set()
+    for steps in walks.values():
+        for s1, n1 in steps.items():
+            for s2, n2 in steps.items():
+                if 0 < s2 - s1 <= 2:
+                    ok_pairs.add((min(n1, n2), max(n1, n2)))
+    for r in rows:
+        assert r["u"] <= r["v"]
+        assert (r["u"], r["v"]) in ok_pairs

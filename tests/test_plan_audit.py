@@ -448,3 +448,36 @@ def test_anomaly_window_over_hourly_grain(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_walk_pairs_keyed_by_walk(spark, sf_dir):
+    """Skip-gram pair generation must self-join walks only on the
+    walk_id key (constant fan-out per walk) — no cartesian, no
+    Python."""
+    from graphdb_spark.workloads.graph import g_walk_pairs
+
+    plan = plan_of(g_walk_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_value_histogram_single_bin_exchange(spark, sf_dir):
+    """The histogram's only shuffle is the bin aggregate; the 1-row
+    min/max stats ride along as a broadcast."""
+    from graphdb_spark.workloads.relational import value_histogram
+
+    plan = plan_of(value_histogram(spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, ex
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_interarrival_windows_per_user(spark, sf_dir):
+    """Both windows (lag over events, rank over gaps) must stay
+    partitioned by user_id — never a single-partition sort."""
+    from graphdb_spark.workloads.temporal import interarrival_gaps
+
+    plan = plan_of(interarrival_gaps(spark, sf_dir).limit(10**9))
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan

@@ -140,3 +140,18 @@ def test_normalize_properties_stringifies(props):
             assert out[k] == ("true" if v else "false")
         else:
             assert out[k] == str(v)
+
+
+def test_value_histogram_partitions_the_table(spark):
+    """Histogram bins must partition lineitem exactly: counts sum to
+    the row count, bins are within range, and lower edges increase."""
+    from graphdb_spark.sources.tpch import load_tables
+    from graphdb_spark.workloads.relational import HIST_BINS, value_histogram
+
+    sf = "/root/testdata/sf0.001"
+    rows = value_histogram(spark, sf).collect()
+    total = load_tables(spark, sf)["lineitem"].count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(0 <= r["bin"] < HIST_BINS for r in rows)
+    los = [r["lo"] for r in rows]
+    assert los == sorted(los)

@@ -310,3 +310,14 @@ def test_anomaly_hours_invariants(spark):
         assert r["baseline_mean"] > 0
         assert math.isfinite(r["z"])
         assert r["n"] >= 0
+
+
+def test_interarrival_percentile_ordering(spark):
+    """p50 <= p90 <= max for every user; gaps are non-negative."""
+    from graphdb_spark.workloads.temporal import interarrival_gaps
+
+    rows = interarrival_gaps(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_gap_ms"] <= r["p90_gap_ms"] <= r["max_gap_ms"]
+        assert r["n_gaps"] >= 1
