@@ -93,3 +93,18 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
 
 def read_bucketed(spark, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str):
+    """Persist hive-style directory-partitioned parquet
+    (``path/col=value/...``). At 100 TB this is the first line of
+    defense: a filter on a partition column prunes entire directories
+    BEFORE any IO is scheduled (visible as ``PartitionFilters`` on the
+    scan node), which no row-group statistic can match. Partition by
+    low-cardinality, always-filtered columns (date, event_type,
+    source); never by high-cardinality keys (small-file explosion)."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def read_partitioned(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

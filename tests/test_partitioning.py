@@ -123,3 +123,26 @@ def test_skew_salted_hop_plan_and_results(spark):
     plan = hop_df._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must land in the scan's
+    PartitionFilters (directory pruning before IO), and the partition
+    column round-trips its values."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.partitioning import read_partitioned, write_partitioned
+    from graphdb_spark.sources.tpch import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, "event_type")
+
+    back = read_partitioned(spark, path)
+    one_type = ev.select("event_type").first()[0]
+    q = back.filter(F.col("event_type") == one_type)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert f"event_type = {one_type}" in plan or "isnotnull(event_type" in plan
+    want = ev.filter(F.col("event_type") == one_type).count()
+    assert q.count() == want
