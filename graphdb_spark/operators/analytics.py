@@ -517,6 +517,52 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(a, b, support) — per-EDGE triangle count (k-truss support) on
+    the undirected simple graph: support(a,b) = |N(a) ∩ N(b)|. An edge
+    with support ≥ k-2 survives the first peel of the k-truss
+    decomposition — this is the building block cohesion metric used to
+    prune weak ties before community detection.
+
+    Same edge-iterator core as ``local_clustering``/``triangle_count``
+    (canonical a<b edges; ordered wedge join p<x<y closes against the
+    edge set) — but each found triangle (p,x,y) credits all THREE of
+    its canonical sides (p,x),(p,y),(x,y) instead of its corners, so
+    support counts per-edge rather than per-vertex.
+
+    Scale shape: one distinct, one self-equi-join keyed by the shared
+    endpoint, one semi-closing inner join, one groupBy on the edge key
+    — no all-pairs, no neighborhood sets materialized per vertex."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+    # inner (not semi): we need the (x,y) side credited too
+    tris = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    sides = (
+        tris.select(F.col("p").alias("a"), F.col("x").alias("b"))
+        .unionByName(tris.select(F.col("p").alias("a"), F.col("y").alias("b")))
+        .unionByName(tris.select(F.col("x").alias("a"), F.col("y").alias("b")))
+    )
+    sup = sides.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    return (
+        und.join(sup, ["a", "b"], "left")
+        .na.fill({"support": 0})
+        .select("a", "b", "support")
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One-row (m_edges, r): Newman degree assortativity — the Pearson
     correlation of endpoint degrees over every edge, both orientations

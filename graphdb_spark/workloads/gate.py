@@ -44,12 +44,13 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       repetition_stats, unigram_rarity, filter_funnel,
                       domain_cap, url_host_stats, quality_mix_bins,
                       doc_chunking, dsir_importance,
-                      lm_bigram_score, stratified_splits
+                      lm_bigram_score, stratified_splits, corpus_shards
 - temporal_suite:     time_window_agg, asof_last_click, sessionize,
                       range_join_attrib, rollup_gauges, temporal_diff,
                       funnel_conversion, cohort_retention,
                       sliding_window_revenue, decayed_user_value,
-                      anomaly_hours, interarrival_gaps
+                      anomaly_hours, interarrival_gaps, scd2_intervals,
+                      gapfill_locf
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks, media_image_dedup,
                       media_audio_dedup
@@ -67,7 +68,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
                       g_closeness_seeds, g_clustering_coeff,
                       g_assortativity, g_adamic_adar, g_jaccard_links,
-                      g_random_walks, g_modularity, g_walk_pairs
+                      g_random_walks, g_modularity, g_walk_pairs,
+                      g_edge_support
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
                       ann_recall_eval, emb_quantize_error
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
@@ -304,6 +306,21 @@ COLS = {
                           ("p50_gap_ms", "bigint"),
                           ("p90_gap_ms", "bigint"),
                           ("max_gap_ms", "bigint")],
+    # round-5 session-4: k-truss edge support / SCD2 dimension build /
+    # gap-fill+LOCF resample / deterministic corpus sharding
+    "g_edge_support": [("a", "string"), ("b", "string"),
+                       ("support", "bigint")],
+    "scd2_intervals": [("user_id", "bigint"), ("version", "int"),
+                       ("event_type", "string"),
+                       ("valid_from_ms", "bigint"),
+                       ("valid_to_ms", "bigint"),
+                       ("is_current", "bigint")],
+    "gapfill_locf": [("event_type", "string"), ("hour_ms", "bigint"),
+                     ("n", "bigint"), ("locf_value", "double")],
+    "corpus_shards": [("shard", "bigint"), ("n_docs", "bigint"),
+                      ("tok_sum", "bigint"), ("first_doc", "bigint"),
+                      ("last_doc", "bigint"),
+                      ("order_checksum", "bigint")],
 }
 
 
@@ -397,7 +414,8 @@ def build_gate() -> dict:
           "sessionize", "range_join_attrib", "rollup_gauges",
           "temporal_diff", "funnel_conversion", "cohort_retention",
           "sliding_window_revenue", "decayed_user_value",
-          "anomaly_hours", "interarrival_gaps")
+          "anomaly_hours", "interarrival_gaps", "scd2_intervals",
+          "gapfill_locf")
     # -- streaming change-log fold (batch twin of the foreachBatch
     #    path: LWW + endpoint validation + cascade, full DuckDB replay)
     # change-log fold semantics + a TRUE streaming execution (file
@@ -420,7 +438,8 @@ def build_gate() -> dict:
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
           "g_assortativity", "g_adamic_adar", "g_jaccard_links",
-          "g_random_walks", "g_modularity", "g_walk_pairs")
+          "g_random_walks", "g_modularity", "g_walk_pairs",
+          "g_edge_support")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",
@@ -442,7 +461,7 @@ def build_gate() -> dict:
           "gopher_quality", "repetition_stats", "unigram_rarity",
           "filter_funnel", "domain_cap", "url_host_stats",
           "quality_mix_bins", "doc_chunking", "dsir_importance",
-          "lm_bigram_score", "stratified_splits")
+          "lm_bigram_score", "stratified_splits", "corpus_shards")
     # -- embeddings / ANN
     keep(E, "ann_lsh_topk")
     keep(E, "ann_ivf_topk")

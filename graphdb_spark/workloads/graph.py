@@ -881,6 +881,54 @@ FROM mom
 """
 
 
+EDGE_SUPPORT_TOPK = 15
+
+
+def g_edge_support(spark, sf_dir):
+    """Per-edge triangle support (k-truss building block) on the part
+    co-occurrence graph (operators/analytics.edge_support): the top-15
+    most-embedded edges — the ties a truss decomposition keeps last."""
+    from graphdb_spark.operators.analytics import edge_support
+
+    return (
+        edge_support(_cooccur_edges(spark, sf_dir))
+        .orderBy(F.desc("support"), F.asc("a"), F.asc("b"))
+        .limit(EDGE_SUPPORT_TOPK)
+    )
+
+
+# und/canon/wedges/tris replicate G_CLUSTERING_SQL; each triangle
+# (p,x,y) with p<x<y credits its three canonical sides
+G_EDGE_SUPPORT_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT
+    'p_' || CAST(LEAST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sa,
+    'p_' || CAST(GREATEST(a.l_partkey, b.l_partkey) AS VARCHAR) AS sb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), canon AS (
+  SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b FROM und
+), wedges AS (
+  SELECT e1.a AS p, e1.b AS x, e2.b AS y
+  FROM canon e1 JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+), tris AS (
+  SELECT p, x, y FROM wedges
+  JOIN canon c ON c.a = wedges.x AND c.b = wedges.y
+), sides AS (
+  SELECT p AS a, x AS b FROM tris
+  UNION ALL SELECT p AS a, y AS b FROM tris
+  UNION ALL SELECT x AS a, y AS b FROM tris
+), sup AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM sides GROUP BY a, b
+)
+SELECT canon.a, canon.b,
+       CAST(COALESCE(sup.support, 0) AS BIGINT) AS support
+FROM canon LEFT JOIN sup USING (a, b)
+ORDER BY support DESC, a ASC, b ASC LIMIT {EDGE_SUPPORT_TOPK}
+"""
+
+
 QUERIES = {
     "g_bfs_reachability": (g_bfs_reachability, G_BFS_SQL),
     "g_label_prop_communities": (g_label_prop_communities, G_LABEL_PROP_SQL),

@@ -1192,3 +1192,82 @@ FROM tagged GROUP BY lang, split, tot ORDER BY lang, split
 
 
 QUERIES["stratified_splits"] = (stratified_splits, _splits_sql())
+
+
+# ------------------------------- deterministic corpus shard assignment
+
+N_SHARDS = 8
+
+
+def corpus_shards(spark, sf_dir):
+    """Deterministic global corpus shuffle + shard assignment (the
+    write-side of training-data preparation): every doc gets a
+    pseudo-random but replayable position via the portable h64 of its
+    id, shard = h % N_SHARDS, and a within-shard position by hash
+    order. Emits per-shard manifests: doc/token totals, the first/last
+    docs in shard order, and an order-checksum Σ pos·(h mod 997) that
+    any reshuffle or nondeterministic ordering would break.
+
+    Scale shape: one hash projection (codegen), one shuffle on
+    shard_id for the position window, one per-shard aggregate — the
+    exact plan of a production shard-writer (window ≡ the per-output-
+    file ordering); no global sort, no driver collection."""
+    docs = _docs(spark, sf_dir)
+    h = T.h64(F.concat(F.lit("shard_"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        h.alias("h"),
+        F.pmod(h, F.lit(N_SHARDS)).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = base.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n_in_shard", F.count(F.lit(1)).over(Window.partitionBy("shard"))
+    )
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tok_sum"),
+            # first/last in hash order via the position column (a
+            # struct-keyed min_by is not portable to the oracle engine)
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .alias("first_doc"),
+            F.max(F.when(F.col("pos") == F.col("n_in_shard"),
+                         F.col("doc_id"))).alias("last_doc"),
+            F.sum(F.col("pos").cast("bigint") * (F.col("h") % 997))
+            .cast("bigint").alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _corpus_shards_sql():
+    from graphdb_spark.workloads.text import _H64, _TOKS
+
+    h = _H64.format(x="'shard_' || CAST(doc_id AS VARCHAR)")
+    toks = _TOKS.format(x="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({toks}) AS BIGINT) AS n_toks,
+    {h} AS h,
+    CAST({h} % {N_SHARDS} AS BIGINT) AS shard
+  FROM documents
+), pos AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+    COUNT(*) OVER (PARTITION BY shard) AS n_in_shard
+  FROM base
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS tok_sum,
+  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+  MAX(CASE WHEN pos = n_in_shard THEN doc_id END) AS last_doc,
+  CAST(SUM(CAST(pos AS BIGINT) * (h % 997)) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard ORDER BY shard
+"""
+
+
+QUERIES["corpus_shards"] = (corpus_shards, _corpus_shards_sql())

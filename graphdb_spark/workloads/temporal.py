@@ -795,3 +795,169 @@ ORDER BY n_gaps DESC, user_id LIMIT {GAP_TOPK}
 """
 
 QUERIES["interarrival_gaps"] = (interarrival_gaps, INTERARRIVAL_SQL)
+
+# --------------------------------------------- SCD2 dimension build
+
+SCD2_USER_MOD = 5  # deterministic user subset keeps the output bounded
+
+
+def scd2_intervals(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from the event change
+    log (the warehouse-side dual of temporal_replay's LWW compaction):
+    collapse each user's consecutive runs of the same event_type into
+    versioned validity intervals [valid_from, valid_to), valid_to = -1
+    for the open current row. This is how a CDC stream becomes an
+    as-of-joinable dimension table.
+
+    Scale shape: two windows, both partitioned by user_id (the change
+    detection lag and the interval lead) — every stage keyed, nothing
+    global; exact epoch-ms integers end to end. At 100 TB the change
+    log is the big side and this plan is one shuffle on the entity key
+    followed by narrow window passes inside those partitions."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.filter(F.col("user_id") % SCD2_USER_MOD == 0)
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        runs.select(
+            "user_id",
+            F.row_number().over(w2).alias("version"),
+            "event_type",
+            F.col("ts_ms").alias("valid_from_ms"),
+            F.coalesce(
+                F.lead("ts_ms").over(w2), F.lit(-1).cast("bigint")
+            ).alias("valid_to_ms"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to_ms") == -1, F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_SQL = f"""
+WITH runs AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+    lag(event_type) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE user_id % {SCD2_USER_MOD} = 0
+), changes AS (
+  SELECT user_id, event_type, event_id, ts_ms FROM runs
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id,
+  CAST(row_number() OVER
+    (PARTITION BY user_id ORDER BY ts_ms, event_id) AS INT) AS version,
+  event_type,
+  ts_ms AS valid_from_ms,
+  COALESCE(lead(ts_ms) OVER
+    (PARTITION BY user_id ORDER BY ts_ms, event_id),
+    CAST(-1 AS BIGINT)) AS valid_to_ms,
+  CAST(CASE WHEN lead(ts_ms) OVER
+    (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM changes
+ORDER BY user_id, version
+"""
+
+QUERIES["scd2_intervals"] = (scd2_intervals, SCD2_SQL)
+
+
+# -------------------------------------- gap-fill / resample + LOCF
+
+HOUR_MS = 3600000
+
+
+def gapfill_locf(spark, sf_dir):
+    """Time-series resample: hourly event counts per event_type over a
+    dense generated hour spine (missing hours become explicit zero
+    rows), plus last-observation-carried-forward of the hourly value
+    sum — the standard gap-fill before feeding a forecasting model.
+
+    Scale shape: the spine is sequence()-exploded from ONE scalar
+    min/max row crossed with the (tiny) distinct type set — never
+    collected to the driver; the fill join is keyed (type, hour) and
+    AQE broadcasts the spine side when small; the LOCF window is
+    partitioned per event_type, so no global single-partition sort.
+    Decimal sums keep the carried value bit-identical cross-engine."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_millis(F.col("ts")) / HOUR_MS)
+             * HOUR_MS).cast("bigint").alias("hour_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double").alias("value_sum"),
+        )
+    )
+    bounds = ev.agg(
+        (F.floor(F.min(F.unix_millis(F.col("ts"))) / HOUR_MS)
+         * HOUR_MS).cast("bigint").alias("lo"),
+        (F.floor(F.max(F.unix_millis(F.col("ts"))) / HOUR_MS)
+         * HOUR_MS).cast("bigint").alias("hi"),
+    )
+    spine_h = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_MS))
+        ).alias("hour_ms")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(spine_h)
+    w = Window.partitionBy("event_type").orderBy("hour_ms")
+    return (
+        spine.join(hourly, ["event_type", "hour_ms"], "left")
+        .select(
+            "event_type", "hour_ms",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+            F.last("value_sum", ignorenulls=True).over(w)
+            .alias("locf_value"),
+        )
+        .orderBy("event_type", "hour_ms")
+    )
+
+
+GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+    CAST((epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS hour_ms,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+      AS value_sum
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST((epoch_ms(MIN(ts)) // {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS lo,
+         CAST((epoch_ms(MAX(ts)) // {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS hi
+  FROM events
+), spine AS (
+  SELECT t.event_type, CAST(h.h AS BIGINT) AS hour_ms
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(lo, hi, {HOUR_MS})) AS h FROM bounds
+  ) h
+)
+SELECT s.event_type, s.hour_ms,
+  CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
+  last_value(hourly.value_sum IGNORE NULLS) OVER
+    (PARTITION BY s.event_type ORDER BY s.hour_ms
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM spine s LEFT JOIN hourly
+  ON s.event_type = hourly.event_type AND s.hour_ms = hourly.hour_ms
+ORDER BY s.event_type, s.hour_ms
+"""
+
+QUERIES["gapfill_locf"] = (gapfill_locf, GAPFILL_SQL)

@@ -379,3 +379,46 @@ def test_walk_pairs_within_walks(spark):
     for r in rows:
         assert r["u"] <= r["v"]
         assert (r["u"], r["v"]) in ok_pairs
+
+
+def test_edge_support_hand_graph(spark):
+    """Triangle a-b-c plus pendant c-d: the three triangle sides have
+    support 1, the pendant edge 0; two stacked triangles sharing side
+    (a,b) push that side to support 2."""
+    from graphdb_spark.operators.analytics import edge_support
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {(r["a"], r["b"]): r["support"] for r in edge_support(tri).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1, ("c", "d"): 0}
+
+    stacked = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b")],
+        "src string, dst string",
+    )
+    got2 = {
+        (r["a"], r["b"]): r["support"] for r in edge_support(stacked).collect()
+    }
+    assert got2[("a", "b")] == 2
+    assert sum(got2.values()) == 3 * 2  # each triangle credits 3 sides
+
+
+def test_edge_support_consistent_with_triangle_count(spark):
+    """Σ support over edges == 3 × total triangles == Σ per-vertex
+    triangles (corner credit) on the real co-occurrence graph."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators.analytics import edge_support, triangle_count
+    from graphdb_spark.workloads.graph import _cooccur_edges
+
+    edges = _cooccur_edges(spark, "/root/testdata/sf0.001")
+    sup_sum = (
+        edge_support(edges).agg(F.sum("support")).collect()[0][0]
+    )
+    tri_sum = (
+        triangle_count(edges).agg(F.sum("triangles")).collect()[0][0]
+    )
+    assert sup_sum == tri_sum  # both equal 3 × n_triangles
+    assert sup_sum > 0

@@ -615,3 +615,31 @@ class TestEmbQuantizeError:
         }
         for r in out:
             assert r["max_rmse"] <= rng[r["label"]] / 255 / 2 + 1e-9
+
+
+class TestCorpusShards:
+    def test_shards_partition_the_corpus_deterministically(self, spark):
+        """Shard manifests cover every doc exactly once, totals match
+        the corpus, and a re-run reproduces the identical manifests
+        (byte-deterministic ordering checksum)."""
+        from pyspark.sql import functions as F
+
+        from graphdb_spark.workloads.pipeline import N_SHARDS, corpus_shards
+        from graphdb_spark.workloads.text import _docs
+
+        sf = "/root/testdata/sf0.001"
+        rows = corpus_shards(spark, sf).collect()
+        assert [r["shard"] for r in rows] == sorted(
+            r["shard"] for r in rows
+        )
+        assert set(r["shard"] for r in rows) <= set(range(N_SHARDS))
+        n_total = _docs(spark, sf).count()
+        assert sum(r["n_docs"] for r in rows) == n_total
+        for r in rows:
+            assert r["n_docs"] >= 1
+            assert r["first_doc"] is not None and r["last_doc"] is not None
+            if r["n_docs"] == 1:
+                assert r["first_doc"] == r["last_doc"]
+        # determinism: replay is bit-identical including the checksum
+        again = corpus_shards(spark, sf).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -481,3 +481,57 @@ def test_interarrival_windows_per_user(spark, sf_dir):
     plan = plan_of(interarrival_gaps(spark, sf_dir).limit(10**9))
     assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_scd2_single_entity_exchange(spark, sf_dir):
+    """Both SCD2 windows (change-detect lag, interval lead) key on
+    user_id, so the plan has exactly ONE hash exchange on the entity
+    key — change detection and interval build run inside the same
+    partitioning; never a single-partition sort."""
+    from graphdb_spark.workloads.temporal import scd2_intervals
+
+    plan = plan_of(scd2_intervals(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gapfill_spine_never_collected(spark, sf_dir):
+    """The gap-fill spine is generated distributed (the only
+    single-partition exchange is the 1-row min/max scalar), the LOCF
+    window is keyed per event_type, and no cartesian product appears
+    (the spine cross is a broadcast of the 1-row bounds)."""
+    from graphdb_spark.workloads.temporal import gapfill_locf
+
+    plan = plan_of(gapfill_locf(spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 1  # scalar bounds only
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # LOCF window partitioned by event_type, not global
+    win = [l for l in plan.splitlines()
+           if "Window" in l and "locf" in l.lower()]
+    assert any("event_type" in l for l in win), plan[:2000]
+
+
+def test_corpus_shards_single_shard_exchange(spark, sf_dir):
+    """The position window and the manifest groupBy both key on
+    shard, so the whole shard-writer plan is ONE hash exchange —
+    the property that keeps a 100 TB re-shard a single shuffle."""
+    from graphdb_spark.workloads.pipeline import corpus_shards
+
+    plan = plan_of(corpus_shards(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_edge_support_no_cartesian(spark, sf_dir):
+    """k-truss support meets pairs only through the shared-endpoint
+    equi-join (wedges) and the closing-edge equi-join — no cartesian
+    product, no Python in the plan."""
+    from graphdb_spark.workloads.graph import g_edge_support
+
+    plan = plan_of(g_edge_support(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -321,3 +321,57 @@ def test_interarrival_percentile_ordering(spark):
     for r in rows:
         assert 0 <= r["p50_gap_ms"] <= r["p90_gap_ms"] <= r["max_gap_ms"]
         assert r["n_gaps"] >= 1
+
+
+class TestScd2Intervals:
+    def test_intervals_contiguous_and_single_current(self, spark):
+        """Per user: version k's valid_to == version k+1's valid_from
+        (half-open chain with no gaps), exactly one open interval, no
+        two consecutive versions share an event_type."""
+        from graphdb_spark.workloads.temporal import scd2_intervals
+
+        rows = scd2_intervals(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for uid, ivs in by_user.items():
+            ivs.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+            assert sum(r["is_current"] for r in ivs) == 1
+            assert ivs[-1]["valid_to_ms"] == -1 and ivs[-1]["is_current"] == 1
+            for a, b in zip(ivs, ivs[1:]):
+                assert a["valid_to_ms"] == b["valid_from_ms"]
+                assert a["event_type"] != b["event_type"]
+                assert a["valid_from_ms"] < a["valid_to_ms"]
+
+
+class TestGapfillLocf:
+    def test_dense_spine_and_carry_forward(self, spark):
+        """Output is a DENSE (type x hour) grid; zero-filled hours have
+        n=0; locf_value is non-null from each type's first observed
+        hour onward and only changes on observed hours."""
+        from graphdb_spark.workloads.temporal import gapfill_locf
+
+        rows = gapfill_locf(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        n_hours = {t: len(v) for t, v in by_type.items()}
+        assert len(set(n_hours.values())) == 1  # same spine for all
+        for t, hs in by_type.items():
+            hs.sort(key=lambda r: r["hour_ms"])
+            for a, b in zip(hs, hs[1:]):
+                assert b["hour_ms"] - a["hour_ms"] == 3600000  # dense
+            seen = False
+            last = None
+            for r in hs:
+                if r["n"] > 0:
+                    seen = True
+                    last = r["locf_value"]
+                    assert last is not None
+                elif seen:
+                    assert r["locf_value"] == last  # carried forward
+                else:
+                    assert r["locf_value"] is None  # before first obs
