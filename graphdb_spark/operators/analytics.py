@@ -107,26 +107,108 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     return ranks
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """(id, triangles) per vertex over the undirected simple graph.
+def _canonical_und(edges: DataFrame) -> DataFrame:
+    """Undirected simple edge set, canonical (a < b), deduped, lineage
+    cut (it feeds 2-3 downstream passes).
 
-    Canonical edge list (a<b) → wedges (a<b<c sharing a) → close with a
-    semi-join on (b,c); every triangle found exactly once, then each of
-    its 3 corners credited. No cross joins; cost is sum of deg² over
-    wedge pivots (the standard edge-iterator bound)."""
-    und = (
+    The distinct keeps its map-side partial dedupe (pre-shuffle
+    combine of the pair explosion), then an explicit repartition fans
+    the RESULT back out: AQE coalesces the tiny-bytes distinct to one
+    partition, and a 1-partition checkpoint bottlenecks every
+    downstream wedge/degree pass that starts from it (measured: the
+    co-occurrence und materialized as parts=1 at sf0.1). Repartition
+    BEFORE the dedupe would defeat the partial aggregation and shuffle
+    the raw pair explosion instead (measured slower)."""
+    spark = edges.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    return (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(n_part, "a", "b")
         .localCheckpoint(eager=True)
     )
-    e1 = und.select(F.col("a").alias("p"), F.col("b").alias("x"))
-    e2 = und.select(F.col("a").alias("p"), F.col("b").alias("y"))
-    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
-    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tris = wedges.join(closing, ["x", "y"], "left_semi")  # (p, x, y) triangles
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """(id, degree) over the canonical undirected edge set."""
+    return (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """(p, x, y): every triangle of the undirected simple graph exactly
+    once, apex p = the minimum endpoint under the (degree, id) total
+    order ≺.
+
+    This is the degree-ordered edge-iterator (Schank–Wagner / the
+    MapReduce NodeIterator++): orient each edge low≺high, enumerate
+    wedges only from each arc tail, close against the oriented arc
+    set. Out-degree under ≺ is O(√m) for ANY graph, so wedge count is
+    Σ d⁺(u)² ≤ m^1.5 — the naive canonical-string pivot has no such
+    bound and melts on hub vertices (measured 46.7 s → see NOTES at
+    sf0.1 co-occurrence). The three joins are all equi-joins; deg is
+    vertex-granular (broadcastable at any realistic scale)."""
+    wd = (
+        und.join(deg.select(F.col("id").alias("a"),
+                            F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"),
+                         F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    arcs = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    e1 = arcs.select(F.col("u").alias("p"), F.col("v").alias("x"),
+                     F.col("dv").alias("dx"))
+    e2 = arcs.select(F.col("u").alias("p"), F.col("v").alias("y"),
+                     F.col("dv").alias("dy"))
+    # Two measured decisions here (sf0.1 co-occurrence, 1.2M arcs,
+    # ~41M wedges):
+    # 1. pin the explosion-stage parallelism — AQE sizes the wedge
+    #    join by its small INPUT bytes and coalesces the exploding
+    #    stage to a handful of tasks (measured 3 tasks / 47 s); a user
+    #    repartition it leaves alone (same fix as _shared_dst_weights).
+    # 2. informed broadcast for the CLOSING side only — the wedge
+    #    stream (the big intermediate) then never shuffles; e2 stays a
+    #    co-partitioned shuffle because it is arc-sized anyway and a
+    #    second broadcast build costs more than it saves (A/B: both
+    #    bcast 7.2 s, closing-only 6.0 s, neither 7.1 s). Above the
+    #    row cap the closing join falls back to shuffling the wedge
+    #    stream — correct but heavy, exactly when the graph is big
+    #    enough that a broadcast table would not fit either.
+    from graphdb_spark.operators.traversal import _maybe_broadcast
+
+    n_part = max(und.sparkSession.sparkContext.defaultParallelism, 8)
+    m_arcs = arcs.count()  # free: arcs is checkpointed
+    closing = _maybe_broadcast(
+        arcs.select(F.col("u").alias("x"), F.col("v").alias("y")), m_arcs
+    )
+    wedges = e1.repartition(n_part, "p").join(e2, "p").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    return wedges.join(closing, ["x", "y"], "left_semi").select("p", "x", "y")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """(id, triangles) per vertex over the undirected simple graph.
+
+    Degree-ordered edge-iterator (``_oriented_triangles``): every
+    triangle found exactly once, then each of its 3 corners credited.
+    No cross joins; wedge cost bounded by Σ d⁺² ≤ m^1.5."""
+    und = _canonical_und(edges)
+    tris = _oriented_triangles(und, _und_degrees(und))
     corners = (
         tris.select(F.col("p").alias("id"))
         .unionByName(tris.select(F.col("x").alias("id")))
@@ -465,32 +547,17 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     per vertex over the undirected simple graph: coeff = closed wedges
     at v / possible wedges = 2·tri(v) / (deg(v)·(deg(v)−1)).
 
-    Same edge-iterator core as ``triangle_count`` (one canonical edge
-    materialization shared by the degree and wedge passes); vertices
-    with degree < 2 have no wedges and are excluded (coeff undefined).
-    Scale shape: two groupBys + the triangle semi-join — no all-pairs,
-    no per-vertex neighborhood collection (the classic scale killer at
-    100 TB is grouping neighbor SETS per vertex; credit-counting
-    triangles avoids materializing any neighborhood)."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionByName(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    )
-    e1 = und.select(F.col("a").alias("p"), F.col("b").alias("x"))
-    e2 = und.select(F.col("a").alias("p"), F.col("b").alias("y"))
-    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
-    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    Same degree-ordered edge-iterator core as ``triangle_count``
+    (``_oriented_triangles``; one canonical edge materialization shared
+    by the degree and wedge passes); vertices with degree < 2 have no
+    wedges and are excluded (coeff undefined). Scale shape: two
+    groupBys + the triangle semi-join — no all-pairs, no per-vertex
+    neighborhood collection (the classic scale killer at 100 TB is
+    grouping neighbor SETS per vertex; credit-counting triangles
+    avoids materializing any neighborhood)."""
+    und = _canonical_und(edges)
+    deg = _und_degrees(und)
+    tris = _oriented_triangles(und, deg)
     corners = (
         tris.select(F.col("p").alias("id"))
         .unionByName(tris.select(F.col("x").alias("id")))
@@ -524,34 +591,25 @@ def edge_support(edges: DataFrame) -> DataFrame:
     decomposition — this is the building block cohesion metric used to
     prune weak ties before community detection.
 
-    Same edge-iterator core as ``local_clustering``/``triangle_count``
-    (canonical a<b edges; ordered wedge join p<x<y closes against the
-    edge set) — but each found triangle (p,x,y) credits all THREE of
-    its canonical sides (p,x),(p,y),(x,y) instead of its corners, so
+    Same degree-ordered edge-iterator core as ``local_clustering``/
+    ``triangle_count`` (``_oriented_triangles``) — but each found
+    triangle (p,x,y) credits all THREE of its sides (re-canonicalized
+    to string order for the output key) instead of its corners, so
     support counts per-edge rather than per-vertex.
 
-    Scale shape: one distinct, one self-equi-join keyed by the shared
-    endpoint, one semi-closing inner join, one groupBy on the edge key
-    — no all-pairs, no neighborhood sets materialized per vertex."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e1 = und.select(F.col("a").alias("p"), F.col("b").alias("x"))
-    e2 = und.select(F.col("a").alias("p"), F.col("b").alias("y"))
-    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
-    # inner (not semi): we need the (x,y) side credited too
-    tris = wedges.join(
-        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
-    )
+    Scale shape: one distinct, one self-equi-join keyed by the arc
+    tail (fan-out bounded by the ≺-out-degree ≤ O(√m)), one
+    semi-closing join, one groupBy on the edge key — no all-pairs, no
+    neighborhood sets materialized per vertex."""
+    und = _canonical_und(edges)
+    tris = _oriented_triangles(und, _und_degrees(und))
+    # orientation order (degree,id) ≠ canonical string order: map each
+    # side back to (least, greatest) before crediting
     sides = (
-        tris.select(F.col("p").alias("a"), F.col("x").alias("b"))
-        .unionByName(tris.select(F.col("p").alias("a"), F.col("y").alias("b")))
-        .unionByName(tris.select(F.col("x").alias("a"), F.col("y").alias("b")))
+        tris.select(F.col("p").alias("s"), F.col("x").alias("t"))
+        .unionByName(tris.select(F.col("p").alias("s"), F.col("y").alias("t")))
+        .unionByName(tris.select(F.col("x").alias("s"), F.col("y").alias("t")))
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
     )
     sup = sides.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("support")

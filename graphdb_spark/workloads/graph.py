@@ -669,11 +669,17 @@ FROM m WHERE d > 0 GROUP BY seed ORDER BY seed
 
 def _cooccur_edges(spark, sf_dir):
     """Part co-occurrence graph: undirected edge between parts that
-    appear in the same order (canonical string-ordered pair)."""
+    appear in the same order (canonical string-ordered pair).
+
+    The self-join runs co-partitioned on an explicit l_orderkey
+    repartition: AQE sizes the pair-explosion stage by the small
+    lineitem INPUT bytes and would run it at scan-task width (3 tasks
+    at sf0.1), starving every triangle/assortativity consumer."""
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         F.concat(F.lit("p_"), F.col("l_partkey").cast("string")).alias("pid"),
-    )
+    ).repartition(n_part, "l_orderkey")
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(
@@ -689,16 +695,40 @@ def _cooccur_edges(spark, sf_dir):
     return pairs.dropDuplicates(["src", "dst"])
 
 
+def _cooccur_edges_int(spark, sf_dir):
+    """Integer-keyed co-occurrence pairs (src/dst = raw l_partkey
+    longs, duplicates left in — every consumer dedupes anyway and a
+    second dedupe here would just double the shuffle). Long keys hash
+    and compare several times faster than the 'p_N' strings through
+    the wedge/degree machinery (same ids-stay-integers-in-flight trick
+    as adamic_adar); consumers string-prefix at OUTPUT, where the
+    oracle's 'p_' || key ordering applies."""
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_partkey").cast("long").alias("pid")
+    ).repartition(n_part, "l_orderkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.pid") < F.col("b.pid")),
+    ).select(F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"))
+
+
 def g_triangle_top(spark, sf_dir):
     """Triangle counts on the part co-occurrence graph
     (operators/analytics.triangle_count), top 10 corners."""
     from graphdb_spark.operators.analytics import triangle_count
 
     return (
-        triangle_count(_cooccur_edges(spark, sf_dir))
+        triangle_count(_cooccur_edges_int(spark, sf_dir))
+        .select(
+            F.concat(F.lit("p_"), F.col("id").cast("string")).alias("id"),
+            F.col("triangles").cast("long").alias("triangles"),
+        )
         .orderBy(F.desc("triangles"), F.asc("id"))
         .limit(10)
-        .select("id", F.col("triangles").cast("long").alias("triangles"))
     )
 
 
@@ -792,7 +822,11 @@ def g_clustering_coeff(spark, sf_dir):
     from graphdb_spark.operators.analytics import local_clustering
 
     return (
-        local_clustering(_cooccur_edges(spark, sf_dir))
+        local_clustering(_cooccur_edges_int(spark, sf_dir))
+        .select(
+            F.concat(F.lit("p_"), F.col("id").cast("string")).alias("id"),
+            "degree", "triangles", "coeff",
+        )
         .orderBy(F.desc("coeff"), F.asc("id"))
         .limit(10)
     )
@@ -844,7 +878,7 @@ def g_assortativity(spark, sf_dir):
     exact integer moments, one shared-shape double expression."""
     from graphdb_spark.operators.analytics import degree_assortativity
 
-    return degree_assortativity(_cooccur_edges(spark, sf_dir))
+    return degree_assortativity(_cooccur_edges_int(spark, sf_dir))
 
 
 G_ASSORT_SQL = """
@@ -890,8 +924,17 @@ def g_edge_support(spark, sf_dir):
     most-embedded edges — the ties a truss decomposition keeps last."""
     from graphdb_spark.operators.analytics import edge_support
 
+    pa = F.concat(F.lit("p_"), F.col("a").cast("string"))
+    pb = F.concat(F.lit("p_"), F.col("b").cast("string"))
     return (
-        edge_support(_cooccur_edges(spark, sf_dir))
+        edge_support(_cooccur_edges_int(spark, sf_dir))
+        # integer-canonical pairs re-canonicalize under STRING order at
+        # output ('p_10' < 'p_9' lexicographically)
+        .select(
+            F.least(pa, pb).alias("a"),
+            F.greatest(pa, pb).alias("b"),
+            "support",
+        )
         .orderBy(F.desc("support"), F.asc("a"), F.asc("b"))
         .limit(EDGE_SUPPORT_TOPK)
     )
