@@ -57,6 +57,13 @@ HEADLINE = [
     "lm_bigram_score",
     "tfidf_cosine_pairs",
     "emb_quantize_error",
+    # round 5 session 4: SCD2 dimension build / gap-fill+LOCF /
+    # deterministic corpus sharding (g_edge_support is intentionally
+    # NOT a headliner: ~20 s of inherent wedge volume at sf0.1 would
+    # dominate the aggregate; its scale story lives in NOTES)
+    "scd2_intervals",
+    "gapfill_locf",
+    "corpus_shards",
 ]
 
 # Report the best warm run out of 3 (driver invokes this script once

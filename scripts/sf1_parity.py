@@ -77,6 +77,14 @@ R5C = (
     "stratified_splits format_roundtrip g_modularity anomaly_hours "
     "g_walk_pairs value_histogram interarrival_gaps"
 ).split()
+# round-5 session-4: SCD2 epoch-ms interval chains, dense-spine
+# LOCF carry, shard manifests' order checksums at 10x. The triangle
+# family (g_edge_support/clustering/triangle) is EXCLUDED here on
+# purpose: its DuckDB twin is a naive string-keyed wedge join that
+# needs ~25 min at sf1 (16.6 s at sf0.1, superlinear) — parity for
+# those is proven at sf0.01 (gate) and sf0.1 (local run), plus the
+# sum(support) == sum(triangles) cross-operator invariant.
+R5D = "scd2_intervals gapfill_locf corpus_shards".split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -94,7 +102,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     oracles = workloads.all_unpacked_oracles()
     failures = {}
     for name in (TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                 + R5B + R5C):
+                 + R5B + R5C + R5D):
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -108,7 +116,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
             failures[name] = problems
     spark.stop()
     total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                + R5B + R5C)
+                + R5B + R5C + R5D)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
