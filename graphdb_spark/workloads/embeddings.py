@@ -630,3 +630,51 @@ FROM per_vec GROUP BY label ORDER BY label
 
 
 QUERIES["emb_quantize_error"] = (emb_quantize_error, _quantize_sql())
+
+
+def emb_dim_stats(spark, sf_dir):
+    """Per-DIMENSION distribution stats over the embedding column
+    (drift monitoring: a collapsed dimension, a scale blow-up, or a
+    mean shift between two corpus snapshots shows up here first).
+    posexplode → one 64-group aggregate; decimal sums make the means
+    partition-order independent, min/max are exact.
+
+    Scale: the explode is dim× row inflation but never shuffles wide —
+    the aggregate reduces map-side to 64 partial rows per task before
+    the (tiny) exchange."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", F.round(F.col("x").cast("double"), 6).alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("mean_x"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMB_DIM_STATS_SQL = f"""
+WITH flat AS (
+  SELECT UNNEST(list_transform(range(1, {DIM} + 1),
+                i -> {{'dim': CAST(i - 1 AS INT),
+                       'x': ROUND(CAST(embedding[i] AS DOUBLE), 6)}}),
+         recursive := true)
+  FROM embeddings
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_x,
+  MIN(x) AS min_x,
+  MAX(x) AS max_x
+FROM flat GROUP BY dim ORDER BY dim
+"""
+
+
+QUERIES["emb_dim_stats"] = (emb_dim_stats, EMB_DIM_STATS_SQL)

@@ -71,9 +71,9 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_random_walks, g_modularity, g_walk_pairs,
                       g_edge_support
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
-                      ann_recall_eval, emb_quantize_error
+                      ann_recall_eval, emb_quantize_error, emb_dim_stats
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
-                      stream_dedup_counts
+                      stream_dedup_counts, stream_interval_join
 """
 
 from __future__ import annotations
@@ -321,6 +321,13 @@ COLS = {
                       ("tok_sum", "bigint"), ("first_doc", "bigint"),
                       ("last_doc", "bigint"),
                       ("order_checksum", "bigint")],
+    "stream_interval_join": [("purchase_id", "bigint"),
+                             ("click_id", "bigint"),
+                             ("user_id", "bigint"),
+                             ("gap_ms", "bigint")],
+    "emb_dim_stats": [("dim", "int"), ("n", "bigint"),
+                      ("mean_x", "double"), ("min_x", "double"),
+                      ("max_x", "double")],
 }
 
 
@@ -421,7 +428,8 @@ def build_gate() -> dict:
     # change-log fold semantics + a TRUE streaming execution (file
     # source -> watermark window agg -> availableNow memory sink)
     suite("stream_suite", stream_views, "stream_fold_degrees",
-          "stream_windowed_counts", "stream_dedup_counts")
+          "stream_windowed_counts", "stream_dedup_counts",
+          "stream_interval_join")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",
@@ -467,7 +475,8 @@ def build_gate() -> dict:
     keep(E, "ann_ivf_topk")
     keep(E, "emb_cosine_neardup")
     suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist",
-          "semantic_dedup", "ann_recall_eval", "emb_quantize_error")
+          "semantic_dedup", "ann_recall_eval", "emb_quantize_error",
+          "emb_dim_stats")
 
     assert len(gate) <= 50, f"driver gate cap exceeded: {len(gate)}"
     return gate

@@ -535,3 +535,15 @@ def test_edge_support_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_emb_dim_stats_single_exchange_no_python(spark, sf_dir):
+    """The per-dimension explode aggregates map-side to 64 partials
+    before ONE hash exchange; posexplode is a JVM generator, never
+    Python."""
+    from graphdb_spark.workloads.embeddings import emb_dim_stats
+
+    plan = plan_of(emb_dim_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the JVM-side posexplode

@@ -324,3 +324,37 @@ def test_stream_dedup_drops_exactly_injected_dupes(spark):
         load_tables(spark, sf)["events"].select("event_id").distinct().count()
     )
     assert total == distinct
+
+
+def test_stream_interval_join_matches_batch_join(spark):
+    """The stream-stream interval join must emit EXACTLY the batch
+    join set (no pair dropped by watermark bookkeeping during the
+    availableNow replay), every gap within [0, 1h], and each pair
+    really a (purchase, click) of the same user."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.sources.tpch import load_tables
+    from graphdb_spark.workloads.stream_views import (
+        JOIN_LOOKBACK_MS,
+        stream_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_interval_join(spark, sf).collect()
+    assert got
+    for r in got:
+        assert 0 <= r["gap_ms"] <= JOIN_LOOKBACK_MS
+
+    ev = load_tables(spark, sf)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    batch = p.join(c, (F.col("pu") == F.col("cu"))
+                   & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+                   & (F.col("cts") <= F.col("pts"))).select(
+        "purchase_id", "click_id").collect()
+    assert (sorted((r["purchase_id"], r["click_id"]) for r in got)
+            == sorted((r["purchase_id"], r["click_id"]) for r in batch))
