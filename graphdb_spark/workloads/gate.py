@@ -19,13 +19,14 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - tpch_scalar_suite:  q6, q14, q17, q19
 - tpch_group_suite:   q4, q12, q13, q22
 - tpch_join_suite:    q5, q7, q10, q15, q18
-- tpch_window_suite:  window_top_order_per_segment, window_running_total
+- tpch_window_suite:  window_top_order_per_segment, window_running_total,
+                      window_analytics
 - tpch_deep_suite:    q8_market_share, q9_profit, q21_waiting_orders,
                       q2_min_supplier, q16_supplier_counts,
                       q20_excess_share, q11_important_value
 - agg_suite:          distinct_agg, cube_counts, rollup_orders,
                       quantile_sketch, approx_distinct_sketch,
-                      value_histogram
+                      value_histogram, grouping_sets_report, dq_checks
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
 - set_join_suite:     set_ops, anti_semi_join, top_customers,
                       item_cooccur_topk
@@ -328,6 +329,15 @@ COLS = {
     "emb_dim_stats": [("dim", "int"), ("n", "bigint"),
                       ("mean_x", "double"), ("min_x", "double"),
                       ("max_x", "double")],
+    "window_analytics": [("c_mktsegment", "string"), ("rn", "int"),
+                         ("o_orderkey", "bigint"),
+                         ("pct_rank", "double"), ("cume", "double"),
+                         ("second_key", "bigint")],
+    "grouping_sets_report": [("l_returnflag", "string"),
+                             ("l_linestatus", "string"),
+                             ("gid", "int"), ("n", "bigint"),
+                             ("qty", "double")],
+    "dq_checks": [("chk", "string"), ("violations", "bigint")],
 }
 
 
@@ -376,7 +386,7 @@ def build_gate() -> dict:
     suite("tpch_join_suite", R, "q5_region_revenue", "q7_nation_volume",
           "q10_returned_items", "q15_top_supplier", "q18_large_volume")
     suite("tpch_window_suite", R, "window_top_order_per_segment",
-          "window_running_total")
+          "window_running_total", "window_analytics")
     # -- deep TPC-H set: the remaining structural patterns (q8 ratio
     #    join, q9 profit, q21 EXISTS/NOT-EXISTS, q2/q16/q20-shaped
     #    partsupp patterns re-rooted on lineitem — no partsupp table)
@@ -387,7 +397,7 @@ def build_gate() -> dict:
     # cypher_dml_suite under the 50-entry cap
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
           "quantile_sketch", "approx_distinct_sketch",
-          "value_histogram")
+          "value_histogram", "grouping_sets_report", "dq_checks")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
     suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers",
           "item_cooccur_topk")

@@ -1600,3 +1600,178 @@ FROM binned GROUP BY bin, mn, mx ORDER BY bin
 
 
 QUERIES["value_histogram"] = (value_histogram, VALUE_HISTOGRAM_SQL)
+
+
+# ----------------------------------------- distribution windows
+
+def window_analytics(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist /
+    nth_value) — the remaining analytic-window family beyond ranking
+    and frames: each segment's top-5 orders annotated with their
+    within-segment price percentile, cumulative share, and the
+    segment's 2nd-highest order key.
+
+    Scale: one keyed window (partitioned by segment) — the percentile
+    functions need the partition's full sort but never a global one;
+    doubles are rank ratios of exact integers, bit-identical
+    cross-engine."""
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.select(
+            "c_mktsegment", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("o_orderkey", 2).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+            ).alias("second_key"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment", F.col("rn").cast("int").alias("rn"),
+            "o_orderkey", "pct_rank", "cume", "second_key",
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey, pct_rank, cume,
+       second_key
+FROM (
+  SELECT c_mktsegment, o_orderkey,
+    ROW_NUMBER() OVER w AS rn,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST() OVER w, 6) AS cume,
+    NTH_VALUE(o_orderkey, 2) OVER
+      (PARTITION BY c_mktsegment
+       ORDER BY o_totalprice DESC, o_orderkey ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rn <= 5 ORDER BY c_mktsegment, rn
+"""
+
+QUERIES["window_analytics"] = (window_analytics, WINDOW_ANALYTICS_SQL)
+
+
+# ----------------------------------------- explicit grouping sets
+
+def grouping_sets_report(spark, sf_dir):
+    """GROUP BY GROUPING SETS with grouping_id — the explicit-sets
+    variant beyond cube/rollup (a cube is all 2^n sets; real report
+    tables pick exactly the levels they publish). Decimal quantity
+    sums; gid disambiguates (flag, NULL-as-value) from the flag-level
+    subtotal row."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("gs_li_tmp")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS qty
+        FROM gs_li_tmp
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+QUERIES["grouping_sets_report"] = (grouping_sets_report, GROUPING_SETS_SQL)
+
+
+# ----------------------------------------- data-quality audit
+
+def dq_checks(spark, sf_dir):
+    """Deequ-style data-quality report: one row per constraint with
+    its violation count — null keys, duplicate primary keys, orphan
+    foreign keys (anti-join), out-of-range values, and cross-column
+    date-order violations. The curation counterpart of filter_funnel
+    for RELATIONAL inputs: run it on every ingest batch, alert on any
+    nonzero delta.
+
+    Scale: each check is one scan-level aggregate (conditional sums)
+    or one anti-join; nothing quadratic, nothing collected."""
+    t = load_tables(spark, sf_dir)
+    o, li, c = t["orders"], t["lineitem"], t["customer"]
+
+    def one(chk, df):
+        return df.select(F.lit(chk).alias("chk"),
+                         F.col("v").cast("bigint").alias("violations"))
+
+    rows = [
+        one("orders_null_custkey",
+            o.agg(F.sum(F.when(F.col("o_custkey").isNull(), 1)
+                        .otherwise(0)).alias("v"))),
+        one("orders_dup_orderkey",
+            o.agg((F.count(F.lit(1))
+                   - F.countDistinct("o_orderkey")).alias("v"))),
+        one("lineitem_orphan_orderkey",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("v"))),
+        one("orders_orphan_custkey",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("v"))),
+        one("lineitem_qty_range",
+            li.agg(F.sum(F.when((F.col("l_quantity") <= 0)
+                                | (F.col("l_quantity") > 50), 1)
+                         .otherwise(0)).alias("v"))),
+        one("lineitem_ship_before_order",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .agg(F.sum(F.when(F.col("l_shipdate")
+                              < F.col("o_orderdate"), 1)
+                       .otherwise(0)).alias("v"))),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("chk")
+
+
+DQ_CHECKS_SQL = """
+SELECT chk, CAST(v AS BIGINT) AS violations FROM (
+  SELECT 'orders_null_custkey' AS chk,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v
+  FROM orders
+  UNION ALL
+  SELECT 'orders_dup_orderkey',
+         COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+  UNION ALL
+  SELECT 'orders_orphan_custkey', COUNT(*) FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_ship_before_order',
+         SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) ORDER BY chk
+"""
+
+QUERIES["dq_checks"] = (dq_checks, DQ_CHECKS_SQL)

@@ -155,3 +155,42 @@ def test_value_histogram_partitions_the_table(spark):
     assert all(0 <= r["bin"] < HIST_BINS for r in rows)
     los = [r["lo"] for r in rows]
     assert los == sorted(los)
+
+
+def test_dq_checks_detect_injected_violations(spark):
+    """dq_checks on clean-by-construction constraints is zero; the
+    ship-before-order probe is NONZERO on the driver's synthetic data
+    (its generator draws ship dates independent of order dates) — the
+    report distinguishes real violations from clean constraints rather
+    than printing zeros for everything."""
+    from graphdb_spark.workloads.relational import dq_checks
+
+    rows = {r["chk"]: r["violations"]
+            for r in dq_checks(spark, "/root/testdata/sf0.001").collect()}
+    assert rows["orders_null_custkey"] == 0
+    assert rows["orders_dup_orderkey"] == 0
+    assert rows["lineitem_orphan_orderkey"] == 0
+    assert rows["orders_orphan_custkey"] == 0
+    assert rows["lineitem_ship_before_order"] > 0
+    assert len(rows) == 6
+
+
+def test_window_analytics_distribution_bounds(spark):
+    """percent_rank in [0,1] starting at 0; cume_dist in (0,1];
+    second_key is NULL for rn=1 and constant per segment for rn>=2."""
+    from graphdb_spark.workloads.relational import window_analytics
+
+    rows = window_analytics(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert rs[0]["pct_rank"] == 0.0
+        assert rs[0]["second_key"] is None
+        second = {r["second_key"] for r in rs if r["rn"] >= 2}
+        assert len(second) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["pct_rank"] < b["pct_rank"]
+            assert a["cume"] <= b["cume"] <= 1.0
