@@ -106,6 +106,96 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key): explode the 16-slot signature into its 4
+    banded bucket keys — the band id is baked into the key so buckets
+    can't collide across bands. One shuffle-ready (key, doc) table is
+    the shape that survives 100 TB: bucket equi-join only, never a
+    cross join; and the table is exactly what a persisted LSH index
+    stores."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"mh{bi * ROWS_PER_BAND + r}")
+                  for r in range(ROWS_PER_BAND)],
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
+def incremental_lsh_matches(corpus_sig: DataFrame,
+                            new_sig: DataFrame) -> DataFrame:
+    """Incremental dedup against an existing corpus sketch store: for
+    every NEW-batch doc, the corpus docs it LSH-collides with, scored
+    by signature agreement. (new_id, n_matches, best_match, best_est)
+    — n_matches = 0 rows mean clean-to-ingest.
+
+    This is the PRODUCTION dedup topology at 100 TB: the corpus's
+    minhash signatures/buckets are computed once and persisted
+    (sketch-store, see minhash_lsh_candidates); each arriving batch
+    computes only ITS signatures and probes the store — the corpus
+    text is never re-read, the corpus side never re-hashed. The batch
+    side of the bucket join broadcasts while provably small (informed
+    by an exact count of the already-materialized signatures), so a
+    daily increment probes the bucket table map-side with zero corpus
+    shuffle; above the cap it degrades to the keyed equi-join."""
+    from graphdb_spark.operators.traversal import _maybe_broadcast
+
+    mh_cols = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
+    n_new = new_sig.count()
+    nb = band_buckets(new_sig).withColumnRenamed("doc_id", "new_id")
+    cb = band_buckets(corpus_sig).withColumnRenamed("doc_id", "corpus_id")
+    cand = (
+        _maybe_broadcast(nb, n_new * N_BANDS)
+        .join(cb, "band_key")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = new_sig.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    sb = corpus_sig.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in mh_cols
+    )
+    scored = (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select(
+            "new_id", "corpus_id",
+            F.round(agree / F.lit(float(len(mh_cols))), 6).alias("est"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("est"), F.asc("corpus_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("best_match"),
+                F.col("est").alias("best_est"))
+    )
+    counts = scored.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+    return (
+        new_sig.select(F.col("doc_id").alias("new_id"))
+        .join(counts, "new_id", "left")
+        .join(best, "new_id", "left")
+        .na.fill({"n_matches": 0})
+        .select("new_id", "n_matches", "best_match", "best_est")
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            min_est: float = 0.0,
@@ -126,23 +216,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
             eager=False
         )
     mh_cols = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
-    # explode bands into (band_key, doc) rows and self-join ONCE on the
-    # key — one shuffle instead of N_BANDS joins + union + dedup; the
-    # band id is baked into the key so buckets can't collide across
-    # bands. This is the shape that survives 100 TB: bucket join only.
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(bi),
-                *[F.col(f"mh{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-            )
-            for bi in range(N_BANDS)
-        ]
-    )
-    buckets = sig.select(
-        "doc_id", F.explode(band_keys).alias("band_key")
-    )
+    buckets = band_buckets(sig)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

@@ -39,7 +39,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       doc_fingerprint, top_ngrams, text_bm25_topk
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
                       dedup_simhash_pairs, dedup_lev_verified,
-                      dedup_substring_spans, tfidf_cosine_pairs
+                      dedup_substring_spans, tfidf_cosine_pairs,
+                      dedup_incremental
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
                       repetition_stats, unigram_rarity, filter_funnel,
@@ -338,6 +339,9 @@ COLS = {
                              ("gid", "int"), ("n", "bigint"),
                              ("qty", "double")],
     "dq_checks": [("chk", "string"), ("violations", "bigint")],
+    "dedup_incremental": [("new_id", "bigint"), ("n_matches", "bigint"),
+                          ("best_match", "bigint"),
+                          ("best_est", "double")],
 }
 
 
@@ -469,7 +473,8 @@ def build_gate() -> dict:
     keep(X, "dedup_exact")
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
           "dedup_simhash_pairs", "dedup_lev_verified",
-          "dedup_substring_spans", "tfidf_cosine_pairs")
+          "dedup_substring_spans", "tfidf_cosine_pairs",
+          "dedup_incremental")
     keep(X, "dedup_cluster_canonical")
     keep(X, "sample_mix")
     # -- training-data pipeline (boilerplate / PII / packing /

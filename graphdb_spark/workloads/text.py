@@ -757,3 +757,108 @@ ORDER BY cos_sim DESC, doc_a, doc_b LIMIT {TFIDF_TOPK}
 
 
 QUERIES["tfidf_cosine_pairs"] = (tfidf_cosine_pairs, _tfidf_sql())
+
+
+# --------------------------------------- incremental dedup vs store
+
+NEW_MOD, NEW_REM = 10, 7  # doc_id % 10 == 7 -> the arriving batch
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup of an arriving batch against the existing
+    corpus's persisted sketch store (operators/dedup.
+    incremental_lsh_matches): every 10th doc plays the daily
+    increment; the other 90% are the corpus whose signatures a real
+    pipeline computed once. Per new doc: collision count against the
+    store, best-matching corpus doc, estimated similarity — 0-match
+    rows are clean-to-ingest."""
+    from graphdb_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus_sig = minhash_signatures(
+        docs.filter(F.col("doc_id") % NEW_MOD != NEW_REM)
+    ).localCheckpoint(eager=False)
+    new_sig = minhash_signatures(
+        docs.filter(F.col("doc_id") % NEW_MOD == NEW_REM)
+    ).localCheckpoint(eager=False)
+    return incremental_lsh_matches(corpus_sig, new_sig).orderBy("new_id")
+
+
+def _incremental_sql() -> str:
+    h = _H64.format(x="shingle")
+    mins = ",\n    ".join(
+        f"CAST(MIN(({a} * {h} + {b}) % {T.MERSENNE}) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PERMS)
+    )
+    n = len(dedup.MINHASH_PERMS)
+    band_keys = ",\n    ".join(
+        "concat_ws('_', {})".format(
+            ", ".join(
+                [str(bi)]
+                + [f"mh{bi * dedup.ROWS_PER_BAND + r}"
+                   for r in range(dedup.ROWS_PER_BAND)]
+            )
+        )
+        + f" AS band{bi}"
+        for bi in range(dedup.N_BANDS)
+    )
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT n.doc_id AS new_id, c.doc_id AS corpus_id "
+        f"FROM bands_n n JOIN bands_c c ON n.band{bi} = c.band{bi}"
+        for bi in range(dedup.N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(n)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS shingle
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+), sig_n AS (
+  SELECT * FROM sig WHERE doc_id % {NEW_MOD} = {NEW_REM}
+), sig_c AS (
+  SELECT * FROM sig WHERE doc_id % {NEW_MOD} <> {NEW_REM}
+), bands_n AS (
+  SELECT *,
+    {band_keys}
+  FROM sig_n
+), bands_c AS (
+  SELECT *,
+    {band_keys}
+  FROM sig_c
+), cand AS (
+  SELECT DISTINCT new_id, corpus_id FROM ({band_joins})
+), scored AS (
+  SELECT new_id, corpus_id,
+    ROUND(CAST(({matches}) AS DOUBLE) / {n}.0, 6) AS est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = new_id
+  JOIN sig sb ON sb.doc_id = corpus_id
+), best AS (
+  SELECT new_id, corpus_id AS best_match, est AS best_est,
+    row_number() OVER (PARTITION BY new_id
+                       ORDER BY est DESC, corpus_id ASC) AS rn
+  FROM scored
+), counts AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM scored GROUP BY new_id
+)
+SELECT s.doc_id AS new_id,
+  CAST(COALESCE(counts.n_matches, 0) AS BIGINT) AS n_matches,
+  best.best_match, best.best_est
+FROM sig_n s
+LEFT JOIN counts ON counts.new_id = s.doc_id
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON best.new_id = s.doc_id
+ORDER BY new_id
+"""
+
+
+QUERIES["dedup_incremental"] = (dedup_incremental, _incremental_sql())

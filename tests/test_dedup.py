@@ -337,3 +337,37 @@ def test_no_aqe_scope_is_reentrant(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, orig)
+
+
+def test_incremental_lsh_matches_self_and_clean(spark):
+    """A new doc byte-identical to a corpus doc must match it with
+    est 1.0; a new doc sharing nothing must come back n_matches=0
+    with NULL best columns; the store is never consulted for docs
+    outside the batch."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from graphdb_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "entirely different corpus text about spark partitions"),
+         (3, "a third unrelated corpus document mentioning parquet")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight"),
+         (101, "zzz qqq www completely novel tokens xyzzy plugh")],
+        "doc_id bigint, text string",
+    )
+    out = {r["new_id"]: r for r in incremental_lsh_matches(
+        minhash_signatures(corpus), minhash_signatures(batch)
+    ).collect()}
+    assert set(out) == {100, 101}
+    assert out[100]["n_matches"] >= 1
+    assert out[100]["best_match"] == 1
+    assert out[100]["best_est"] == 1.0
+    assert out[101]["n_matches"] == 0
+    assert out[101]["best_match"] is None and out[101]["best_est"] is None
