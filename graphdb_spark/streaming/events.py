@@ -120,11 +120,17 @@ def clicks_to_purchases(events: DataFrame, horizon: str = "1 hour",
 
 
 def last_state_per_user(events: DataFrame) -> DataFrame:
-    """Custom stateful operator: per-user latest (ts, event_type,
-    value). Streaming: applyInPandasWithState keeps one row of state
-    per user; batch: equivalent window compaction."""
+    """Custom stateful operator: per-user latest (ts, event_id,
+    event_type, value). Streaming: applyInPandasWithState keeps one
+    row of state per user; batch: equivalent window compaction.
+
+    Ties on ts break by event_id in BOTH paths (the driver's sf1
+    synthetic events contain 100k same-(user, ts) pairs — without the
+    tiebreak the streaming answer would depend on pandas chunk
+    order)."""
     out_schema = (
-        "user_id bigint, last_ts timestamp, last_type string, last_value double"
+        "user_id bigint, last_ts timestamp, last_eid bigint, "
+        "last_type string, last_value double"
     )
     if not events.isStreaming:
         from pyspark.sql.window import Window
@@ -136,6 +142,7 @@ def last_state_per_user(events: DataFrame) -> DataFrame:
             .select(
                 "user_id",
                 F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_eid"),
                 F.col("event_type").alias("last_type"),
                 F.col("value").alias("last_value"),
             )
@@ -143,20 +150,25 @@ def last_state_per_user(events: DataFrame) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    state_schema = "last_ts timestamp, last_type string, last_value double"
+    state_schema = (
+        "last_ts timestamp, last_eid bigint, last_type string, "
+        "last_value double"
+    )
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        latest = None
+        latest = None  # (ts, event_id, type, value)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values(["ts", "event_id"])
             tail = pdf.iloc[-1]
-            if latest is None or tail["ts"] > latest[0]:
-                latest = (tail["ts"], tail["event_type"], float(tail["value"]))
+            cand = (tail["ts"], int(tail["event_id"]),
+                    tail["event_type"], float(tail["value"]))
+            if latest is None or cand[:2] > latest[:2]:
+                latest = cand
         if state.exists:
-            prev = state.get
-            if latest is None or prev[0] >= latest[0]:
+            prev = tuple(state.get)
+            if latest is None or prev[:2] >= latest[:2]:
                 latest = prev
         if latest is not None:
             state.update(latest)
@@ -164,8 +176,9 @@ def last_state_per_user(events: DataFrame) -> DataFrame:
                 {
                     "user_id": [key[0]],
                     "last_ts": [latest[0]],
-                    "last_type": [latest[1]],
-                    "last_value": [latest[2]],
+                    "last_eid": [latest[1]],
+                    "last_type": [latest[2]],
+                    "last_value": [latest[3]],
                 }
             )
 

@@ -75,7 +75,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
                       ann_recall_eval, emb_quantize_error, emb_dim_stats
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
-                      stream_dedup_counts, stream_interval_join
+                      stream_dedup_counts, stream_interval_join,
+                      stream_user_state
 """
 
 from __future__ import annotations
@@ -342,6 +343,9 @@ COLS = {
     "dedup_incremental": [("new_id", "bigint"), ("n_matches", "bigint"),
                           ("best_match", "bigint"),
                           ("best_est", "double")],
+    "stream_user_state": [("user_id", "bigint"), ("last_ts_ms", "bigint"),
+                          ("last_eid", "bigint"), ("last_type", "string"),
+                          ("last_value", "double")],
 }
 
 
@@ -443,7 +447,7 @@ def build_gate() -> dict:
     # source -> watermark window agg -> availableNow memory sink)
     suite("stream_suite", stream_views, "stream_fold_degrees",
           "stream_windowed_counts", "stream_dedup_counts",
-          "stream_interval_join")
+          "stream_interval_join", "stream_user_state")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",
