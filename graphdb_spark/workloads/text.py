@@ -656,7 +656,10 @@ def tfidf_cosine_pairs(spark, sf_dir):
     are partition-order independent; ln() is bit-identical
     cross-engine on the same doubles (bm25/dsir trick)."""
     d = _docs(spark, sf_dir, spread=True)
-    n_docs = d.count()  # scalar: both engines count the same table
+    # N stays IN the plan (1-row broadcast crossJoin) — a driver-side
+    # d.count() here cost a whole extra job before the query's own
+    # action (same trick as pagerank's in-plan renormalization)
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
     tf = (
         d.select(
             "doc_id", F.explode(T.shingles_all(F.col("text"))).alias("s")
@@ -668,9 +671,10 @@ def tfidf_cosine_pairs(spark, sf_dir):
         tf.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX))
+        .crossJoin(F.broadcast(n_row))
         .select(
             "s",
-            F.log((F.lit(n_docs) + 1).cast("double")
+            F.log((F.col("__n") + 1).cast("double")
                   / (F.col("df") + 1).cast("double")).alias("idf"),
         )
     )
