@@ -76,7 +76,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       ann_recall_eval, emb_quantize_error, emb_dim_stats
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
                       stream_dedup_counts, stream_interval_join,
-                      stream_user_state
+                      stream_user_state, stream_session_windows
 """
 
 from __future__ import annotations
@@ -346,6 +346,11 @@ COLS = {
     "stream_user_state": [("user_id", "bigint"), ("last_ts_ms", "bigint"),
                           ("last_eid", "bigint"), ("last_type", "string"),
                           ("last_value", "double")],
+    "stream_session_windows": [("user_id", "bigint"),
+                               ("session_start_ms", "bigint"),
+                               ("session_end_ms", "bigint"),
+                               ("n", "bigint"),
+                               ("value_sum", "double")],
 }
 
 
@@ -447,7 +452,8 @@ def build_gate() -> dict:
     # source -> watermark window agg -> availableNow memory sink)
     suite("stream_suite", stream_views, "stream_fold_degrees",
           "stream_windowed_counts", "stream_dedup_counts",
-          "stream_interval_join", "stream_user_state")
+          "stream_interval_join", "stream_user_state",
+          "stream_session_windows")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",

@@ -358,3 +358,30 @@ def test_stream_interval_join_matches_batch_join(spark):
         "purchase_id", "click_id").collect()
     assert (sorted((r["purchase_id"], r["click_id"]) for r in got)
             == sorted((r["purchase_id"], r["click_id"]) for r in batch))
+
+
+def test_stream_session_windows_invariants(spark):
+    """Native session_window through the streaming engine: per user,
+    sessions are disjoint and time-ordered, every session spans at
+    least the gap (end = last event + 30 min), consecutive sessions
+    are separated by >= the gap, and total events across sessions
+    equals the event count."""
+    from graphdb_spark.sources.tpch import load_tables
+    from graphdb_spark.workloads.stream_views import stream_session_windows
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_session_windows(spark, sf).collect()
+    assert rows
+    gap = 1800000
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, ss in by_user.items():
+        ss.sort(key=lambda r: r["session_start_ms"])
+        for r in ss:
+            assert r["session_end_ms"] - r["session_start_ms"] >= gap
+            assert r["n"] >= 1
+        for a, b in zip(ss, ss[1:]):
+            assert b["session_start_ms"] >= a["session_end_ms"]
+    total = sum(r["n"] for r in rows)
+    assert total == load_tables(spark, sf)["events"].count()
