@@ -687,7 +687,12 @@ def tfidf_cosine_pairs(spark, sf_dir):
                   .cast("decimal(18,6)")).cast("double")
         ).alias("nrm")
     )
-    a, b = post.alias("a"), post.alias("b")
+    # shuffle-hash, not sort-merge: sorting both 2.6M-row posting
+    # sides costs more than hashing one (A/B at sf1: pair stage
+    # 21.5 s -> 11.4 s). Safe at scale: the build side is one
+    # partition's worth of DF_MAX-capped posting lists, evenly
+    # hash-spread across the pinned width.
+    a, b = post.alias("a"), post.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
