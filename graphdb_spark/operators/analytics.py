@@ -621,6 +621,38 @@ def edge_support(edges: DataFrame) -> DataFrame:
     )
 
 
+def ktruss(edges: DataFrame, k: int, max_iter: int = 25) -> DataFrame:
+    """(a, b, support): the k-truss of the undirected simple graph —
+    the maximal subgraph where EVERY edge closes ≥ k-2 triangles
+    within the subgraph. Iterative peel: recompute ``edge_support`` on
+    the surviving edge set, drop edges below k-2, repeat to fixpoint
+    (support is monotone non-increasing under edge removal, so the
+    peel converges; the classic cohesion decomposition one level
+    stronger than k-core, which it upper-bounds).
+
+    Scale shape per iteration = edge_support's (degree-ordered wedge
+    join, closing broadcast under the row cap); the surviving set
+    shrinks monotonically, so iterations get CHEAPER — the opposite of
+    frontier expansion. localCheckpoint cuts lineage per peel; the
+    convergence probe is one count on the already-materialized set
+    (nxt ⊆ cur, so equal counts ⇔ equal sets)."""
+    cur = _canonical_und(edges)
+    sup = None
+    for _ in range(max_iter):
+        sup = edge_support(
+            cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        nxt = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            break
+        cur = nxt
+    return sup.filter(F.col("support") >= k - 2)
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One-row (m_edges, r): Newman degree assortativity — the Pearson
     correlation of endpoint degrees over every edge, both orientations

@@ -71,7 +71,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_closeness_seeds, g_clustering_coeff,
                       g_assortativity, g_adamic_adar, g_jaccard_links,
                       g_random_walks, g_modularity, g_walk_pairs,
-                      g_edge_support
+                      g_edge_support, g_ktruss
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
                       ann_recall_eval, emb_quantize_error, emb_dim_stats
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
@@ -351,6 +351,8 @@ COLS = {
                                ("session_end_ms", "bigint"),
                                ("n", "bigint"),
                                ("value_sum", "double")],
+    "g_ktruss": [("a", "string"), ("b", "string"),
+                 ("support", "bigint")],
 }
 
 
@@ -471,7 +473,7 @@ def build_gate() -> dict:
           "g_hits_top", "g_closeness_seeds", "g_clustering_coeff",
           "g_assortativity", "g_adamic_adar", "g_jaccard_links",
           "g_random_walks", "g_modularity", "g_walk_pairs",
-          "g_edge_support")
+          "g_edge_support", "g_ktruss")
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",

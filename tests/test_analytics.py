@@ -422,3 +422,35 @@ def test_edge_support_consistent_with_triangle_count(spark):
     )
     assert sup_sum == tri_sum  # both equal 3 × n_triangles
     assert sup_sum > 0
+
+
+def test_ktruss_hand_graph_and_subset(spark):
+    """Two triangles sharing edge (a,b): the 3-truss keeps all five
+    edges (every edge closes >= 1 triangle, stable); the 4-truss is
+    EMPTY — after peeling the support-1 edges, the shared edge loses
+    both its triangles (peel must recompute support INSIDE the
+    survivor set, not keep first-pass values)."""
+    from graphdb_spark.operators.analytics import ktruss
+
+    stacked = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b")],
+        "src string, dst string",
+    )
+    t3 = {(r["a"], r["b"]) for r in ktruss(stacked, 3).collect()}
+    assert t3 == {("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"),
+                  ("b", "d")}
+    assert ktruss(stacked, 4).count() == 0
+
+    # truss edges are a subset of the input with in-truss support
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators.analytics import _canonical_und
+    from graphdb_spark.workloads.graph import _cooccur_edges_int
+
+    edges = _cooccur_edges_int(spark, "/root/testdata/sf0.001")
+    truss = ktruss(edges, 6)
+    rows = truss.collect()
+    assert rows
+    assert all(r["support"] >= 4 for r in rows)
+    und = {(r["a"], r["b"]) for r in _canonical_und(edges).collect()}
+    assert {(r["a"], r["b"]) for r in rows} <= und
