@@ -26,7 +26,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       q20_excess_share, q11_important_value
 - agg_suite:          distinct_agg, cube_counts, rollup_orders,
                       quantile_sketch, approx_distinct_sketch,
-                      value_histogram, grouping_sets_report, dq_checks
+                      value_histogram, grouping_sets_report, dq_checks,
+                      numeric_profile
 - sql_funcs_suite:    string_funcs, date_funcs, json_funcs
 - set_join_suite:     set_ops, anti_semi_join, top_customers,
                       item_cooccur_topk
@@ -353,6 +354,9 @@ COLS = {
                                ("value_sum", "double")],
     "g_ktruss": [("a", "string"), ("b", "string"),
                  ("support", "bigint")],
+    "numeric_profile": [("x", "string"), ("y", "string"),
+                        ("n", "bigint"), ("mean_x", "double"),
+                        ("mean_y", "double"), ("corr", "double")],
 }
 
 
@@ -412,7 +416,8 @@ def build_gate() -> dict:
     # cypher_dml_suite under the 50-entry cap
     suite("agg_suite", R, "distinct_agg", "cube_counts", "rollup_orders",
           "quantile_sketch", "approx_distinct_sketch",
-          "value_histogram", "grouping_sets_report", "dq_checks")
+          "value_histogram", "grouping_sets_report", "dq_checks",
+          "numeric_profile")
     suite("sql_funcs_suite", R, "string_funcs", "date_funcs", "json_funcs")
     suite("set_join_suite", R, "set_ops", "anti_semi_join", "top_customers",
           "item_cooccur_topk")

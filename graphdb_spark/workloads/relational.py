@@ -1775,3 +1775,104 @@ SELECT chk, CAST(v AS BIGINT) AS violations FROM (
 """
 
 QUERIES["dq_checks"] = (dq_checks, DQ_CHECKS_SQL)
+
+
+# ----------------------------------------- numeric profile / correlation
+
+_PROFILE_COLS = [
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+def numeric_profile(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns (data profiling / feature-drift monitoring), one row per
+    column pair. Engines' native corr() accumulates incrementally and
+    is NOT bit-stable cross-engine — instead every moment (Sx, Sxx,
+    Sxy) is an EXACT decimal sum of 2-dp inputs, and the Pearson
+    formula runs once per pair on identical doubles (the
+    assortativity trick on relational columns).
+
+    Scale: ONE scan-level aggregate computes all 14 moments
+    map-side-partial; the 6 pair rows are projections of that single
+    row — no per-pair passes."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    dec = {k: F.col(c).cast("decimal(18,2)") for k, c in _PROFILE_COLS}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for k in dec:
+        aggs.append(F.sum(dec[k]).alias(f"s_{k}"))
+        aggs.append(F.sum(dec[k] * dec[k]).alias(f"ss_{k}"))
+    pairs = [(a, b) for i, (a, _) in enumerate(_PROFILE_COLS)
+             for b, _ in _PROFILE_COLS[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"sp_{a}_{b}"))
+    mom = li.agg(*aggs)
+
+    def corr_expr(a, b):
+        n = F.col("n").cast("double")
+        sx, sy = (F.col(f"s_{a}").cast("double"),
+                  F.col(f"s_{b}").cast("double"))
+        sxx, syy = (F.col(f"ss_{a}").cast("double"),
+                    F.col(f"ss_{b}").cast("double"))
+        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        )
+
+    out = None
+    for a, b in pairs:
+        row = mom.select(
+            F.lit(a).alias("x"), F.lit(b).alias("y"), "n",
+            F.round(F.col(f"s_{a}").cast("double") / F.col("n"), 6)
+            .alias("mean_x"),
+            F.round(F.col(f"s_{b}").cast("double") / F.col("n"), 6)
+            .alias("mean_y"),
+            corr_expr(a, b).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("x", "y")
+
+
+def _numeric_profile_sql() -> str:
+    dec = {k: f"CAST({c} AS DECIMAL(18,2))" for k, c in _PROFILE_COLS}
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for k, e in dec.items():
+        moments.append(f"SUM({e}) AS s_{k}")
+        moments.append(f"SUM({e} * {e}) AS ss_{k}")
+    pairs = [(a, b) for i, (a, _) in enumerate(_PROFILE_COLS)
+             for b, _ in _PROFILE_COLS[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"SUM({dec[a]} * {dec[b]}) AS sp_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        corr = (
+            f"ROUND((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (SQRT(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * SQRT(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+        )
+        sel.append(
+            f"SELECT '{a}' AS x, '{b}' AS y, n,"
+            f" ROUND(CAST(s_{a} AS DOUBLE) / n, 6) AS mean_x,"
+            f" ROUND(CAST(s_{b} AS DOUBLE) / n, 6) AS mean_y,"
+            f" {corr} AS corr FROM mom"
+        )
+    union = "\nUNION ALL\n".join(sel)
+    return f"""
+WITH mom AS MATERIALIZED (
+  SELECT
+    {", ".join(moments)}
+  FROM lineitem
+)
+{union}
+ORDER BY x, y
+"""
+
+
+QUERIES["numeric_profile"] = (numeric_profile, _numeric_profile_sql())

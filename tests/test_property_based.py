@@ -194,3 +194,25 @@ def test_window_analytics_distribution_bounds(spark):
         for a, b in zip(rs, rs[1:]):
             assert a["pct_rank"] < b["pct_rank"]
             assert a["cume"] <= b["cume"] <= 1.0
+
+
+def test_numeric_profile_is_a_correlation(spark):
+    """corr values in [-1, 1]; price-qty is NEAR ZERO on the driver's
+    synthetic data (unlike real TPC-H, where extendedprice = qty x
+    unit price, this generator draws them independently — the same
+    independence dq_checks catches on ship dates); means match a
+    direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.sources.tpch import load_tables
+    from graphdb_spark.workloads.relational import numeric_profile
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["x"], r["y"]): r for r in numeric_profile(spark, sf).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert -1.0 <= r["corr"] <= 1.0
+    assert abs(rows[("qty", "price")]["corr"]) < 0.1
+    li = load_tables(spark, sf)["lineitem"]
+    direct = li.agg(F.avg("l_quantity")).collect()[0][0]
+    assert abs(rows[("qty", "price")]["mean_x"] - direct) < 1e-4
