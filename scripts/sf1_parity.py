@@ -92,6 +92,17 @@ R5C = (
 # those is proven at sf0.01 (gate) and sf0.1 (local run), plus the
 # sum(support) == sum(triangles) cross-operator invariant.
 R5D = "scd2_intervals gapfill_locf corpus_shards".split()
+# round-5 session-4 batch 2: streaming joins/state/sessions at 10x
+# (true engine paths), incremental-dedup store probe, distribution
+# windows, grouping sets, DQ report, exact-moment correlations.
+# g_ktruss joins the triangle family's documented exclusion (its
+# 6-layer materialized oracle on the 12M-edge sf1 graph is the same
+# disk-exhausting shape as g_modularity's unrolled LPA).
+R5E = (
+    "stream_interval_join stream_user_state stream_session_windows "
+    "emb_dim_stats dedup_incremental window_analytics "
+    "grouping_sets_report dq_checks numeric_profile"
+).split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -109,7 +120,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     oracles = workloads.all_unpacked_oracles()
     failures = {}
     for name in (TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                 + R5B + R5C + R5D):
+                 + R5B + R5C + R5D + R5E):
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -123,7 +134,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
             failures[name] = problems
     spark.stop()
     total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                + R5B + R5C + R5D)
+                + R5B + R5C + R5D + R5E)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
