@@ -138,10 +138,20 @@ def apply_change_stream(g, changes: DataFrame, checkpoint_dir: str,
     return writer.start()
 
 
-def change_stream_from_files(spark, path: str, fmt: str = "parquet") -> DataFrame:
+def change_stream_from_files(spark, path: str, fmt: str = "parquet",
+                             max_files_per_trigger: int | None = None
+                             ) -> DataFrame:
     """File-source change stream in CHANGE_SCHEMA (exactly-once file
-    discovery; pair with apply_change_stream)."""
-    return spark.readStream.format(fmt).schema(CHANGE_SCHEMA).load(path)
+    discovery; pair with apply_change_stream).
+
+    ``max_files_per_trigger`` bounds each micro-batch; 1 replays a
+    directory of single-file batches in file order — the deterministic
+    multi-batch harness stream_apply_changelog relies on."""
+    reader = spark.readStream.format(fmt).schema(CHANGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.load(path)
 
 
 def continuous_query_view(g, changes: DataFrame, checkpoint_dir: str,

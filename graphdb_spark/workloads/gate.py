@@ -77,7 +77,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       ann_recall_eval, emb_quantize_error, emb_dim_stats
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
                       stream_dedup_counts, stream_interval_join,
-                      stream_user_state, stream_session_windows
+                      stream_user_state, stream_session_windows,
+                      stream_apply_changelog
 """
 
 from __future__ import annotations
@@ -357,6 +358,9 @@ COLS = {
     "numeric_profile": [("x", "string"), ("y", "string"),
                         ("n", "bigint"), ("mean_x", "double"),
                         ("mean_y", "double"), ("corr", "double")],
+    "stream_apply_changelog": [("id", "string"), ("label", "string"),
+                               ("out_degree", "bigint"),
+                               ("in_degree", "bigint")],
 }
 
 
@@ -460,7 +464,7 @@ def build_gate() -> dict:
     suite("stream_suite", stream_views, "stream_fold_degrees",
           "stream_windowed_counts", "stream_dedup_counts",
           "stream_interval_join", "stream_user_state",
-          "stream_session_windows")
+          "stream_session_windows", "stream_apply_changelog")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",

@@ -385,3 +385,19 @@ def test_stream_session_windows_invariants(spark):
             assert b["session_start_ms"] >= a["session_end_ms"]
     total = sum(r["n"] for r in rows)
     assert total == load_tables(spark, sf)["events"].count()
+
+
+def test_apply_changelog_equals_batch_fold(spark):
+    """The TRUE foreachBatch replay (3 ordered micro-batches via
+    maxFilesPerTrigger=1) must land on exactly the batch fold's final
+    state — any batch reorder, split, or double-apply shows up as a
+    state diff."""
+    from graphdb_spark.workloads.stream_views import (
+        stream_apply_changelog,
+        stream_fold_degrees,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {tuple(r) for r in stream_apply_changelog(spark, sf).collect()}
+    batch = {tuple(r) for r in stream_fold_degrees(spark, sf).collect()}
+    assert streamed == batch and streamed
