@@ -103,6 +103,8 @@ R5E = (
     "emb_dim_stats dedup_incremental window_analytics "
     "grouping_sets_report dq_checks numeric_profile"
 ).split()
+# the change-log folds (batch twin + TRUE foreachBatch replay) at 10x
+R5F = "stream_fold_degrees stream_apply_changelog".split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
@@ -120,7 +122,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
     oracles = workloads.all_unpacked_oracles()
     failures = {}
     for name in (TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                 + R5B + R5C + R5D + R5E):
+                 + R5B + R5C + R5D + R5E + R5F):
         t0 = time.time()
         try:
             problems = compare(qs[name](spark, sf_dir), con.sql(oracles[name]))
@@ -134,7 +136,7 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
             failures[name] = problems
     spark.stop()
     total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                + R5B + R5C + R5D + R5E)
+                + R5B + R5C + R5D + R5E + R5F)
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
