@@ -41,7 +41,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - dedup_pair_suite:   dedup_ngram_jaccard, dedup_simhash,
                       dedup_simhash_pairs, dedup_lev_verified,
                       dedup_substring_spans, tfidf_cosine_pairs,
-                      dedup_incremental
+                      dedup_incremental, dedup_funnel
 - pipeline_suite:     boilerplate_chunks, pii_redaction, seq_packing,
                       contamination_overlap, gopher_quality,
                       repetition_stats, unigram_rarity, filter_funnel,
@@ -361,6 +361,8 @@ COLS = {
     "stream_apply_changelog": [("id", "string"), ("label", "string"),
                                ("out_degree", "bigint"),
                                ("in_degree", "bigint")],
+    "dedup_funnel": [("stage", "string"), ("n_docs", "bigint"),
+                     ("n_tokens", "bigint")],
 }
 
 
@@ -495,7 +497,7 @@ def build_gate() -> dict:
     suite("dedup_pair_suite", X, "dedup_ngram_jaccard", "dedup_simhash",
           "dedup_simhash_pairs", "dedup_lev_verified",
           "dedup_substring_spans", "tfidf_cosine_pairs",
-          "dedup_incremental")
+          "dedup_incremental", "dedup_funnel")
     keep(X, "dedup_cluster_canonical")
     keep(X, "sample_mix")
     # -- training-data pipeline (boilerplate / PII / packing /

@@ -871,3 +871,100 @@ ORDER BY new_id
 
 
 QUERIES["dedup_incremental"] = (dedup_incremental, _incremental_sql())
+
+
+# ------------------------------------------------ dedup funnel report
+
+def dedup_funnel(spark, sf_dir):
+    """End-to-end dedup funnel (the curation counterpart of
+    filter_funnel for DUPLICATION): per stage, surviving docs + token
+    mass — input -> exact-dedup keepers (min id per normalized
+    fingerprint) -> near-dup canonicals (keepers that are also their
+    LSH cluster's canonical). The single report a pipeline owner reads
+    after each ingest to see how much the corpus actually shrank.
+
+    Scale: one fingerprint window + the near_dup_clusters labels the
+    cluster-canonical query already computes; the three stage rows are
+    conditional sums of ONE pass over the enriched doc table."""
+    from graphdb_spark.operators import dedup as D
+
+    d = _docs(spark, sf_dir, spread=True)
+    from pyspark.sql import Window
+
+    base = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    labels = D.near_dup_clusters(
+        d, min_est=0.25, sig=_signatures(spark, sf_dir)
+    ).select("doc_id", "canonical")
+    enriched = (
+        base.withColumn(
+            "is_exact", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .join(labels, "doc_id", "left")
+        .withColumn("canon", F.coalesce("canonical", F.col("doc_id")))
+        .withColumn(
+            "is_canon",
+            F.col("is_exact") & (F.col("canon") == F.col("doc_id")),
+        )
+    )
+    mom = enriched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("n_toks").cast("bigint").alias("t0"),
+        F.sum(F.col("is_exact").cast("long")).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("is_exact"), F.col("n_toks")).otherwise(0))
+        .cast("bigint").alias("t1"),
+        F.sum(F.col("is_canon").cast("long")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("is_canon"), F.col("n_toks")).otherwise(0))
+        .cast("bigint").alias("t2"),
+    )
+    stages = None
+    for tag, nc, tc in (("1_input", "n0", "t0"),
+                        ("2_exact", "n1", "t1"),
+                        ("3_neardup", "n2", "t2")):
+        row = mom.select(
+            F.lit(tag).alias("stage"),
+            F.col(nc).alias("n_docs"),
+            F.col(tc).alias("n_tokens"),
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    return stages.orderBy("stage")
+
+
+def _dedup_funnel_sql() -> str:
+    prefix = _cluster_sql().rsplit("SELECT canonical", 1)[0].rstrip()
+    assert prefix.endswith(")"), "labels CTE prefix drifted"
+    fp = _H64.format(x=_NORM.format(x="text"))
+    toks = _TOKS.format(x="text")
+    return f"""{prefix}, base AS (
+  SELECT doc_id,
+    CAST(len({toks}) AS BIGINT) AS n_toks,
+    {fp} AS fp
+  FROM documents
+), enriched AS (
+  SELECT b.doc_id, b.n_toks,
+    (b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.fp)) AS is_exact,
+    COALESCE(l.canonical, b.doc_id) AS canon
+  FROM base b LEFT JOIN labels l ON l.id = b.doc_id
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+    CAST(SUM(n_toks) AS BIGINT) AS t0,
+    CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN is_exact THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+    CAST(SUM(CASE WHEN is_exact AND canon = doc_id THEN 1 ELSE 0 END)
+      AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN is_exact AND canon = doc_id THEN n_toks ELSE 0 END)
+      AS BIGINT) AS t2
+  FROM enriched
+)
+SELECT '1_input' AS stage, n0 AS n_docs, t0 AS n_tokens FROM mom
+UNION ALL SELECT '2_exact', n1, t1 FROM mom
+UNION ALL SELECT '3_neardup', n2, t2 FROM mom
+ORDER BY stage
+"""
+
+
+QUERIES["dedup_funnel"] = (dedup_funnel, _dedup_funnel_sql())

