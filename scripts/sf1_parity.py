@@ -104,7 +104,8 @@ R5E = (
     "grouping_sets_report dq_checks numeric_profile"
 ).split()
 # the change-log folds (batch twin + TRUE foreachBatch replay) at 10x
-R5F = "stream_fold_degrees stream_apply_changelog".split()
+R5F = ("stream_fold_degrees stream_apply_changelog "
+        "dedup_funnel").split()
 
 
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
