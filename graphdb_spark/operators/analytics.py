@@ -638,6 +638,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 25) -> DataFrame:
     (nxt ⊆ cur, so equal counts ⇔ equal sets)."""
     cur = _canonical_und(edges)
     sup = None
+    converged = False
     for _ in range(max_iter):
         sup = edge_support(
             cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -648,8 +649,27 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 25) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if nxt.count() == cur.count():
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # max_iter exhausted before fixpoint: the supports in `sup`
+        # were computed on the PRE-peel edge set and would overstate
+        # the final layer. Recompute once on the surviving set so the
+        # returned supports are accurate, and warn that the result is
+        # a partial peel (a superset of the true truss), not a truss.
+        import warnings
+
+        warnings.warn(
+            f"ktruss(k={k}): max_iter={max_iter} exhausted before the "
+            "peel reached fixpoint — returning the partial peel with "
+            "supports recomputed on the surviving edge set",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        sup = edge_support(
+            cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
     return sup.filter(F.col("support") >= k - 2)
 
 

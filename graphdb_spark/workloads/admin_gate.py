@@ -812,8 +812,6 @@ QUERIES["g_random_walks"] = (
 
 # ------------------------------------- multi-format source/sink audit
 
-_FMT_DIR = "/tmp/graphdb_gate_fmt"
-
 
 def format_roundtrip(spark, sf_dir):
     """Source/sink breadth beyond parquet: write the nation table to
@@ -828,6 +826,8 @@ def format_roundtrip(spark, sf_dir):
     predicate-pushdown capable; JSON/CSV splittable uncompressed), so
     the audit generalizes to big tables; the checksum agg is one
     partial-aggregated pass per format."""
+    import tempfile  # noqa: PLC0415
+
     from graphdb_spark.operators.text import h64  # noqa: PLC0415
     from graphdb_spark.sources.tpch import load_tables  # noqa: PLC0415
 
@@ -836,8 +836,11 @@ def format_roundtrip(spark, sf_dir):
     )
     schema = nation.schema
     outs = []
+    # per-invocation dir: a fixed shared path made concurrent gate +
+    # bench runs overwrite each other's output mid-read (flaky sums)
+    fmt_dir = tempfile.mkdtemp(prefix="graphdb_gate_fmt_")
     for fmt in ("orc", "json", "csv"):
-        path = f"{_FMT_DIR}/{fmt}"
+        path = f"{fmt_dir}/{fmt}"
         w = nation.write.mode("overwrite").format(fmt)
         if fmt == "csv":
             w = w.option("header", "true").option("quoteAll", "true")

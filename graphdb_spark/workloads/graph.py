@@ -1033,6 +1033,19 @@ def _ktruss_sql() -> str:
         for i in range(1, KTRUSS_ORACLE_LAYERS + 1)
     )
     last = f"e{KTRUSS_ORACLE_LAYERS}"
+    prev = f"e{KTRUSS_ORACLE_LAYERS - 1}"
+    # Fixpoint assertion: the unroll count is data-dependent (5 layers
+    # at sf0.01), so at a bigger SF an under-unrolled oracle would
+    # silently diverge from the fixpoint-iterating Spark side. The
+    # lazy CASE raises inside DuckDB (error() is only evaluated on the
+    # ELSE branch) iff the last two layers differ — a loud oracle
+    # error instead of a false gate failure.
+    fixpoint_guard = (
+        f"WHERE CASE WHEN (SELECT COUNT(*) FROM {prev}) = "
+        f"(SELECT COUNT(*) FROM {last}) THEN TRUE "
+        f"ELSE error('ktruss oracle under-unrolled: raise "
+        f"KTRUSS_ORACLE_LAYERS past {KTRUSS_ORACLE_LAYERS}') END"
+    )
     return f"""
 WITH und AS MATERIALIZED (
   SELECT DISTINCT
@@ -1048,6 +1061,7 @@ SELECT LEAST('p_' || CAST(a AS VARCHAR), 'p_' || CAST(b AS VARCHAR)) AS a,
        GREATEST('p_' || CAST(a AS VARCHAR), 'p_' || CAST(b AS VARCHAR)) AS b,
        support
 FROM {last}
+{fixpoint_guard}
 ORDER BY support DESC, a ASC, b ASC
 """
 
