@@ -25,7 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graphdb_spark.operators.text import MERSENNE, fingerprint, h64, shingles, tokens
+from graphdb_spark.operators.text import (
+    MERSENNE,
+    fingerprint,
+    h64,
+    shingles_from_tokens,
+    tokens,
+)
 
 # fixed minhash permutation constants (deterministic across runs;
 # odd multipliers, distinct offsets — standard (a*x+b) mod p family)
@@ -49,9 +55,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    # tokens materialized in their own projection so the shingle
+    # lambda reads a bound attribute — an inline split re-runs per
+    # shingle position (see shingles_from_tokens, measured 7.4x)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            shingles_from_tokens(F.col("__toks"), k, distinct=True)
+        ).alias("shingle"),
     )
 
 

@@ -33,6 +33,16 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: ('0x'+md5[:15])::bigint — an 8-byte
+    shuffle key for stages that would otherwise carry term strings.
+    60 bits keeps expected collisions ~0 at 10^7-10^8 distinct terms
+    (32-bit h64 would merge ~26k term pairs at sf1 shingle volume);
+    15 hex chars = 60 bits fits signed BIGINT in both engines.
+    Identical in DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (array<string>)."""
     return F.split(F.trim(text), r"\s+")
@@ -126,11 +136,22 @@ def fingerprint(text: Column) -> Column:
     return h64(norm)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as array<string> (distinct). Same element_at
-    construction as shingles_all (see there for the measured
-    slice-vs-index rationale)."""
-    toks = tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, k: int = 3,
+                         distinct: bool = True) -> Column:
+    """k-word shingles (array<string>) from an ALREADY-MATERIALIZED
+    token array column. PASS A BOUND ATTRIBUTE (a column projected in
+    a prior select), not an inline split(...) expression: higher-order
+    lambdas re-evaluate captured expressions PER ELEMENT, so an inline
+    tokenizer runs once per shingle POSITION — measured 7.4x slower
+    (4.5 s vs 0.6 s) through the tf explode at sf1. A separate select
+    materializes the array once per row; CollapseProject leaves the
+    boundary alone because the lambda references it k+1 times.
+
+    element_at per position instead of slice: slice allocates a
+    k-element array per shingle; direct indexing is ~30% faster
+    through the tf explode (measured 2.44 s -> 1.72 s at sf0.1).
+    concat_ws skips the NULLs element_at returns past the end, so
+    short docs produce the same partial shingle as the slice form."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
@@ -138,26 +159,25 @@ def shingles(text: Column, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
                                      for j in range(k)]),
     )
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as array<string> (distinct). PERF HAZARD: this
+    inlines the tokenizer inside the shingle lambda, re-running it per
+    position — fine for one-off expressions, but hot paths must
+    materialize tokens in a prior select and use shingles_from_tokens
+    (see its docstring for the measured 7.4x)."""
+    return shingles_from_tokens(tokens(F.lower(text)), k, distinct=True)
 
 
 def shingles_all(text: Column, k: int = 3) -> Column:
     """k-word shingles WITH multiplicity (array<string>) — the term
     stream for tf-weighted models (tf-idf), where `shingles`' distinct
-    set feeds set-similarity (Jaccard/MinHash)."""
-    toks = tokens(F.lower(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    # element_at per position instead of slice: slice allocates a
-    # k-element array per shingle; direct indexing is ~30% faster
-    # through the tf explode (measured 2.44 s -> 1.72 s at sf0.1).
-    # concat_ws skips the NULLs element_at returns past the end, so
-    # short docs produce the same partial shingle as the slice form.
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
-                                     for j in range(k)]),
-    )
+    set feeds set-similarity (Jaccard/MinHash). Same perf hazard as
+    `shingles`: hot paths should materialize tokens first and call
+    shingles_from_tokens(toks, k, distinct=False)."""
+    return shingles_from_tokens(tokens(F.lower(text)), k, distinct=False)
 
 
 def chunk_texts(text: Column, k: int = 8) -> Column:

@@ -649,67 +649,108 @@ def tfidf_cosine_pairs(spark, sf_dir):
     set-based MinHash/Jaccard and dense embedding cosine.
 
     Scale shape: every shuffle is keyed (doc,term) / term / doc /
-    pair — never all-pairs; the self-join fan-out is bounded by
-    DF_MAX^2/2 pairs per term (posting-list pruning — the high-df
-    terms it drops are exactly the ones idf sends to ~0). Dots and
-    norms sum per-term products rounded to decimal(18,6), so scores
-    are partition-order independent; ln() is bit-identical
+    pair — never all-pairs; the per-term fan-out is bounded by
+    DF_MAX^2/2 pairs (posting-list pruning — the high-df terms it
+    drops are exactly the ones idf sends to ~0). Three measured
+    levers (A/B at sf1, 34.6 s -> ~9 s total):
+    - tokens materialized in their own projection before the shingle
+      lambda (shingles_from_tokens: inline split re-runs per position,
+      4.5 s -> 0.6 s through the explode);
+    - terms hashed to 64-bit longs (native xxhash64) right after the
+      explode, so every keyed stage shuffles 8-byte keys instead of
+      ~25-byte shingle strings (pair stage -22%). The hash is
+      semantically a no-op: any injective-on-the-data mapping yields
+      the IDENTICAL pair set, and at sf1 volume the 64-bit collision
+      probability is ~1e-7 — so the oracle twin deliberately keys on
+      the RAW strings, an independent formulation that would surface
+      a collision as a value diff instead of baking the same hash
+      into both sides;
+    - every aggregate/join exchange pinned to full width (the
+      adamic_adar trick: these stages are CPU-heavy but byte-light,
+      and AQE's size-based coalescing would run them on 1-6 tasks —
+      measured 2x end-to-end). The one posting exchange (repartition
+      by h) is REUSED by the df count, both self-join sides, and the
+      norm branch.
+    Dots and norms sum per-term products rounded to decimal(18,6), so
+    scores are partition-order independent; ln() is bit-identical
     cross-engine on the same doubles (bm25/dsir trick)."""
     d = _docs(spark, sf_dir, spread=True)
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
     # N stays IN the plan (1-row broadcast crossJoin) — a driver-side
     # d.count() here cost a whole extra job before the query's own
     # action (same trick as pagerank's in-plan renormalization)
     n_row = d.agg(F.count(F.lit(1)).alias("__n"))
     tf = (
-        d.select(
-            "doc_id", F.explode(T.shingles_all(F.col("text"))).alias("s")
+        d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                T.shingles_from_tokens(F.col("__toks"), distinct=False)
+            ).alias("s"),
         )
-        .groupBy("doc_id", "s")
+        .select("doc_id", F.xxhash64(F.col("s")).alias("h"))
+        .repartition(n_part, "doc_id", "h")
+        .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # the ONE posting exchange — reused by df count, both pair-join
+    # sides, and the norm branch
+    tfh = tf.repartition(n_part, "h")
     df_tab = (
-        tf.groupBy("s")
+        tfh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX))
         .crossJoin(F.broadcast(n_row))
         .select(
-            "s",
+            "h",
             F.log((F.col("__n") + 1).cast("double")
                   / (F.col("df") + 1).cast("double")).alias("idf"),
         )
     )
-    post = tf.join(df_tab, "s").select(
-        "s", "doc_id", (F.col("tf") * F.col("idf")).alias("w")
+    # df_tab scales with the capped-df vocabulary (not the corpus):
+    # ~270k 16-byte rows at sf1 — broadcastable at any bench SF; on a
+    # 100 TB corpus flip to the shuffle join by dropping the hint
+    post = tfh.join(F.broadcast(df_tab), "h").select(
+        "h", "doc_id", (F.col("tf") * F.col("idf")).alias("w")
     )
-    norms = post.groupBy("doc_id").agg(
-        F.sqrt(
-            F.sum(F.round(F.col("w") * F.col("w"), 6)
-                  .cast("decimal(18,6)")).cast("double")
-        ).alias("nrm")
+    norms = (
+        post.repartition(n_part, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 6)
+                      .cast("decimal(18,6)")).cast("double")
+            ).alias("nrm")
+        )
     )
-    # shuffle-hash, not sort-merge: sorting both 2.6M-row posting
-    # sides costs more than hashing one (A/B at sf1: pair stage
-    # 21.5 s -> 11.4 s). Safe at scale: the build side is one
-    # partition's worth of DF_MAX-capped posting lists, evenly
-    # hash-spread across the pinned width.
+    # shuffle-hash, not sort-merge: both sides are the SAME pinned
+    # exchange (ReusedExchange), so the join adds no shuffle at all —
+    # the hint only skips the sort. DF_MAX bounds the per-term probe.
     a, b = post.alias("a"), post.hint("shuffle_hash").alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.round(F.col("a.w") * F.col("b.w"), 6)
+            .cast("decimal(18,6)").alias("ww"),
         )
+        # pairs are mostly unique, so partial aggregation barely
+        # shrinks this exchange while AQE would coalesce the final
+        # agg to a handful of tasks — pin it raw at full width
+        .repartition(n_part, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shared"),
-            F.sum(F.round(F.col("a.w") * F.col("b.w"), 6)
-                  .cast("decimal(18,6)")).cast("double").alias("dot"),
+            F.sum("ww").cast("double").alias("dot"),
         )
     )
-    na = norms.select(F.col("doc_id").alias("doc_a"),
-                      F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"),
-                      F.col("nrm").alias("nb"))
+    # norms scale with |docs| (~10 MB at sf1) — broadcast both sides
+    na = F.broadcast(norms.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("nrm").alias("na")))
+    nb = F.broadcast(norms.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("nrm").alias("nb")))
     return (
         pairs.join(na, "doc_a").join(nb, "doc_b")
         .select(
