@@ -783,7 +783,16 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
     DECIMAL so the result is independent of summation order across
     partitions.
     """
-    shared = _shared_dst_weights(edges, max_degree)
+    # micro-unit weights: (w * 1e6)::bigint is EXACT on the
+    # decimal(18,6) w, and a LONG sum over the ~15x-exploded pair
+    # rows replaces the decimal sum whose accumulator promotes to the
+    # non-long-backed decimal(28,6) (measured at sf1: 8.3 s -> 6.7 s
+    # end-to-end). score = round(sum/1e6, 6) reconstructs the same
+    # 6-dp value the decimal sum yields: the true total has exactly
+    # six decimal places, so the nearest-double round is identical.
+    shared = _shared_dst_weights(edges, max_degree).select(
+        "src", "dst", (F.col("w") * 1000000).cast("bigint").alias("wu")
+    )
     a, b = shared.alias("a"), shared.alias("b")
     exploded = a.join(
         b,
@@ -791,21 +800,25 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
         & (F.col("a.src") < F.col("b.src")),
     ).select(
         F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"),
-        F.col("a.w").alias("w"),
+        F.col("a.wu").alias("wu"),
     )
     # Same explosion blindness on the aggregate: pairs are mostly
     # unique, so partial aggregation barely shrinks the shuffle and
     # AQE again coalesces the post-join exchange by stale pre-join
     # size estimates. Pin the aggregate's partitioning explicitly —
     # groupBy over data already hash-partitioned on exactly its keys
-    # adds no further exchange.
+    # adds no further exchange. 2x the base width: the pair fan-out
+    # is ~15x the posting rows (90M at sf1), so per-task hash tables
+    # at 1x width blow the cache (width sweep at sf1: 32 parts
+    # 11.4 s, 64 parts 6.6 s, 128 parts 7.4 s; sf0.1 is flat 32-64).
     n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
     pairs = (
-        exploded.repartition(n_part, "src_a", "src_b")
+        exploded.repartition(n_part * 2, "src_a", "src_b")
         .groupBy("src_a", "src_b")
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.round(F.sum("w"), 6).cast("double").alias("score"),
+            F.round(F.sum("wu").cast("double") / 1000000.0, 6)
+            .alias("score"),
         )
     )
     if top_k is not None:
