@@ -1392,6 +1392,27 @@ FROM per, qt ORDER BY n_nodes DESC, community LIMIT 10
 """
 
 
+def _modularity_arith_sql(labels_glob: str) -> str:
+    """Modularity-ARITHMETIC twin over a Spark-materialized label
+    assignment: identical to ``_modularity_sql`` except the l2 CTE
+    reads the (vid, comm) parquet the Spark side wrote instead of
+    re-deriving LPA as an unrolled recursive closure. Splits the
+    sf1 verification into (a) LPA labels — gate-proven exact at
+    sf0.01 via the full unrolled oracle — and (b) the degree /
+    internal-edge / contribution aggregates, which THIS query checks
+    at any SF as pure aggregation (no closure, no 80 GB spill; the
+    full oracle exhausted container disk at sf1, NOTES r5s4). Both
+    CTE texts are sliced from the canonical strings, so the edge set
+    and arithmetic can never drift from the gate oracle."""
+    head = G_LABEL_PROP_SQL.split("), l0 AS (")[0] + ")"
+    tail = _modularity_sql().split(", canon AS (", 1)[1]
+    return (
+        f"{head}, l2 AS (\n"
+        f"  SELECT vid, comm FROM read_parquet('{labels_glob}')\n"
+        f"), canon AS ({tail}"
+    )
+
+
 WALK_CTX = 2      # skip-gram context window (steps each side)
 WALK_PAIR_TOPK = 30
 

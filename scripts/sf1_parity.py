@@ -108,6 +108,35 @@ R5F = ("stream_fold_degrees stream_apply_changelog "
         "dedup_funnel").split()
 
 
+def check_modularity_arithmetic(spark, con, sf_dir: str) -> list[str]:
+    """Closes the one hole in the sf1 ledger (r5 VERDICT item 3):
+    g_modularity's full oracle re-derives LPA as an unrolled closure
+    and spills >80 GB at sf1. Instead: materialize the Spark LPA
+    labels once, then verify the modularity ARITHMETIC (degrees,
+    internal edges, contributions, Q) with a pure-aggregation DuckDB
+    twin over that assignment — LPA label exactness itself stays
+    proven by the full unrolled oracle at sf0.01 (gate)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from test_oracle_parity import compare
+
+    from graphdb_spark import workloads
+    from graphdb_spark.operators.analytics import label_propagation
+    from graphdb_spark.workloads.graph import (
+        _modularity_arith_sql,
+        graph_session,
+    )
+
+    g = graph_session(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gs_sf1_lpa_") + "/labels"
+    (label_propagation(g.edges, max_iter=2)
+     .select(F.col("id").alias("vid"), F.col("community").alias("comm"))
+     .write.mode("overwrite").parquet(out))
+    sdf = workloads.all_unpacked_queries()["g_modularity"](spark, sf_dir)
+    return compare(sdf, con.sql(_modularity_arith_sql(f"{out}/*.parquet")))
+
+
 def main(sf_dir: str = "/tmp/sf1synth") -> int:
     from test_oracle_parity import TABLES, compare
 
@@ -135,9 +164,22 @@ def main(sf_dir: str = "/tmp/sf1synth") -> int:
               + ("" if not problems else f"  {problems}"))
         if problems:
             failures[name] = problems
+    # g_modularity: arithmetic-only twin over materialized LPA labels
+    # (the full unrolled oracle spills >80 GB at sf1 — see the
+    # exclusion note above and check_modularity_arithmetic)
+    t0 = time.time()
+    try:
+        problems = check_modularity_arithmetic(spark, con, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        problems = [f"exception: {type(e).__name__}: {e}"]
+    dt = time.time() - t0
+    print(f"{'g_modularity(arith)':28s} {'OK' if not problems else 'FAIL':4s}"
+          f" {dt:7.2f}s" + ("" if not problems else f"  {problems}"))
+    if problems:
+        failures["g_modularity(arith)"] = problems
     spark.stop()
     total = len(TPCH + DEDUP + TEMPORAL + PIPELINE + EXTRA + R4 + R5
-                + R5B + R5C + R5D + R5E + R5F)
+                + R5B + R5C + R5D + R5E + R5F) + 1
     print(f"\n{total - len(failures)}/{total} parity"
           f" at {sf_dir}")
     return 1 if failures else 0
