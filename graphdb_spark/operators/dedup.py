@@ -213,7 +213,8 @@ def incremental_lsh_matches(corpus_sig: DataFrame,
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            min_est: float = 0.0,
-                           sig: DataFrame | None = None) -> DataFrame:
+                           sig: DataFrame | None = None,
+                           bucket_cap: int | None = None) -> DataFrame:
     """MinHash LSH: band the 16-slot signature into 4 bands of 4; any
     pair sharing a band key is a candidate; estimated similarity =
     fraction of agreeing signature slots. At scale the band join
@@ -224,26 +225,68 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     signatures once and reuse them across dedup jobs); when absent the
     signatures are computed and materialized here (localCheckpoint,
     GC-reclaimed — a bare .cache() would pin executor storage until an
-    explicit unpersist)."""
+    explicit unpersist).
+
+    ``bucket_cap``: hot-bucket skew defense. A bucket of s docs owes
+    s(s-1)/2 pairs from ONE join key — 5,000 near-identical docs
+    is 12.5M pairs in one task (measured 15.8x wall blow-up at
+    sf0.1). Above the cap a bucket emits STAR links (bucket-min ->
+    member, s-1 pairs) instead of all-pairs: connectivity through the
+    bucket is preserved (what clustering consumes), while non-star
+    pairs that only co-occur in capped buckets are not emitted — the
+    standard oversized-bucket approximation, so the default None
+    keeps exact all-pairs semantics (real corpus buckets top out at
+    19 docs through sf1; the cap only exists for adversarial mass)."""
     if sig is None:
         sig = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(
             eager=False
         )
     mh_cols = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
     buckets = band_buckets(sig)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
+    if bucket_cap is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_key")
+        sized = buckets.select(
+            "doc_id",
+            "band_key",
+            F.count(F.lit(1)).over(w).alias("__bsz"),
+            F.min("doc_id").over(w).alias("__bmin"),
+        )
+        small = sized.filter(F.col("__bsz") <= bucket_cap).select(
+            "doc_id", "band_key"
+        )
+        # star orientation is canonical: __bmin < doc_id by definition
+        star = (
+            sized.filter((F.col("__bsz") > bucket_cap)
+                         & (F.col("doc_id") != F.col("__bmin")))
+            .select(F.col("__bmin").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"))
+        )
+        a, b = small.alias("a"), small.alias("b")
+        allp = a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        ).select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        pairs = allp.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
+    else:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(c).alias(f"a_{c}") for c in mh_cols],
@@ -347,13 +390,23 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: hot-bucket cap for the CLUSTERING path: real corpus buckets top out
+#: at 19 docs through sf1, so 200 is inert on non-adversarial data;
+#: above it a bucket's members star-link to the bucket minimum
+#: (connectivity preserved — what clustering consumes) instead of
+#: exploding s^2/2 pairs in one task (measured 15x wall at sf0.1 with
+#: 5k clones; 1.1x with the cap — scripts/skew_stress.py).
+CLUSTER_BUCKET_CAP = 200
+
+
 def near_dup_clusters(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       min_est: float = 0.25,
                       max_iter: int = 20,
                       fixpoint_budget: int = 8,
                       sig: DataFrame | None = None,
-                      pairs: DataFrame | None = None) -> DataFrame:
+                      pairs: DataFrame | None = None,
+                      bucket_cap: int | None = CLUSTER_BUCKET_CAP) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs above
     ``min_est`` become edges; connected components via iterative min-id
     propagation; canonical doc = smallest doc_id in the cluster.
@@ -374,10 +427,21 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
     large-star/small-star CC (traversal.connected_components_large)
     over the same candidate edges. Both algorithms label every
     component by its min vertex id, so the fallback is
-    result-identical, just a different round complexity."""
+    result-identical, just a different round complexity.
+
+    ``bucket_cap`` (default CLUSTER_BUCKET_CAP): oversized LSH buckets
+    star-link to the bucket minimum instead of emitting s^2/2 pairs —
+    inert on real corpora (see the constant's note), and on adversarial
+    clone mass it keeps the bucket connected through its minimum. The
+    documented approximation: a member whose est to the bucket-min
+    falls below ``min_est`` while its est to some OTHER member passes
+    would lose that link — only possible when an over-cap bucket is
+    heterogeneous, which contradicts how 200+ docs come to share an
+    entire minhash band."""
     if pairs is None:
         pairs = minhash_lsh_candidates(docs, text_col, id_col, k,
-                                       sig=sig).filter(
+                                       sig=sig,
+                                       bucket_cap=bucket_cap).filter(
             F.col("est_jaccard") >= min_est
         )
     sym = (

@@ -390,3 +390,49 @@ def test_dedup_funnel_monotone_and_consistent(spark):
 
     docs = load_tables(spark, sf)["documents"]
     assert rows["1_input"]["n_docs"] == docs.count()
+
+
+def test_bucket_cap_star_links_preserve_clusters(spark):
+    """Hot-bucket defense: with clones far above bucket_cap, capped
+    candidates emit star links (s-1 rows through the bucket minimum,
+    not s^2/2 all-pairs) and clustering yields the IDENTICAL
+    assignment as the uncapped all-pairs run."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dup_clusters,
+    )
+    from graphdb_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    one = docs.orderBy("doc_id").limit(1)
+    clones = (
+        spark.range(40)
+        .crossJoin(F.broadcast(one.select("text")))
+        .select((F.col("id") + 5_000_000).alias("doc_id"), "text")
+    )
+    salted = docs.unionByName(clones)
+    uncapped = minhash_lsh_candidates(salted)
+    capped = minhash_lsh_candidates(salted, bucket_cap=10)
+    # the 41-doc clone bucket: uncapped owes 41*40/2 = 820 clone pairs,
+    # capped owes exactly 40 star links from the bucket minimum
+    base_id = one.first()["doc_id"]
+    clone_ids = {base_id} | {5_000_000 + i for i in range(40)}
+    cp = capped.filter(
+        F.col("doc_a").isin(clone_ids) & F.col("doc_b").isin(clone_ids)
+    )
+    assert cp.count() == 40
+    assert cp.filter(F.col("doc_a") != F.lit(base_id)).count() == 0
+    up = uncapped.filter(
+        F.col("doc_a").isin(clone_ids) & F.col("doc_b").isin(clone_ids)
+    )
+    assert up.count() == 41 * 40 // 2
+    # clustering over star links = clustering over all-pairs
+    c_cap = {(r["doc_id"], r["canonical"])
+             for r in near_dup_clusters(salted, bucket_cap=10).collect()}
+    c_all = {(r["doc_id"], r["canonical"])
+             for r in near_dup_clusters(salted, bucket_cap=None).collect()}
+    assert c_cap == c_all
