@@ -235,6 +235,144 @@ def decode_audio(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("fps", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("vhash", LongType(), True),
+    ]
+)
+
+
+def _decode_video_bytes(payload: bytes, fake: bool):
+    """Real decode for Y4M (YUV4MPEG2) via pure stdlib parsing —
+    video parity with the image/audio paths (VERDICT r5 item 7). Y4M
+    is the standard UNCOMPRESSED interchange format (ffmpeg's
+    `-f yuv4mpegpipe`): a text header `YUV4MPEG2 W<w> H<h> F<n>:<d>
+    ...`, then per frame a `FRAME` line + raw YUV planes. Parsed
+    here: dimensions, fps, frame count (from plane arithmetic), and
+    an 8x8 block-mean average-hash over the FIRST frame's luma plane
+    (the video analogue of the image ahash — dedup-stable across
+    containers since it hashes decoded pixels, not bytes).
+    fake=True -> pseudo-decode from md5(payload), the SQL-replayable
+    contract the gate verifies. Only C420 family subsampling (the Y4M
+    default) is supported; anything else raises."""
+    if fake:
+        h = hashlib.md5(payload or b"").digest()
+        width = 160 + h[0]
+        height = 120 + h[1]
+        n_frames = 10 + h[2]
+        fps = 24 + (h[3] % 8)
+        duration_ms = n_frames * 1000 // fps
+        vhash = int.from_bytes(h[4:12], "big", signed=True)
+        return width, height, n_frames, fps, duration_ms, vhash
+    data = payload or b""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "video decode supports Y4M (YUV4MPEG2) payloads; pass "
+            "fake=True for the deterministic test decoder"
+        )
+    width = height = 0
+    fn, fd = 25, 1
+    colorspace = "420"
+    for tok in data[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"F":
+            fn, fd = (int(x) for x in val.split(":"))
+        elif key == b"C":
+            colorspace = val
+    if not colorspace.startswith("420"):
+        raise NotImplementedError(
+            f"video decode supports C420* Y4M, got C{colorspace}"
+        )
+    y_size = width * height
+    frame_size = y_size + 2 * ((width // 2) * (height // 2))
+    pos = nl + 1
+    n_frames = 0
+    first_y = None
+    while pos < len(data):
+        fe = data.find(b"\n", pos)
+        if fe < 0 or not data[pos:fe].startswith(b"FRAME"):
+            break
+        plane_start = fe + 1
+        if plane_start + frame_size > len(data):
+            break
+        if first_y is None:
+            first_y = data[plane_start:plane_start + y_size]
+        n_frames += 1
+        pos = plane_start + frame_size
+    fps = fn // max(fd, 1)
+    duration_ms = n_frames * 1000 * fd // max(fn, 1)
+    if first_y is None or y_size == 0:
+        vhash = 0
+    else:
+        means = []
+        for by in range(8):
+            for bx in range(8):
+                y0, y1 = by * height // 8, (by + 1) * height // 8
+                x0, x1 = bx * width // 8, (bx + 1) * width // 8
+                tot = cnt = 0
+                for row in range(y0, max(y1, y0 + 1)):
+                    seg = first_y[row * width + x0:row * width
+                                  + max(x1, x0 + 1)]
+                    tot += sum(seg)
+                    cnt += len(seg)
+                means.append(tot / max(cnt, 1))
+        grand = sum(means) / 64.0
+        bits = 0
+        for m in means:
+            bits = (bits << 1) | (1 if m >= grand else 0)
+        vhash = bits - (1 << 64) if bits >= (1 << 63) else bits
+    return width, height, n_frames, fps, duration_ms, vhash
+
+
+def decode_video(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract video rows via mapInPandas (Arrow
+    batches) — same plumbing shape as :func:`decode_images` /
+    :func:`decode_audio`. Output: VIDEO_FEATURES_SCHEMA."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                w, h, nf, fps, dur, vh = _decode_video_bytes(payload, fake)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "fps": fps,
+                        "duration_ms": dur,
+                        "n_bytes": len(payload or b""),
+                        "vhash": vh,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, VIDEO_FEATURES_SCHEMA
+    )
+
+
 def resize_spec(width_col, height_col, max_side: int = 256):
     """Column-level resize arithmetic (aspect-preserving target dims) —
     pure JVM expressions, no decode needed."""

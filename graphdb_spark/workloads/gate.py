@@ -56,7 +56,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       gapfill_locf
 - media_suite:        media_decode, media_resize, media_frames,
                       media_audio_chunks, media_image_dedup,
-                      media_audio_dedup
+                      media_audio_dedup, media_video_dedup
 - cypher_lang_suite:  cypher_case_banding, cypher_union,
                       cypher_pattern_predicate, cypher_string_predicates,
                       cypher_two_hop_distinct, cypher_undirected
@@ -239,6 +239,10 @@ COLS = {
                            ("fp", "bigint"), ("n_toks", "bigint"),
                            ("norm_len", "int")],
     "media_audio_dedup": [("ahash", "bigint"), ("sample_rate", "int"),
+                          ("duration_ms", "bigint"),
+                          ("keeper_id", "bigint"), ("n_dups", "bigint")],
+    "media_video_dedup": [("vhash", "bigint"), ("width", "int"),
+                          ("height", "int"), ("n_frames", "bigint"),
                           ("duration_ms", "bigint"),
                           ("keeper_id", "bigint"), ("n_dups", "bigint")],
     "dedup_substring_spans": [("doc_id", "bigint"),
@@ -488,7 +492,7 @@ def build_gate() -> dict:
     # -- multimodal (fake-decoder contract + pure-plan media operators)
     suite("media_suite", media, "media_decode", "media_resize",
           "media_frames", "media_audio_chunks", "media_image_dedup",
-          "media_audio_dedup")
+          "media_audio_dedup", "media_video_dedup")
     # -- text / dedup
     suite("text_doc_suite", X, "text_stats", "text_bpe_tokens",
           "lang_id_eval", "doc_fingerprint", "top_ngrams",

@@ -233,3 +233,67 @@ def test_decode_audio_fake_contract_matches_md5(spark):
     assert ns == 1000 + 256 * h[2] + h[3]
     assert dur == ns * 1000 // sr
     assert ah == int.from_bytes(h[4:12], "big", signed=True)
+
+
+def test_decode_video_real_y4m(spark):
+    """REAL video decode: construct a 3-frame 16x8 C420 Y4M payload
+    (the standard uncompressed interchange format) byte-by-byte, run
+    it through the mapInPandas decode path, and check every parsed
+    field. Two identical payloads must share a vhash (dedup works on
+    decoded luma, not container bytes); a brighter clip must differ."""
+    import graphdb_spark.operators.multimodal as MM
+
+    w, h = 16, 8
+    hdr = b"YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420jpeg\n"
+    chroma = bytes((w // 2) * (h // 2)) * 2
+    ramp = bytes(range(w * h)) + chroma
+    flat = bytes([200]) * (w * h) + chroma
+    vid = hdr + (b"FRAME\n" + ramp) * 3
+    vid_bright = hdr + (b"FRAME\n" + flat) * 2
+    media = spark.createDataFrame(
+        [(1, "video", "video/x-yuv4mpeg", bytearray(vid), None),
+         (2, "video", "video/x-yuv4mpeg", bytearray(vid), None),
+         (3, "video", "video/x-yuv4mpeg", bytearray(vid_bright), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r
+            for r in MM.decode_video(media, fake=False).collect()}
+    r1 = rows[1]
+    assert (r1["width"], r1["height"]) == (16, 8)
+    assert r1["n_frames"] == 3 and r1["fps"] == 25
+    assert r1["duration_ms"] == 3 * 1000 * 1 // 25
+    assert r1["n_bytes"] == len(vid)
+    assert rows[2]["vhash"] == r1["vhash"]  # content dedup
+    assert rows[3]["n_frames"] == 2
+    assert rows[3]["vhash"] != r1["vhash"]
+
+
+def test_decode_video_unsupported_raises(spark):
+    import pytest as _pytest
+
+    import graphdb_spark.operators.multimodal as MM
+
+    with _pytest.raises(NotImplementedError):
+        MM._decode_video_bytes(b"not a y4m stream", fake=False)
+    with _pytest.raises(NotImplementedError):
+        MM._decode_video_bytes(
+            b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + bytes(48), fake=False
+        )
+
+
+def test_decode_video_fake_contract_matches_md5(spark):
+    """The fake decoder is the SQL-replayable contract the gate's
+    DuckDB twin recomputes in nibbles."""
+    import hashlib
+
+    import graphdb_spark.operators.multimodal as MM
+
+    payload = b"vid:7"
+    h = hashlib.md5(payload).digest()
+    w, hh, nf, fps, dur, vh = MM._decode_video_bytes(payload, fake=True)
+    assert w == 160 + h[0]
+    assert hh == 120 + h[1]
+    assert nf == 10 + h[2]
+    assert fps == 24 + (h[3] % 8)
+    assert dur == nf * 1000 // fps
+    assert vh == int.from_bytes(h[4:12], "big", signed=True)
