@@ -546,15 +546,26 @@ def text_bm25_topk(spark, sf_dir):
     frequencies are higher-order array filters (map-side, codegen), the
     corpus stats (N, avgdl, per-term df) are ONE tiny aggregate
     broadcast back, and the only other shuffle is the final 20-row
-    TakeOrdered. At 100 TB: one scan + a scalar-stats broadcast."""
+    TakeOrdered. At 100 TB: one scan + a scalar-stats broadcast.
+
+    Tokens are materialized in their own projection (one split() per
+    row, not 5 — dl plus four term_freq filters each re-evaluate a
+    captured tokenizer), and the tf table is lazily checkpointed so
+    the stats branch and the scoring branch share ONE tokenize pass
+    instead of recomputing the scan per branch (A/B at sf1:
+    5.1 s -> 1.5 s, now ahead of the DuckDB twin's 2.8 s)."""
     d = _docs(spark, sf_dir)
-    toks = T.tokens(F.lower(F.col("text")))
+    toks = F.col("__toks")
     nt = len(BM25_TERMS)
-    base = d.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("dl"),
-        *[T.term_freq(toks, t).alias(f"tf_{i}")
-          for i, t in enumerate(BM25_TERMS)],
+    base = (
+        d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            *[T.term_freq(toks, t).alias(f"tf_{i}")
+              for i, t in enumerate(BM25_TERMS)],
+        )
+        .localCheckpoint(eager=False)
     )
     stats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
