@@ -24,7 +24,10 @@ cross-engine exactness tricks (decimal-exact aggregation, portable
 hashing, sequential-double dot products) hold at another 10x scale,
 with both engines reading the SAME files.
 
-Usage: python scripts/make_sf1.py [out_dir]   (default /tmp/sf1synth)
+Usage: python scripts/make_sf1.py [out_dir] [replicas]
+       (defaults /tmp/sf1synth, 10; replicas=100 builds an sf10-scale
+       set, e.g. /tmp/sf10synth — same disjoint-key construction, so
+       FK joins and within-replica dedup structure hold at 100x too)
 """
 
 from __future__ import annotations
@@ -35,7 +38,8 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = 10  # default; overridable via argv (100 -> sf10 scale)
+SRC_DOCS = 5000  # doc_id stride per replica (= sf0.1 documents count)
 
 OFFSETS = {
     "customer": {"c_custkey": 15000},
@@ -49,9 +53,10 @@ OFFSETS = {
 }
 
 
-def replicate_sql(table: str, offsets: dict[str, int], cols: list[str]) -> str:
+def replicate_sql(table: str, offsets: dict[str, int], cols: list[str],
+                  replicas: int = REPLICAS) -> str:
     parts = []
-    for i in range(REPLICAS):
+    for i in range(replicas):
         sel = ", ".join(
             f"{c} + {i * offsets[c]} AS {c}" if c in offsets else c
             for c in cols
@@ -60,13 +65,13 @@ def replicate_sql(table: str, offsets: dict[str, int], cols: list[str]) -> str:
     return " UNION ALL ".join(parts)
 
 
-def documents_sql() -> str:
+def documents_sql(replicas: int = REPLICAS) -> str:
     parts = ["SELECT doc_id, text, lang, source, n_chars FROM src"]
-    for i in range(1, REPLICAS):
+    for i in range(1, replicas):
         # per-replica token bijection: same word -> same hash within a
         # replica (near-dup structure preserved), different across
         parts.append(f"""
-SELECT doc_id + {i * 5000} AS doc_id,
+SELECT doc_id + {i * SRC_DOCS} AS doc_id,
   array_to_string(
     list_transform(string_split(text, ' '),
                    w -> substr(md5(w || 'r{i}'), 1, 8)),
@@ -76,7 +81,8 @@ FROM src""")
     return " UNION ALL ".join(parts)
 
 
-def main(out_dir: str = "/tmp/sf1synth") -> None:
+def main(out_dir: str = "/tmp/sf1synth", replicas: str | int = REPLICAS) -> None:
+    replicas = int(replicas)
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in ("region", "nation"):
@@ -88,12 +94,12 @@ def main(out_dir: str = "/tmp/sf1synth") -> None:
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'")
         cols = [r[0] for r in con.execute("DESCRIBE src").fetchall()]
         con.execute(
-            f"COPY ({replicate_sql(t, offs, cols)}) TO "
+            f"COPY ({replicate_sql(t, offs, cols, replicas)}) TO "
             f"'{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/documents.parquet'")
     con.execute(
-        f"COPY ({documents_sql()}) TO '{out_dir}/documents.parquet' "
+        f"COPY ({documents_sql(replicas)}) TO '{out_dir}/documents.parquet' "
         "(FORMAT PARQUET)"
     )
     for t in ("region nation customer supplier part orders lineitem "

@@ -1,0 +1,129 @@
+"""sf10 scale-subset bench — the 100x-from-sf0.1 scaling proof.
+
+Runs the scale-critical headliners on a 100-replica synth set
+(scripts/make_sf1.py <dir> 100: ~60M lineitem rows, 500k docs, 200k
+embeddings — same disjoint-key construction as the sf1 set, so FK
+joins and within-replica dedup structure hold) and records Spark wall
+time per query, plus DuckDB twins for an affordable subset. The point
+is the SHAPE of the scaling curve sf0.1 -> sf1 -> sf10: operators
+whose plans amortize fixed cost should grow sublinearly in the 10x
+step; anything superlinear is a scale bug.
+
+Usage: python scripts/sf10_scale_bench.py [sf10_dir]
+       (default /tmp/sf10synth; build it first with
+        python scripts/make_sf1.py /tmp/sf10synth 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Spark-only set: every scale-critical plan shape
+SPARK_QUERIES = [
+    "q1_pricing_summary",      # full-scan agg over 60M rows
+    "q5_region_revenue",       # multi-join
+    "top_customers",
+    "g_bfs_reachability",      # iterative frontier
+    "g_two_hop_count",
+    "g_adamic_adar",           # ~900M-pair explosion at sf10
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical", # fixpoint CC
+    "tfidf_cosine_pairs",      # posting-list self-join
+    "text_stats",
+    "gopher_quality",
+    "repetition_stats",
+    "text_bm25_topk",
+    "lm_bigram_score",
+    "emb_cosine_neardup",      # banded vector LSH
+    "corpus_shards",
+]
+# DuckDB twins only where a single-node run is affordable at sf10
+ORACLE_QUERIES = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "dedup_exact",
+    "text_stats",
+    "gopher_quality",
+    "text_bm25_topk",
+    "tfidf_cosine_pairs",
+    "g_adamic_adar",
+]
+RUNS = 2
+
+
+def main(sf_dir: str = "/tmp/sf10synth") -> int:
+    import duckdb
+
+    from graphdb_spark import workloads
+    from graphdb_spark.session import build_spark
+
+    spark = build_spark("sf10_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = workloads.all_unpacked_queries()
+    timings: dict[str, float | None] = {}
+    for name in SPARK_QUERIES:
+        try:
+            best = None
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                n = qs[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# spark {name}: {best:.2f}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            print(f"# spark {name}: FAILED {exc}", file=sys.stderr)
+    spark.stop()
+
+    oracles = workloads.all_unpacked_oracles()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck: dict[str, float | None] = {}
+    for name in ORACLE_QUERIES:
+        try:
+            best = None
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.sql(oracles[name]).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            duck[name] = round(best, 3)
+            print(f"# duckdb {name}: {best:.2f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            duck[name] = None
+            print(f"# duckdb {name}: FAILED {exc}", file=sys.stderr)
+
+    shared = [n for n in ORACLE_QUERIES
+              if timings.get(n) and duck.get(n)]
+    payload = {
+        "metric": "sf10_scale_subset_wall_clock",
+        "value": round(sum(v for v in timings.values() if v), 3),
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_oracle_queries": duck,
+        "duckdb_oracle_total": round(
+            sum(v for v in duck.values() if v), 3
+        ),
+        "shared_subset_spark": round(sum(timings[n] for n in shared), 3),
+        "shared_subset_duckdb": round(sum(duck[n] for n in shared), 3),
+        "sf": 10,
+        "runs_per_query": RUNS,
+    }
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(*sys.argv[1:]))
