@@ -786,10 +786,12 @@ class _Executor:
             return F.sqrt(self._col(f.args[0], numeric_hint=True))
         if n == "sign":
             return F.signum(self._col(f.args[0], numeric_hint=True)).cast("int")
+        # try_element_at: Cypher head/last of an EMPTY list is null,
+        # but plain element_at throws under Spark 4's default ANSI mode
         if n in ("head",):
-            return F.element_at(self._col(f.args[0]), 1)
+            return F.try_element_at(self._col(f.args[0]), F.lit(1))
         if n in ("last",):
-            return F.element_at(self._col(f.args[0]), -1)
+            return F.try_element_at(self._col(f.args[0]), F.lit(-1))
         if n in ("tail",):
             c = self._col(f.args[0])
             # length must not overflow int when added to start

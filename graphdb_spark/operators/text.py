@@ -33,16 +33,6 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def h60(col: Column) -> Column:
-    """Portable 60-bit hash: ('0x'+md5[:15])::bigint — an 8-byte
-    shuffle key for stages that would otherwise carry term strings.
-    60 bits keeps expected collisions ~0 at 10^7-10^8 distinct terms
-    (32-bit h64 would merge ~26k term pairs at sf1 shingle volume);
-    15 hex chars = 60 bits fits signed BIGINT in both engines.
-    Identical in DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (array<string>)."""
     return F.split(F.trim(text), r"\s+")
@@ -147,16 +137,19 @@ def shingles_from_tokens(toks: Column, k: int = 3,
     materializes the array once per row; CollapseProject leaves the
     boundary alone because the lambda references it k+1 times.
 
-    element_at per position instead of slice: slice allocates a
+    try_element_at per position instead of slice: slice allocates a
     k-element array per shingle; direct indexing is ~30% faster
     through the tf explode (measured 2.44 s -> 1.72 s at sf0.1).
-    concat_ws skips the NULLs element_at returns past the end, so
-    short docs produce the same partial shingle as the slice form."""
+    concat_ws skips the NULLs try_element_at returns past the end, so
+    short docs produce the same partial shingle as the slice form —
+    plain element_at THROWS there under Spark 4's default ANSI mode
+    (latent: the test corpora have no sub-k docs; caught by
+    test_shingles_from_tokens_equivalence's 1-token row)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1)
                                      for j in range(k)]),
     )
     return F.array_distinct(sh) if distinct else sh

@@ -436,3 +436,36 @@ def test_bucket_cap_star_links_preserve_clusters(spark):
     c_all = {(r["doc_id"], r["canonical"])
              for r in near_dup_clusters(salted, bucket_cap=None).collect()}
     assert c_cap == c_all
+
+
+def test_shingles_from_tokens_equivalence(spark):
+    """The materialized-token fast path produces exactly the same
+    shingle arrays (distinct and with-multiplicity) as the
+    convenience wrappers, including short/empty/multi-space docs."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators.text import (
+        shingles,
+        shingles_all,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    rows = [("a b c d e",), ("one two",), ("x",), ("  padded   doc  ",),
+            ("r r r r r",)]
+    df = spark.createDataFrame(rows, "text string")
+    both = df.select(
+        shingles(F.col("text")).alias("s_wrap"),
+        shingles_all(F.col("text")).alias("sa_wrap"),
+        tokens(F.lower(F.col("text"))).alias("__toks"),
+    ).select(
+        "s_wrap", "sa_wrap",
+        shingles_from_tokens(F.col("__toks"), distinct=True).alias("s_fast"),
+        shingles_from_tokens(F.col("__toks"), distinct=False).alias("sa_fast"),
+    )
+    for r in both.collect():
+        assert r["s_wrap"] == r["s_fast"]
+        assert r["sa_wrap"] == r["sa_fast"]
+    # multiplicity really differs from the distinct set on repeats
+    rep = both.collect()[-1]
+    assert len(rep["sa_fast"]) == 3 and len(rep["s_fast"]) == 1
