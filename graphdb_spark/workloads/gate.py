@@ -78,7 +78,7 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
                       stream_dedup_counts, stream_interval_join,
                       stream_user_state, stream_session_windows,
-                      stream_apply_changelog
+                      stream_apply_changelog, stream_incremental_dedup
 """
 
 from __future__ import annotations
@@ -357,6 +357,10 @@ COLS = {
                                ("session_end_ms", "bigint"),
                                ("n", "bigint"),
                                ("value_sum", "double")],
+    "stream_incremental_dedup": [("new_id", "bigint"), ("batch", "int"),
+                                 ("n_matches", "bigint"),
+                                 ("best_match", "bigint"),
+                                 ("best_est", "double")],
     "g_ktruss": [("a", "string"), ("b", "string"),
                  ("support", "bigint")],
     "numeric_profile": [("x", "string"), ("y", "string"),
@@ -470,7 +474,8 @@ def build_gate() -> dict:
     suite("stream_suite", stream_views, "stream_fold_degrees",
           "stream_windowed_counts", "stream_dedup_counts",
           "stream_interval_join", "stream_user_state",
-          "stream_session_windows", "stream_apply_changelog")
+          "stream_session_windows", "stream_apply_changelog",
+          "stream_incremental_dedup")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",

@@ -401,3 +401,26 @@ def test_apply_changelog_equals_batch_fold(spark):
     streamed = {tuple(r) for r in stream_apply_changelog(spark, sf).collect()}
     batch = {tuple(r) for r in stream_fold_degrees(spark, sf).collect()}
     assert streamed == batch and streamed
+
+
+def test_stream_incremental_dedup_batch_semantics(spark):
+    """The streaming sketch-store probe sees EXACTLY the docs of
+    strictly earlier batches: batch-0 docs are all clean-to-ingest,
+    any reported best_match precedes its prober's batch, and the
+    report covers every signed doc exactly once."""
+    from graphdb_spark.workloads.stream_views import (
+        INC_BATCH,
+        stream_incremental_dedup,
+    )
+
+    rows = stream_incremental_dedup(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    seen = [r["new_id"] for r in rows]
+    assert len(seen) == len(set(seen))  # one report row per doc
+    for r in rows:
+        assert r["batch"] == r["new_id"] // INC_BATCH
+        if r["batch"] == 0:
+            assert r["n_matches"] == 0 and r["best_match"] is None
+        if r["best_match"] is not None:
+            assert r["best_match"] // INC_BATCH < r["batch"]
+            assert r["n_matches"] >= 1 and r["best_est"] is not None
