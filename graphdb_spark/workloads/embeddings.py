@@ -678,3 +678,139 @@ FROM flat GROUP BY dim ORDER BY dim
 
 
 QUERIES["emb_dim_stats"] = (emb_dim_stats, EMB_DIM_STATS_SQL)
+
+
+# ------------------------------- MMR diverse selection (data curation)
+
+MMR_POOL = 200    # vec_id < 200 candidate pool (replica-0-stable)
+MMR_K = 10
+MMR_LAMBDA = 0.5  # exact in binary — both engines multiply the same
+MMR_QUERY = 0     # relevance anchor vector (excluded from the pool)
+
+
+def emb_mmr_selection(spark, sf_dir):
+    """Maximal-marginal-relevance selection — the training-data
+    CURATION step after dedup/quality: greedily pick K docs maximizing
+    lam*rel(d) - (1-lam)*max-sim-to-already-selected, so the selected
+    set is relevant AND diverse (Carbonell & Goldstein 1998; the
+    shape behind diversity-aware data selection in modern pipelines).
+    rel(d) = cos(d, anchor vec 0); maxsim starts at 0.0 so the score
+    formula is uniform from the first pick. Returns
+    (rank, vec_id, rel, sel_maxsim, mmr), rank = selection order.
+
+    Scale shape: K bounded driver steps. Each step is one argmax
+    (TakeOrdered(1)) over the candidate pool and one map-side column
+    update — the winner's 64-dim vector re-enters the plan as
+    LITERALS (the same bounded-collect contract as shortest-path's
+    <=1-row hit), so no join, no shuffle, no growing state; the pool
+    is scanned, never collected. At 100 TB the pool is the (already
+    deduped, quality-filtered) candidate shortlist — millions of rows
+    scanned K times map-side, exactly how distributed MMR is run.
+
+    Cross-engine exactness: dots/norms are the sequential-double
+    F.aggregate / list_reduce pattern shared by every embeddings
+    oracle here; the greedy argmax compares IDENTICAL doubles with a
+    vec_id tiebreak, and the float32 -> double widening of the
+    winner's literals is exact in both engines."""
+    from graphdb_spark.operators.similarity import _dot, _norm
+
+    e = _emb(spark, sf_dir)
+    qvec_row = (
+        e.filter(F.col("vec_id") == MMR_QUERY)
+        .select("embedding").first()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec_row["embedding"]])
+    pool = (
+        e.filter((F.col("vec_id") < MMR_POOL)
+                 & (F.col("vec_id") != MMR_QUERY))
+        .select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            (_dot(F.col("embedding"), qlit)
+             / (_norm(F.col("embedding")) * _norm(qlit))).alias("rel"),
+        )
+        .withColumn("maxsim", F.lit(0.0))
+        .localCheckpoint(eager=False)
+    )
+    lam = MMR_LAMBDA
+    picked = []
+    for rank in range(MMR_K):
+        score = F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("maxsim")
+        win = (
+            pool.select("vec_id", "embedding", "nrm", "rel", "maxsim",
+                        score.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .first()
+        )
+        picked.append((rank, win["vec_id"], win["rel"], win["maxsim"],
+                       win["mmr"]))
+        wlit = F.array(*[F.lit(float(x)) for x in win["embedding"]])
+        wnrm = float(win["nrm"])
+        pool = (
+            pool.filter(F.col("vec_id") != win["vec_id"])
+            .select(
+                "vec_id", "embedding", "nrm", "rel",
+                F.greatest(
+                    F.col("maxsim"),
+                    _dot(F.col("embedding"), wlit)
+                    / (F.col("nrm") * F.lit(wnrm)),
+                ).alias("maxsim"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        [(r, int(v), float(rel), float(ms), float(mm))
+         for r, v, rel, ms, mm in picked],
+        "rank int, vec_id bigint, rel double, sel_maxsim double, mmr double",
+    ).select(
+        "rank", "vec_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("sel_maxsim", 6).alias("sel_maxsim"),
+        F.round("mmr", 6).alias("mmr"),
+    ).orderBy("rank")
+
+
+def _mmr_sql() -> str:
+    """The greedy loop unrolled as K chained CTE layers (the
+    g_modularity/ktruss bounded-unroll technique): layer i picks the
+    argmax and folds its similarity into every survivor's maxsim."""
+    lam, k = MMR_LAMBDA, MMR_K
+    dot_q = _DOT.format(a="e.embedding", b="q.embedding", dim=DIM)
+    nrm = _SQ_SUM.format(v="e.embedding")
+    nrm_q = _SQ_SUM.format(v="q.embedding")
+    layers, finals = [], []
+    for i in range(k):
+        prev = f"m{i}"
+        dot_s = _DOT.format(a="m.embedding", b="s.embedding", dim=DIM)
+        layers.append(f"""s{i} AS (
+  SELECT *, {lam} * rel - {1 - lam} * maxsim AS mmr FROM {prev}
+  ORDER BY mmr DESC, vec_id ASC LIMIT 1
+), m{i + 1} AS (
+  SELECT m.vec_id, m.embedding, m.nrm, m.rel,
+    GREATEST(m.maxsim, {dot_s} / (m.nrm * s.nrm)) AS maxsim
+  FROM {prev} m, s{i} s WHERE m.vec_id <> s.vec_id
+)""")
+        finals.append(
+            f"SELECT {i} AS rank, vec_id, rel, maxsim, mmr FROM s{i}"
+        )
+    union = "\nUNION ALL\n".join(finals)
+    chain = ",\n".join(layers)
+    return f"""
+WITH m0 AS (
+  SELECT e.vec_id, e.embedding, sqrt({nrm}) AS nrm,
+    {dot_q} / (sqrt({nrm}) * sqrt({nrm_q})) AS rel,
+    CAST(0.0 AS DOUBLE) AS maxsim
+  FROM embeddings e, (SELECT embedding FROM embeddings
+                      WHERE vec_id = {MMR_QUERY}) q
+  WHERE e.vec_id < {MMR_POOL} AND e.vec_id <> {MMR_QUERY}
+),
+{chain}
+SELECT rank, vec_id, ROUND(rel, 6) AS rel,
+  ROUND(maxsim, 6) AS sel_maxsim, ROUND(mmr, 6) AS mmr
+FROM ({union}) ORDER BY rank
+"""
+
+
+QUERIES["emb_mmr_selection"] = (emb_mmr_selection, _mmr_sql())

@@ -74,7 +74,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_random_walks, g_modularity, g_walk_pairs,
                       g_edge_support, g_ktruss
 - emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
-                      ann_recall_eval, emb_quantize_error, emb_dim_stats
+                      ann_recall_eval, emb_quantize_error, emb_dim_stats,
+                      emb_mmr_selection
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
                       stream_dedup_counts, stream_interval_join,
                       stream_user_state, stream_session_windows,
@@ -361,6 +362,9 @@ COLS = {
                                  ("n_matches", "bigint"),
                                  ("best_match", "bigint"),
                                  ("best_est", "double")],
+    "emb_mmr_selection": [("rank", "int"), ("vec_id", "bigint"),
+                          ("rel", "double"), ("sel_maxsim", "double"),
+                          ("mmr", "double")],
     "g_ktruss": [("a", "string"), ("b", "string"),
                  ("support", "bigint")],
     "numeric_profile": [("x", "string"), ("y", "string"),
@@ -523,7 +527,7 @@ def build_gate() -> dict:
     keep(E, "emb_cosine_neardup")
     suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist",
           "semantic_dedup", "ann_recall_eval", "emb_quantize_error",
-          "emb_dim_stats")
+          "emb_dim_stats", "emb_mmr_selection")
 
     assert len(gate) <= 50, f"driver gate cap exceeded: {len(gate)}"
     return gate

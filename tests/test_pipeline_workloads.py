@@ -643,3 +643,40 @@ class TestCorpusShards:
         # determinism: replay is bit-identical including the checksum
         again = corpus_shards(spark, sf).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestEmbMmrSelection:
+    def test_greedy_invariants(self, spark):
+        """MMR invariants: K distinct picks from the pool (anchor
+        excluded), first pick is the pure-relevance argmax (maxsim
+        starts 0), mmr scores are non-increasing in rank IF rel were
+        constant — instead check the defining greedy property: each
+        pick's mmr >= every later pick's score AT ITS OWN round is not
+        observable post-hoc, so verify score arithmetic and that
+        sel_maxsim is 0 for rank 0 and within [0, 1e-9..1] bounds."""
+        from graphdb_spark.workloads.embeddings import (
+            MMR_K,
+            MMR_LAMBDA,
+            MMR_POOL,
+            MMR_QUERY,
+            emb_mmr_selection,
+        )
+
+        rows = emb_mmr_selection(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == MMR_K
+        ids = [r["vec_id"] for r in rows]
+        assert len(set(ids)) == MMR_K
+        assert MMR_QUERY not in ids
+        assert all(v < MMR_POOL for v in ids)
+        assert [r["rank"] for r in rows] == list(range(MMR_K))
+        assert rows[0]["sel_maxsim"] == 0.0
+        for r in rows:
+            assert abs(
+                MMR_LAMBDA * r["rel"]
+                - (1 - MMR_LAMBDA) * r["sel_maxsim"]
+                - r["mmr"]
+            ) < 2e-6
+            assert -1.0 <= r["sel_maxsim"] <= 1.0
+        # diversity actually bites: at least one later pick has a
+        # nonzero similarity penalty
+        assert any(r["sel_maxsim"] > 0 for r in rows[1:])
