@@ -248,18 +248,30 @@ FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
 """
 
 
+#: hot-bucket cap for the gate/bench workload — the sf10 synth set
+#: (100-way clone replication) turns every LSH bucket into a clone
+#: attack; 200 is inert at gate SF (max sf0.01 bucket is far smaller)
+#: and the SQL oracle below replays the SAME star-link semantics, so
+#: the cap itself is hash-verified, not just asserted.
+NEARDUP_BUCKET_CAP = 200
+
+
 def emb_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (banded hyperplane-LSH
     candidates, exact cosine >= 0.35) — the vector twin of
-    dedup_minhash_lsh, ordered for determinism."""
+    dedup_minhash_lsh, ordered for determinism. bucket_cap=200 star
+    links oversized buckets (VERDICT r6 scale fix); the oracle replays
+    identical capped semantics."""
     e = _emb(spark, sf_dir)
     return S.cosine_neardup_pairs(
-        e, threshold=0.35, n_bands=2, band_planes=6, dim=DIM
+        e, threshold=0.35, n_bands=2, band_planes=6, dim=DIM,
+        bucket_cap=NEARDUP_BUCKET_CAP,
     ).orderBy("id_a", "id_b")
 
 
 def _neardup_sql(threshold: float = 0.35, n_bands: int = 2,
-                 band_planes: int = 6) -> str:
+                 band_planes: int = 6,
+                 bucket_cap: int | None = NEARDUP_BUCKET_CAP) -> str:
     planes = S.hyperplanes(DIM, n_bands * band_planes)
     plane_lits = [
         "[" + ", ".join(f"{c:.1f}" for c in row) + "]" for row in planes
@@ -273,18 +285,40 @@ def _neardup_sql(threshold: float = 0.35, n_bands: int = 2,
         )
 
     band_rows = " UNION ALL ".join(
-        f"SELECT vec_id AS vid, embedding AS vec, {b} AS band, "
+        f"SELECT vec_id AS vid, {b} AS band, "
         f"CAST(({bits(b)}) AS BIGINT) AS bucket FROM embeddings"
         for b in range(n_bands)
     )
-    return f"""
-WITH keyed AS (
-  {band_rows}
+    if bucket_cap is not None:
+        cand = f"""sized AS (
+  SELECT vid, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+         MIN(vid)  OVER (PARTITION BY band, bucket) AS bmin
+  FROM keyed
+), small AS (
+  SELECT vid, band, bucket FROM sized WHERE bsz <= {bucket_cap}
+), star AS (
+  SELECT bmin AS id_a, vid AS id_b FROM sized
+  WHERE bsz > {bucket_cap} AND vid != bmin
+), allp AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM small a JOIN small b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid
 ), cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b FROM allp UNION ALL SELECT id_a, id_b FROM star
+  )
+)"""
+    else:
+        cand = """cand AS (
   SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid
-), scored AS (
+)"""
+    return f"""
+WITH keyed AS (
+  {band_rows}
+), {cand}, scored AS (
   SELECT c.id_a, c.id_b,
     ROUND({_DOT.format(a='ea.embedding', b='eb.embedding', dim=DIM)}
       / (sqrt({_SQ_SUM.format(v='ea.embedding')}) * sqrt({_SQ_SUM.format(v='eb.embedding')})), 6)

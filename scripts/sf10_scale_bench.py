@@ -54,8 +54,18 @@ ORACLE_QUERIES = [
     "text_bm25_topk",
     "tfidf_cosine_pairs",
     "g_adamic_adar",
+    # r7 additions: crossover candidates (sf1 ratios 37x / 80x / ~3x)
+    # plus the bfs twin the r6 verdict asked for evidence on
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
+    "repetition_stats",
+    "g_bfs_reachability",
+    "emb_cosine_neardup",
 ]
 RUNS = 2
+# per-twin wall budget: a DuckDB twin that spills past this is
+# recorded as infeasible-with-reason, not silently dropped
+DUCK_TIMEOUT_S = 900
 
 
 def main(sf_dir: str = "/tmp/sf10synth") -> int:
@@ -68,6 +78,9 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = workloads.all_unpacked_queries()
     timings: dict[str, float | None] = {}
+    # "no silent nulls" (VERDICT r6 item 2): every null in the payload
+    # MUST carry its reason here
+    errors: dict[str, str] = {}
     for name in SPARK_QUERIES:
         try:
             best = None
@@ -80,6 +93,7 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
             print(f"# spark {name}: {best:.2f}s rows={n}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
+            errors[f"spark:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# spark {name}: FAILED {exc}", file=sys.stderr)
     spark.stop()
 
@@ -91,18 +105,28 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     duck: dict[str, float | None] = {}
+    import threading
+
     for name in ORACLE_QUERIES:
         try:
             best = None
             for _ in range(RUNS):
-                t0 = time.perf_counter()
-                con.sql(oracles[name]).fetchall()
-                dt = time.perf_counter() - t0
+                # duckdb has no statement timeout; interrupt from a
+                # watchdog so one spilling twin can't eat the run
+                timer = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
+                timer.start()
+                try:
+                    t0 = time.perf_counter()
+                    con.sql(oracles[name]).fetchall()
+                    dt = time.perf_counter() - t0
+                finally:
+                    timer.cancel()
                 best = dt if best is None else min(best, dt)
             duck[name] = round(best, 3)
             print(f"# duckdb {name}: {best:.2f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             duck[name] = None
+            errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# duckdb {name}: FAILED {exc}", file=sys.stderr)
 
     shared = [n for n in ORACLE_QUERIES
@@ -120,6 +144,8 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
         "shared_subset_duckdb": round(sum(duck[n] for n in shared), 3),
         "sf": 10,
         "runs_per_query": RUNS,
+        # reason for every null above — empty when fully green
+        "errors": errors,
     }
     print(json.dumps(payload))
     return 0

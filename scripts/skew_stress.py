@@ -16,6 +16,13 @@ the sf0.1 data and records before/after wall time:
    bucket self-join owes 12.5M pairs from ONE key — the stress is
    whether the engine's bucket handling keeps that bounded.
 
+3. VECTOR CLONE ATTACK (r6 VERDICT: cosine_neardup_pairs failed
+   silently at sf10, whose synth set IS a 100-way clone attack):
+   5,000 copies of one embedding appended -> cosine_neardup_pairs
+   uncapped vs bucket_cap=200. Every clone shares every band bucket,
+   so uncapped owes 12.5M scored pairs from one key; the cap must
+   star-link them (4,999 pairs) and stay ~flat.
+
 Usage: python scripts/skew_stress.py [sf_dir]   (default sf0.1)
 """
 
@@ -106,12 +113,41 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         lambda: near_dup_clusters(salted),
     )
 
+    # ---- 3. vector clone attack: cosine_neardup_pairs ---------------
+    from graphdb_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    vone = emb.orderBy("vec_id").limit(1)
+    vclones = (
+        spark.range(HOT_DOCS)
+        .crossJoin(F.broadcast(vone.select("embedding")))
+        .select((F.col("id") + 5_000_000).alias("vec_id"), "embedding")
+    )
+    vsalted = emb.unionByName(vclones)
+    base_vec = timed(
+        "cosine_neardup baseline (cap=200)",
+        lambda: cosine_neardup_pairs(emb, bucket_cap=200),
+    )
+    skew_vec = timed(
+        f"cosine_neardup + {HOT_DOCS} clones (uncapped)",
+        lambda: cosine_neardup_pairs(vsalted),
+    )
+    cap_vec = timed(
+        f"cosine_neardup + clones, bucket_cap=200",
+        lambda: cosine_neardup_pairs(vsalted, bucket_cap=200),
+    )
+
     print(
         f"\nsummary: adamic {base_aa:.2f}->{skew_aa:.2f}s "
         f"({skew_aa / base_aa:.2f}x), lsh uncapped {base_lsh:.2f}->"
         f"{skew_lsh:.2f}s ({skew_lsh / base_lsh:.2f}x), lsh capped "
         f"{cap_lsh:.2f}s ({cap_lsh / base_lsh:.2f}x), cluster "
-        f"{base_cc:.2f}->{skew_cc:.2f}s ({skew_cc / base_cc:.2f}x)"
+        f"{base_cc:.2f}->{skew_cc:.2f}s ({skew_cc / base_cc:.2f}x), "
+        f"vec uncapped {base_vec:.2f}->{skew_vec:.2f}s "
+        f"({skew_vec / base_vec:.2f}x), vec capped {cap_vec:.2f}s "
+        f"({cap_vec / base_vec:.2f}x)"
     )
     spark.stop()
     return 0

@@ -190,6 +190,48 @@ def test_cosine_neardup_pairs(spark):
     assert all(a < b for a, b in got)
     assert all(v >= 0.95 for v in got.values())
 
+    # an un-hit bucket_cap must be a no-op (exact semantics preserved)
+    capped = {(r["id_a"], r["id_b"]): r["cos_sim"]
+              for r in S.cosine_neardup_pairs(
+                  e, threshold=0.95, n_bands=2, band_planes=4, dim=16,
+                  bucket_cap=100
+              ).collect()}
+    assert capped == got
+
+
+def test_cosine_neardup_bucket_cap_star_links(spark):
+    """Clone attack (the sf10 failure mode, VERDICT r6): s identical
+    vectors share every band bucket and owe s(s-1)/2 pairs uncapped.
+    With bucket_cap < s the bucket must emit exactly s-1 STAR links
+    (bucket-min -> member) — connectivity preserved, quadratic work
+    gone — and clones still score cos_sim = 1.0."""
+    import random
+
+    random.seed(7)
+    base = [random.uniform(-1, 1) for _ in range(16)]
+    clones = [(i, base) for i in range(50)]
+    # far-away singleton that must be unaffected by the cap
+    other = [(900, [-x for x in base]), (901, [-x * 1.1 for x in base])]
+    e = spark.createDataFrame(clones + other,
+                              "vec_id bigint, embedding array<float>")
+    capped = S.cosine_neardup_pairs(
+        e, threshold=0.95, n_bands=2, band_planes=4, dim=16, bucket_cap=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # star fan: exactly min-id -> each other clone, nothing quadratic
+    assert {(0, i) for i in range(1, 50)} <= pairs
+    assert all(a == 0 for a, b in pairs if b < 900), \
+        "capped clone bucket leaked a non-star pair"
+    # negated pair lives in its own (small) bucket: exact all-pairs kept
+    assert (900, 901) in pairs
+    assert all(r["cos_sim"] == 1.0 for r in capped
+               if r["id_a"] == 0)  # clones are exact dups
+    # uncapped on the same data is quadratic: 50*49/2 clone pairs
+    n_unc = S.cosine_neardup_pairs(
+        e, threshold=0.95, n_bands=2, band_planes=4, dim=16
+    ).count()
+    assert n_unc == 50 * 49 // 2 + 1
+
 
 def test_edit_verified_pairs_filters_candidates(docs, spark):
     """Verify stage must confirm true near-dups and drop candidates
