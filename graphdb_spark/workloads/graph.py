@@ -359,8 +359,8 @@ def g_bfs_reachability(spark, sf_dir):
     """BFS from one customer over PLACED+CONTAINS, depth <= 2
     (operators/traversal.bfs, oracle-checked against a recursive CTE).
     Via GraphSession.bfs so the memoized max-branch bound lets the
-    short traversal take the one-action unrolled plan; graphs where
-    the bound is too big fall back to the iterative probe loop."""
+    hops run as frontier-pushdown IN-predicate scans; graphs where
+    the bound is too big fall back to the distributed probe loop."""
     g = graph_session(spark, sf_dir)
     return (
         g.bfs("c_1", max_depth=2, direction="out")

@@ -254,17 +254,18 @@ def test_top_ngrams_partial_agg_topk(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_unrolled_bfs_plans_broadcast_only(spark, sf_dir):
-    """The provably-bounded unrolled BFS must be ONE lazy plan whose
-    hop joins are all broadcast hash joins — no sort-merge exchange of
-    the edge table, no per-hop probe artifacts (checkpoint scans)."""
+def test_bounded_bfs_fully_reduced_result_plan(spark, sf_dir):
+    """The branch-bounded BFS runs its hops as IN-predicate scans
+    (frontier pushdown) and assembles the result driver-side, so the
+    RESULT plan must be a local relation — no join, no exchange, no
+    rescan of the edge relation when the caller's action runs."""
     from graphdb_spark.workloads.graph import graph_session
 
     g = graph_session(spark, sf_dir)
     df = g.bfs("c_1", max_depth=2, direction="out")
     plan = plan_of(df)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "Exchange" not in plan
+    assert "FileScan" not in plan and "InMemoryTableScan" not in plan
 
 
 def test_substring_dup_plan_no_cartesian_partial_agg(spark, sf_dir):

@@ -26,6 +26,64 @@ def test_bfs_depths(chain_graph):
     assert got == {"a": 0, "b": 1, "c": 2, "x": 2, "d": 3, "e": 4}
 
 
+def test_bfs_two_hops_per_round_matches(chain_graph):
+    """hops_per_round=2 (fused probe rounds) must be result-identical
+    to the per-hop loop at even AND odd depths, including the cycle.
+    frontier_pushdown off so the DISTRIBUTED loops are what's compared
+    (pushdown would absorb a unit-scale graph entirely)."""
+    for depth in (1, 2, 3, 4, 5, 10):
+        one = {(r["id"], r["depth"])
+               for r in T.bfs(chain_graph, "a", max_depth=depth,
+                              max_branch=2, hops_per_round=1,
+                              frontier_pushdown=False).collect()}
+        two = {(r["id"], r["depth"])
+               for r in T.bfs(chain_graph, "a", max_depth=depth,
+                              max_branch=2, hops_per_round=2,
+                              frontier_pushdown=False).collect()}
+        assert one == two, f"fused BFS diverged at max_depth={depth}"
+
+
+def test_bfs_pushdown_matches_distributed(chain_graph):
+    """The phase-1 frontier-predicate pushdown (driver-side visited
+    set, IN-list hops) must be result-identical to the distributed
+    loop, including cycle termination and early frontier exhaustion."""
+    for depth in (1, 2, 3, 5, 10):
+        push = {(r["id"], r["depth"])
+                for r in T.bfs(chain_graph, "a", max_depth=depth,
+                               max_branch=2).collect()}
+        dist = {(r["id"], r["depth"])
+                for r in T.bfs(chain_graph, "a", max_depth=depth,
+                               frontier_pushdown=False).collect()}
+        assert push == dist, f"pushdown BFS diverged at max_depth={depth}"
+
+
+def test_bfs_pushdown_hands_off_mid_traversal(spark):
+    """When the branch bound outgrows ISIN_FRONTIER_MAX mid-traversal,
+    phase 1 must hand its visited/frontier state to the distributed
+    loop without dropping or double-counting a layer."""
+    import graphdb_spark.operators.traversal as tr
+
+    edges = [("a", "N", f"b{i}") for i in range(3)]
+    edges += [(f"b{i}", "N", f"c{j}") for i in range(3) for j in range(4)]
+    edges += [(f"c{j}", "N", "d") for j in range(4)]
+    df = spark.createDataFrame(
+        [(s, r, d, {}) for s, r, d in edges],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    expected = {(r["id"], r["depth"])
+                for r in T.bfs(df, "a", max_depth=3,
+                               frontier_pushdown=False).collect()}
+    orig = tr.ISIN_FRONTIER_MAX
+    tr.ISIN_FRONTIER_MAX = 8   # hop1 fits (1*4 <= 8), hop2 doesn't (3*4)
+    try:
+        got = {(r["id"], r["depth"])
+               for r in T.bfs(df, "a", max_depth=3, max_branch=4).collect()}
+    finally:
+        tr.ISIN_FRONTIER_MAX = orig
+    assert got == expected
+
+
 def test_bfs_max_depth_caps(chain_graph):
     got = {r["id"]: r["depth"] for r in T.bfs(chain_graph, "a", max_depth=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "x": 2}
@@ -232,10 +290,9 @@ class TestMultiSourceBfs:
 
 
 def test_bfs_unrolled_matches_iterative(spark):
-    """The provably-bounded one-action unrolled BFS must return exactly
+    """A branch-bounded BFS (pushdown fast path) must return exactly
     the iterative loop's (id, min-depth) rows — including on a cyclic
-    graph, where the unrolled plan re-expands visited vertices but the
-    min(depth) collapse keeps the BFS layering."""
+    graph."""
     from graphdb_spark.datamodel import local_df
     from graphdb_spark.operators.traversal import bfs
 
