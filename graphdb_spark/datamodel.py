@@ -128,6 +128,22 @@ def local_df(spark, data, schema):
     return spark.createDataFrame(data, schema)
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp registered for atexit removal. Workload staging dirs
+    (stream sources, checkpoint locations, format-roundtrip output) are
+    read by the LAZY DataFrames the workloads return, so a finally-
+    block rmtree would delete files the caller's action still needs;
+    interpreter-exit cleanup is the earliest safe point, and it keeps
+    repeated gate/bench runs from accumulating table copies in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def empty_vertices(spark):
     return local_df(spark, [], VERTEX_SCHEMA)
 

@@ -214,7 +214,8 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            min_est: float = 0.0,
                            sig: DataFrame | None = None,
-                           bucket_cap: int | None = None) -> DataFrame:
+                           bucket_cap: int | None = None,
+                           mark_capped: bool = False) -> DataFrame:
     """MinHash LSH: band the 16-slot signature into 4 bands of 4; any
     pair sharing a band key is a candidate; estimated similarity =
     fraction of agreeing signature slots. At scale the band join
@@ -236,7 +237,14 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     pairs that only co-occur in capped buckets are not emitted — the
     standard oversized-bucket approximation, so the default None
     keeps exact all-pairs semantics (real corpus buckets top out at
-    19 docs through sf1; the cap only exists for adversarial mass)."""
+    19 docs through sf1; the cap only exists for adversarial mass).
+
+    ``mark_capped``: append a boolean ``__capped`` column — true iff
+    the pair exists ONLY through star links of over-cap buckets (i.e.
+    it is part of the approximation, not the exact candidate set).
+    Callers that default a cap use it to WARN when the cap actually
+    fired, so approximate output is never silently indistinguishable
+    from exact (ADVICE r6)."""
     if sig is None:
         sig = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(
             eager=False
@@ -271,7 +279,18 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         ).select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        pairs = allp.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
+        if mark_capped:
+            # min over {star=true, all-pairs=false}: a pair also seen
+            # in a small bucket is exact, so only star-ONLY pairs flag.
+            # Same pair-key shuffle as the dropDuplicates it replaces.
+            pairs = (
+                allp.withColumn("__capped", F.lit(False))
+                .unionByName(star.withColumn("__capped", F.lit(True)))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.min("__capped").alias("__capped"))
+            )
+        else:
+            pairs = allp.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
     else:
         a = buckets.alias("a")
         b = buckets.alias("b")
@@ -298,6 +317,11 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     matches = sum(
         F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
     )
+    out_cols = ["doc_a", "doc_b", "est_jaccard"]
+    if mark_capped:
+        if bucket_cap is None:
+            pairs = pairs.withColumn("__capped", F.lit(False))
+        out_cols.append("__capped")
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -306,7 +330,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
             F.round(matches / F.lit(float(len(mh_cols))), 6),
         )
         .filter(F.col("est_jaccard") >= min_est)
-        .select("doc_a", "doc_b", "est_jaccard")
+        .select(*out_cols)
     )
 
 
@@ -441,24 +465,50 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
     if pairs is None:
         pairs = minhash_lsh_candidates(docs, text_col, id_col, k,
                                        sig=sig,
-                                       bucket_cap=bucket_cap).filter(
+                                       bucket_cap=bucket_cap,
+                                       mark_capped=bucket_cap is not None
+                                       ).filter(
             F.col("est_jaccard") >= min_est
         )
+    from graphdb_spark.operators.traversal import _maybe_broadcast, _rightsize
+
+    # ONE materialization job yields the pair count (sym = 2× it) AND,
+    # when a cap is in force, how many pairs are star-link
+    # approximations — so a defaulted cap that actually fires is
+    # WARNED about instead of silently changing semantics (ADVICE r6).
+    pairs = pairs.localCheckpoint(eager=False)
+    if "__capped" in pairs.columns:
+        stats = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__capped").cast("long")).alias("nc"),
+        ).first()
+        n_pairs, n_capped = stats["n"], stats["nc"] or 0
+        if n_capped:
+            import warnings
+
+            warnings.warn(
+                f"near_dup_clusters: {n_capped} of {n_pairs} candidate "
+                f"pairs come only from star links of LSH buckets over "
+                f"bucket_cap={bucket_cap}; clusters through those "
+                f"buckets are connectivity-preserving approximations "
+                f"of the exact all-pairs result",
+                stacklevel=2,
+            )
+        pairs = pairs.drop("__capped")
+    else:
+        n_pairs = pairs.count()
     sym = (
         pairs.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("nbr"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("id"), F.col("doc_a").alias("nbr"))
         )
-        .localCheckpoint(eager=False)
     )
     # labels/sym are checkpoint-RDD-backed (no size stats): Spark would
     # SMJ-shuffle both sides every iteration. Label tables are bounded
     # by the duplicate-doc count — broadcast them while provably small,
     # and right-size the checkpointed partitions to the measured counts
     # (same adaptive rules as operators.traversal).
-    from graphdb_spark.operators.traversal import _maybe_broadcast, _rightsize
-
-    sym = _rightsize(sym, sym.count())
+    sym = _rightsize(sym, 2 * n_pairs)
     # iteration 0 fused into the init: label = min(id, min neighbor) —
     # one grouped agg instead of identity labels + a full join round
     labels = (

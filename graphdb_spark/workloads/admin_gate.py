@@ -826,7 +826,7 @@ def format_roundtrip(spark, sf_dir):
     predicate-pushdown capable; JSON/CSV splittable uncompressed), so
     the audit generalizes to big tables; the checksum agg is one
     partial-aggregated pass per format."""
-    import tempfile  # noqa: PLC0415
+    from graphdb_spark.datamodel import scratch_dir  # noqa: PLC0415
 
     from graphdb_spark.operators.text import h64  # noqa: PLC0415
     from graphdb_spark.sources.tpch import load_tables  # noqa: PLC0415
@@ -838,7 +838,7 @@ def format_roundtrip(spark, sf_dir):
     outs = []
     # per-invocation dir: a fixed shared path made concurrent gate +
     # bench runs overwrite each other's output mid-read (flaky sums)
-    fmt_dir = tempfile.mkdtemp(prefix="graphdb_gate_fmt_")
+    fmt_dir = scratch_dir(prefix="graphdb_gate_fmt_")
     for fmt in ("orc", "json", "csv"):
         path = f"{fmt_dir}/{fmt}"
         w = nation.write.mode("overwrite").format(fmt)

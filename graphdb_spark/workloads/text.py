@@ -757,7 +757,13 @@ def tfidf_cosine_pairs(spark, sf_dir):
             F.sum("ww").cast("double").alias("dot"),
         )
     )
-    # norms scale with |docs| (~10 MB at sf1) — broadcast both sides
+    # norms scale with |docs| (one 16-byte row per doc, ~10 MB at sf1;
+    # ~100 MB at sf100) — same caveat as df_tab above: broadcast is
+    # right at any bench SF, and on a 100 TB corpus this hint is the
+    # ONE line to drop (pairs and norms then meet in a shuffle join on
+    # doc id; the count job an informed _maybe_broadcast needs would
+    # cost more here than the hint it guards, because norms' lineage
+    # is the whole posting exchange)
     na = F.broadcast(norms.select(F.col("doc_id").alias("doc_a"),
                                   F.col("nrm").alias("na")))
     nb = F.broadcast(norms.select(F.col("doc_id").alias("doc_b"),

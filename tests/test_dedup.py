@@ -472,12 +472,56 @@ def test_bucket_cap_star_links_preserve_clusters(spark):
         F.col("doc_a").isin(clone_ids) & F.col("doc_b").isin(clone_ids)
     )
     assert up.count() == 41 * 40 // 2
-    # clustering over star links = clustering over all-pairs
-    c_cap = {(r["doc_id"], r["canonical"])
-             for r in near_dup_clusters(salted, bucket_cap=10).collect()}
-    c_all = {(r["doc_id"], r["canonical"])
-             for r in near_dup_clusters(salted, bucket_cap=None).collect()}
+    # clustering over star links = clustering over all-pairs, AND a
+    # cap that actually fires must WARN (never silently approximate)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        c_cap = {(r["doc_id"], r["canonical"])
+                 for r in near_dup_clusters(salted, bucket_cap=10).collect()}
+    assert any("star links" in str(w.message) for w in caught), \
+        "over-cap bucket fired without a warning"
+    with warnings.catch_warnings(record=True) as caught_none:
+        warnings.simplefilter("always")
+        c_all = {(r["doc_id"], r["canonical"])
+                 for r in near_dup_clusters(salted, bucket_cap=None).collect()}
+    assert not any("star links" in str(w.message) for w in caught_none)
     assert c_cap == c_all
+
+
+def test_minhash_capped_flag_marks_star_only_pairs(spark):
+    """mark_capped: pairs that exist only through an over-cap bucket's
+    star links flag __capped=true; pairs also present in a small
+    bucket stay false; with no cap the column is constant false."""
+    from pyspark.sql import functions as F
+
+    from graphdb_spark.operators.dedup import minhash_lsh_candidates
+    from graphdb_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    one = docs.orderBy("doc_id").limit(1)
+    clones = (
+        spark.range(20)
+        .crossJoin(F.broadcast(one.select("text")))
+        .select((F.col("id") + 5_000_000).alias("doc_id"), "text")
+    )
+    salted = docs.unionByName(clones)
+    flagged = minhash_lsh_candidates(salted, bucket_cap=10,
+                                     mark_capped=True)
+    assert "__capped" in flagged.columns
+    star = flagged.filter(F.col("__capped"))
+    base_id = one.first()["doc_id"]
+    # every clone star-links to the bucket minimum (= base_id, the
+    # corpus min id); genuine corpus near-dups sharing the hot bucket
+    # may add more star rows, but all must radiate from the minimum
+    assert star.filter(F.col("doc_b") >= 5_000_000).count() == 20
+    assert star.filter(F.col("doc_a") != F.lit(base_id)).count() == 0
+    # uncapped: same call shape, constant-false flag
+    unflagged = minhash_lsh_candidates(salted, mark_capped=True)
+    assert unflagged.filter(F.col("__capped")).count() == 0
 
 
 def test_shingles_from_tokens_equivalence(spark):
