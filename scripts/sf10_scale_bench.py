@@ -24,6 +24,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# sf10 on one JVM wants a real heap: the adamic pair exchange alone
+# is ~25 GB and the graph cache ~8 GB; 16g (the sf0.1 default) sat on
+# the GC cliff and OOM'd once the r7 run added more cached state.
+# Must be set before the JVM launches (build_spark reads it).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
 # Spark-only set: every scale-critical plan shape
 SPARK_QUERIES = [
     "q1_pricing_summary",      # full-scan agg over 60M rows
