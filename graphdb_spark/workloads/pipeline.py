@@ -276,11 +276,15 @@ def contamination_overlap(spark, sf_dir):
     d = _docs(spark, sf_dir, spread=True).filter(
         T.token_count(F.col("text")) >= NGRAM_K
     )
+    # tokens materialized before the gram lambda (capture rule)
     grams = d.select(
+        "doc_id", T.tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(T.ngram_texts(F.col("text"), NGRAM_K))
-        ).alias("g"),
+        F.explode(F.array_distinct(
+            T.shingles_from_tokens(F.col("__toks"), NGRAM_K,
+                                   distinct=False)
+        )).alias("g"),
     ).select("doc_id", T.h64(F.col("g")).alias("h"))
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)

@@ -408,8 +408,14 @@ def top_ngrams(spark, sf_dir):
     a 20-row ordered take; at 100 TB the shuffle carries only the
     per-partition partial counts of surviving grams)."""
     d = _docs(spark, sf_dir, spread=True)
-    grams = d.filter(T.token_count(F.col("text")) >= 2).select(
-        F.explode(T.ngram_texts(F.lower(F.col("text")), k=2)).alias("gram")
+    # tokens materialized before the gram lambda (the engine-wide
+    # capture rule: an inline tokenizer re-runs per gram position)
+    grams = (
+        d.filter(T.token_count(F.col("text")) >= 2)
+        .select(T.tokens(F.lower(F.col("text"))).alias("__toks"))
+        .select(F.explode(
+            T.shingles_from_tokens(F.col("__toks"), 2, distinct=False)
+        ).alias("gram"))
     )
     return (
         grams.groupBy("gram")
