@@ -67,6 +67,14 @@ ORACLE_QUERIES = [
     "repetition_stats",
     "g_bfs_reachability",
     "emb_cosine_neardup",
+    # r7b: the last untwinned headliners — measured once off-harness
+    # (two_hop 0.35s / top_customers 0.05s / lm_bigram 7.54s /
+    # corpus_shards 1.21s, NOTES r7); kept in the list so future
+    # artifact runs carry them
+    "g_two_hop_count",
+    "top_customers",
+    "lm_bigram_score",
+    "corpus_shards",
 ]
 RUNS = 2
 # per-twin wall budget: a DuckDB twin that spills past this is
