@@ -57,6 +57,31 @@ def test_bfs_pushdown_matches_distributed(chain_graph):
         assert push == dist, f"pushdown BFS diverged at max_depth={depth}"
 
 
+def test_bfs_pushdown_respects_direction_and_type(spark, chain_graph):
+    """Pushdown hops must apply the direction flip and relationship
+    filter exactly like the distributed step (both route through
+    _edges_step, but the IN-filter path is the one that would silently
+    widen results if it filtered after the hop instead of before)."""
+    got_in = {(r["id"], r["depth"])
+              for r in T.bfs(chain_graph, "c", max_depth=2,
+                             direction="in", max_branch=2).collect()}
+    exp_in = {(r["id"], r["depth"])
+              for r in T.bfs(chain_graph, "c", max_depth=2,
+                             direction="in",
+                             frontier_pushdown=False).collect()}
+    assert got_in == exp_in
+    e = spark.createDataFrame(
+        [("a", "KNOWS", "b", {}), ("b", "WORKS", "c", {}),
+         ("b", "KNOWS", "d", {})],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    got_t = {(r["id"], r["depth"])
+             for r in T.bfs(e, "a", max_depth=3, t="KNOWS",
+                            max_branch=2).collect()}
+    assert got_t == {("a", 0), ("b", 1), ("d", 2)}
+
+
 def test_bfs_pushdown_hands_off_mid_traversal(spark):
     """When the branch bound outgrows ISIN_FRONTIER_MAX mid-traversal,
     phase 1 must hand its visited/frontier state to the distributed
