@@ -139,7 +139,8 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
                          n_bands: int = 2, band_planes: int = 6,
                          dim: int = 64, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         bucket_cap: int | None = None) -> DataFrame:
+                         bucket_cap: int | None = None,
+                         warn_on_cap: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the vector-space twin
     of MinHash-LSH dedup (reference scope: near-dup removal in a
     training-data pipeline). Banded random-hyperplane LSH: each vector
@@ -164,7 +165,11 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
     non-star pairs that only co-occur in capped buckets are not
     emitted. Default None keeps exact all-pairs candidates; the gate
     workload passes 200 and its SQL oracle replays the SAME star-link
-    semantics, so the approximation itself is oracle-verified.
+    semantics, so the approximation itself is oracle-verified. When a
+    cap is set and actually fires, ``warn_on_cap`` (default True)
+    emits a warning with the over-cap bucket and star-pair counts —
+    same observability contract as ``dedup.near_dup_clusters``
+    (ADVICE r7) — at the cost of one id-only aggregate job.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b."""
     planes = hyperplanes(dim, n_bands * band_planes)
@@ -196,6 +201,35 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
              F.col("bk.bucket").alias("bucket"))
     if bucket_cap is not None:
         from pyspark.sql.window import Window
+
+        # Cap observability (ADVICE r7): the minhash path warns via
+        # near_dup_clusters when its cap fires; the vector path must
+        # not silently diverge from exact semantics either. One cheap
+        # aggregate over the id-only keyed rows (pre-shuffle cost is a
+        # fraction of the candidate join this call is about to pay)
+        # counts over-cap buckets and the star pairs they degrade to.
+        if warn_on_cap:
+            capped = (
+                keyed.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("s"))
+                .filter(F.col("s") > bucket_cap)
+                .agg(
+                    F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum(F.col("s") - 1).alias("n_star_pairs"),
+                )
+                .first()
+            )
+            if capped["n_buckets"]:
+                import warnings
+
+                warnings.warn(
+                    f"cosine_neardup_pairs: {capped['n_buckets']} LSH "
+                    f"bucket(s) exceed bucket_cap={bucket_cap}; those "
+                    f"buckets emit {capped['n_star_pairs']} star links "
+                    f"instead of all-pairs — connectivity-preserving "
+                    f"approximation of the exact result",
+                    stacklevel=2,
+                )
 
         w = Window.partitionBy("band", "bucket")
         sized = keyed.select(

@@ -452,15 +452,21 @@ def repetition_stats(spark, sf_dir):
         ).alias("gs"),
     )
     zero = F.lit(0).cast("bigint")
+    # the sentinel accumulator seeds prev as NULL, not "" — a sorted
+    # gram array whose first element were the empty string must start
+    # a new run, never merge with the seed (ADVICE r7; unreachable
+    # with the current space-joined tokenizer, but the invariant
+    # should not depend on that)
     acc0 = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(None).cast("string").alias("prev"),
         zero.alias("run"),
         zero.alias("best"),
         zero.alias("nd"),
     )
 
     def step(acc, x):
-        same = x == acc["prev"]
+        # NULL-safe: prev IS NULL (first element) compares not-same
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
         run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
         return F.struct(
             x.alias("prev"),

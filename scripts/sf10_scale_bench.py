@@ -122,26 +122,49 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
     import threading
 
     for name in ORACLE_QUERIES:
-        try:
-            best = None
-            for _ in range(RUNS):
-                # duckdb has no statement timeout; interrupt from a
-                # watchdog so one spilling twin can't eat the run
-                timer = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
-                timer.start()
-                try:
-                    t0 = time.perf_counter()
-                    con.sql(oracles[name]).fetchall()
-                    dt = time.perf_counter() - t0
-                finally:
-                    timer.cancel()
+        best = None
+        run_errs: list[str] = []
+        for _ in range(RUNS):
+            # duckdb has no statement timeout; interrupt from a
+            # watchdog so one spilling twin can't eat the run. The
+            # done-flag closes the completion race (ADVICE r7): once
+            # the statement finishes, a late-firing timer must NOT
+            # interrupt the next statement on the shared connection.
+            done = threading.Event()
+
+            def _watchdog(done=done):
+                if not done.is_set():
+                    con.interrupt()
+
+            timer = threading.Timer(DUCK_TIMEOUT_S, _watchdog)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.sql(oracles[name]).fetchall()
+                done.set()
+                dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001
+                done.set()
+                run_errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            finally:
+                timer.cancel()
+        if best is not None:
+            # a single interrupted/failed run no longer discards a
+            # completed run's timing (ADVICE r7): keep the best
+            # completed measurement, note the failures separately
             duck[name] = round(best, 3)
-            print(f"# duckdb {name}: {best:.2f}s", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
+            if run_errs:
+                errors[f"duckdb:{name}"] = (
+                    "partial (best completed run kept): "
+                    + "; ".join(run_errs)
+                )[:500]
+            print(f"# duckdb {name}: {best:.2f}s"
+                  + (" (partial)" if run_errs else ""), file=sys.stderr)
+        else:
             duck[name] = None
-            errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# duckdb {name}: FAILED {exc}", file=sys.stderr)
+            errors[f"duckdb:{name}"] = "; ".join(run_errs)[:500]
+            print(f"# duckdb {name}: FAILED {run_errs}", file=sys.stderr)
 
     shared = [n for n in ORACLE_QUERIES
               if timings.get(n) and duck.get(n)]

@@ -233,6 +233,35 @@ def test_cosine_neardup_bucket_cap_star_links(spark):
     assert n_unc == 50 * 49 // 2 + 1
 
 
+def test_cosine_neardup_cap_warning(spark):
+    """A firing bucket_cap must be observable (ADVICE r7) — same
+    contract as near_dup_clusters: warn with over-cap bucket and
+    star-pair counts; stay silent when the cap is unhit or the caller
+    opted out with warn_on_cap=False."""
+    import random
+    import warnings
+
+    random.seed(7)
+    base = [random.uniform(-1, 1) for _ in range(16)]
+    e = spark.createDataFrame([(i, base) for i in range(30)],
+                              "vec_id bigint, embedding array<float>")
+
+    def run(**kw):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            S.cosine_neardup_pairs(
+                e, threshold=0.95, n_bands=2, band_planes=4, dim=16, **kw
+            ).count()
+        return [str(x.message) for x in rec
+                if "cosine_neardup_pairs" in str(x.message)]
+
+    fired = run(bucket_cap=10)
+    assert fired and "star links" in fired[0] and "bucket_cap=10" in fired[0]
+    assert not run(bucket_cap=1000)          # cap present but unhit
+    assert not run(bucket_cap=10, warn_on_cap=False)  # explicit opt-out
+    assert not run()                          # no cap at all
+
+
 def test_edit_verified_pairs_filters_candidates(docs, spark):
     """Verify stage must confirm true near-dups and drop candidates
     whose edit distance is too large despite shingle overlap."""
