@@ -95,6 +95,64 @@ def read_bucketed(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_adjacency(vertices: DataFrame, edges: DataFrame, name: str,
+                    buckets: int = 32) -> dict:
+    """Dual bucketed adjacency layout — the Spark twin of the
+    reference's forward + reversed edge indexes
+    (lib/src/rdb/managers.rs:233-240: EdgeRangeManager bucketed by
+    outbound id, EdgeRangeManager::new_reversed by inbound id) and its
+    id-keyed vertex store.
+
+    Three bucketed, bucket-sorted tables:
+
+    - ``{name}_v``      vertices bucketed+sorted by ``id``
+    - ``{name}_e_out``  edges bucketed+sorted by ``src`` (forward)
+    - ``{name}_e_in``   edges bucketed+sorted by ``dst`` (reversed)
+
+    What this buys at scale: a traversal hop is ``edges ⋈ frontier``
+    on src (OUT) or dst (IN). Over plain parquet a non-broadcast hop
+    exchanges BOTH sides; over this layout the edge relation's scan
+    already satisfies the join's required distribution, so only the
+    frontier (ids, one column) moves — exchanges per hop drop 2→1 and
+    the multi-TB side never reshuffles. ``groupBy(src)`` degree
+    aggregates likewise plan with no exchange at all. The write cost
+    is paid once; break-even is a handful of joins (measured 3.4 at
+    sf10, BENCH_sf10_bucketed.json).
+
+    Each table is repartitioned to exactly ``buckets`` partitions on
+    its bucket key before the write so every bucket is ONE file —
+    required for the scan to report the sortBy order (multi-file
+    buckets force a per-partition re-sort) and for one-task-per-bucket
+    reads. Storing edges twice doubles storage — the same trade the
+    reference makes with its two edge-range column families.
+    """
+    specs = {
+        f"{name}_v": (vertices, "id"),
+        f"{name}_e_out": (edges, "src"),
+        f"{name}_e_in": (edges, "dst"),
+    }
+    for table, (df, key) in specs.items():
+        (
+            df.repartition(buckets, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+    return {t: k for t, (_, k) in specs.items()}
+
+
+def load_adjacency(spark, name: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(vertices, edges_by_src, edges_by_dst) from ``write_adjacency``
+    tables. The two edge frames hold identical rows; pick by join key."""
+    return (
+        spark.table(f"{name}_v"),
+        spark.table(f"{name}_e_out"),
+        spark.table(f"{name}_e_in"),
+    )
+
+
 def write_partitioned(df: DataFrame, path: str, *cols: str):
     """Persist hive-style directory-partitioned parquet
     (``path/col=value/...``). At 100 TB this is the first line of

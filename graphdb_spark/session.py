@@ -105,6 +105,7 @@ class GraphSession:
         self.strict_indexing = strict_indexing
         self._indexed: set[str] = set()
         self._mutation_count = 0
+        self._e_by_key: dict = {}  # use_bucketed_layout fills this
         self._register_views()
 
     # ------------------------------------------------------------ state
@@ -163,6 +164,52 @@ class GraphSession:
         # state changed in place: drop memos derived from the old state
         # (the translator's materialized frontiers would be STALE DATA,
         # the executor's label counts a stale broadcast decision)
+        self._frontier_cache = {}
+        self._label_count_cache = None
+        self._branch_cache = {}
+        self._cypher_plan_cache = {}
+        # a mutation invalidates any adopted bucketed layout: the
+        # written tables describe the PREVIOUS state. The canonical
+        # _v/_e frames (just swapped) stay correct; hops simply lose
+        # the exchange-elision until use_bucketed_layout() is re-run.
+        self._e_by_key = {}
+        self._register_views()
+        return self
+
+    def use_bucketed_layout(self, name: str = "graph_adj",
+                            buckets: int = 32, write: bool = True,
+                            cache: bool = False) -> "GraphSession":
+        """Adopt the dual bucketed adjacency layout
+        (``partitioning.write_adjacency``): vertices bucketed by id,
+        edges stored twice — bucketed by src (forward) and by dst
+        (reversed) — the Spark twin of the reference's forward +
+        reversed edge indexes (rdb/managers.rs:233-240).
+
+        After adoption, every traversal hop joins the copy bucketed on
+        its own key, so non-broadcast hops exchange only the frontier
+        (the edge relation's scan satisfies the join's required
+        distribution), and ``groupBy(src)`` degree aggregates plan
+        with zero exchange. ``write=False`` re-attaches tables a prior
+        call (or another session) already wrote. ``cache=True``
+        additionally caches the three frames — cached bucketed scans
+        keep their output partitioning because build_spark pins
+        canChangeCachedPlanOutputPartitioning=false semantics (Spark
+        default).
+
+        Layout is an *optimization contract*, not state: mutations via
+        set_state invalidate it (hops fall back to the canonical
+        frames) — re-run after bulk loads, like a REINDEX."""
+        from graphdb_spark import partitioning as P
+
+        if write:
+            P.write_adjacency(self._v, self._e, name, buckets)
+        v, e_out, e_in = P.load_adjacency(self.spark, name)
+        if cache:
+            v, e_out, e_in = v.cache(), e_out.cache(), e_in.cache()
+        self._v = v
+        self._e = e_out  # canonical scan order: forward copy
+        self._e_by_key = {"src": e_out, "dst": e_in}
+        # frames changed identity: derived memos are stale
         self._frontier_cache = {}
         self._label_count_cache = None
         self._branch_cache = {}
@@ -226,6 +273,7 @@ class GraphSession:
             strict_indexing=self.strict_indexing, indexed=self._indexed,
             hot_endpoints=getattr(self, "_hot_endpoints", None),
             frontier_cache=self._frontier_cache,
+            edges_by_key=getattr(self, "_e_by_key", None),
         )
 
     def enable_skew_salting(self, threshold: int = 1000):
@@ -358,7 +406,16 @@ class GraphSession:
             direction: str = "out"):
         from graphdb_spark.operators.traversal import bfs
 
-        return bfs(self._e, start_id, max_depth, t, direction,
+        # directed traversals read the copy bucketed+sorted on their
+        # hop key when a layout is adopted: phase-1's `src IN (...)`
+        # pushdown then prunes sorted row groups, and phase-2's
+        # non-broadcast hops skip the edge-side exchange
+        by_key = getattr(self, "_e_by_key", None) or {}
+        e = by_key.get(
+            "src" if direction == "out"
+            else "dst" if direction == "in" else "", self._e
+        )
+        return bfs(e, start_id, max_depth, t, direction,
                    max_branch=self.max_branch(direction))
 
     def shortest_path(self, src_id: str, dst_id: str, max_depth: int = 5,

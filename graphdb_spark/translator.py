@@ -65,9 +65,17 @@ class Translator:
                  strict_indexing: bool = False, indexed: set | None = None,
                  hot_endpoints: dict | None = None,
                  informed_broadcast: bool = True,
-                 frontier_cache: dict | None = None):
+                 frontier_cache: dict | None = None,
+                 edges_by_key: dict | None = None):
         self.v = vertices
         self.e = edges
+        # dual bucketed adjacency (partitioning.write_adjacency): maps
+        # join key -> edge frame pre-bucketed on that key. A hop that
+        # joins on "src" reads the forward copy, "dst" the reversed —
+        # the Spark twin of the reference's forward/reversed edge
+        # indexes (rdb/managers.rs:233-240). Same rows either way;
+        # absent keys fall back to the canonical edge frame.
+        self.edges_by_key = edges_by_key or {}
         self.strict_indexing = strict_indexing
         self.indexed = indexed if indexed is not None else set()
         # skew profile: {"src": hot-src-id DF, "dst": hot-dst-id DF}
@@ -222,6 +230,10 @@ class Translator:
                     q.inner, (A.SpecificVertex, A.RangeVertex)
                 )
                 key = "src" if q.direction == A.Direction.OUT else "dst"
+                # direction-appropriate bucketed copy: the hop join's
+                # required distribution is satisfied by the scan, so a
+                # non-broadcast hop exchanges only the frontier ids
+                E = self.edges_by_key.get(key, E)
                 hot = self.hot_endpoints.get(key)
                 if small_frontier:
                     ids = F.broadcast(ids)

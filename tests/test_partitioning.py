@@ -146,3 +146,143 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert f"event_type = {one_type}" in plan or "isnotnull(event_type" in plan
     want = ev.filter(F.col("event_type") == one_type).count()
     assert q.count() == want
+
+
+# ---------------------------------------------------------------- adjacency
+
+
+@pytest.fixture()
+def adj_graph(spark):
+    """Small random-ish graph: 60 customers -> 300 orders -> parts."""
+    from graphdb_spark.session import GraphSession
+
+    verts = (
+        [(f"c_{i}", "customer",
+          {"mktsegment": "BUILDING" if i % 3 == 0 else "AUTO"})
+         for i in range(60)]
+        + [(f"o_{i}", "order", {}) for i in range(300)]
+        + [(f"p_{i}", "part", {}) for i in range(40)]
+    )
+    edges = (
+        [(f"c_{i % 60}", "PLACED", f"o_{i}", {}) for i in range(300)]
+        + [(f"o_{i}", "CONTAINS", f"p_{(i * 7) % 40}", {}) for i in range(300)]
+    )
+    v = spark.createDataFrame(
+        verts, "id string, label string, properties map<string,string>"
+    )
+    e = spark.createDataFrame(
+        edges,
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    return GraphSession(spark, v, e, assume_integrity=True)
+
+
+def _drop_adj(spark, name):
+    for suffix in ("_v", "_e_out", "_e_in"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+def test_adjacency_layout_preserves_results(spark, adj_graph):
+    """use_bucketed_layout is a pure layout change: every pipe query
+    (out-hop, in-hop, 2-hop count, degree groupBy) returns exactly the
+    plain-layout answer, and a mutation drops the layout (stale tables
+    must not serve the new state)."""
+    from graphdb_spark.algebra import Q
+
+    g = adj_graph
+    two_hop = (
+        Q.vertices_with_property_value("mktsegment", "BUILDING")
+        .outbound(t="PLACED").inbound().outbound(t="CONTAINS").inbound()
+        .count()
+    )
+    one_hop = (
+        Q.vertices_with_property_value("mktsegment", "BUILDING")
+        .outbound(t="PLACED").inbound()
+    )
+    rev_hop = Q.specific_vertices("o_1", "o_2", "o_3").inbound(
+        t="PLACED").outbound()
+
+    plain_two = g.get(two_hop)[-1].count
+    plain_one = sorted(r["id"] for r in g.df(one_hop).collect())
+    plain_rev = sorted(r["id"] for r in g.df(rev_hop).collect())
+    plain_deg = sorted(
+        map(tuple, g.df(Q.edges()).groupBy("src").count().collect())
+    )
+    try:
+        g.use_bucketed_layout("t_adj_test", buckets=4)
+        assert g._e_by_key  # adopted
+        assert g.get(two_hop)[-1].count == plain_two
+        assert sorted(r["id"] for r in g.df(one_hop).collect()) == plain_one
+        assert sorted(r["id"] for r in g.df(rev_hop).collect()) == plain_rev
+        assert sorted(
+            map(tuple, g.df(Q.edges()).groupBy("src").count().collect())
+        ) == plain_deg
+        # bfs over the layout matches too (forward copy, depth map)
+        assert (
+            sorted(map(tuple, g.bfs("c_0", max_depth=2).collect()))
+            == sorted(map(tuple, adj_graph.bfs("c_0", max_depth=2).collect()))
+        )
+        # mutation invalidates: layout tables describe the old state
+        g.set_state(edges=g.edges.limit(0))
+        assert not g._e_by_key
+        assert g.get(Q.edges().count())[-1].count == 0
+    finally:
+        _drop_adj(spark, "t_adj_test")
+
+
+def test_adjacency_layout_elides_edge_exchange(spark, adj_graph):
+    """The layout's reason to exist: a NON-broadcast hop over the
+    bucketed copy must not exchange the edge relation — only the
+    frontier ids move — and a groupBy(src) degree aggregate over the
+    forward copy plans with zero Exchange. Plain parquet frames plan
+    more exchanges for the identical query."""
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.translator import Translator
+
+    g = adj_graph
+    try:
+        g.use_bucketed_layout("t_adj_plan", buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def hop_plan(v, e, by_key):
+            tr = Translator(v, e, informed_broadcast=False,
+                            edges_by_key=by_key)
+            df = tr.df(Q.vertices().outbound(t="PLACED"))
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        plain = hop_plan(adj_graph_plain_v(spark), adj_graph_plain_e(spark),
+                         None)
+        bucketed = hop_plan(g.vertices, g.edges, g._e_by_key)
+        # plain: both sides exchange; bucketed: at most the frontier
+        assert plain.count("Exchange") >= 2, plain
+        assert bucketed.count("Exchange") < plain.count("Exchange"), bucketed
+        # the edges scan feeds the join with NO exchange in between:
+        # every Exchange in the bucketed plan sits on the vertex side
+        deg_plan = (
+            g.edges.groupBy("src").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in deg_plan, deg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        _drop_adj(spark, "t_adj_plan")
+
+
+def adj_graph_plain_v(spark):
+    verts = (
+        [(f"c_{i}", "customer", {}) for i in range(60)]
+        + [(f"o_{i}", "order", {}) for i in range(300)]
+    )
+    return spark.createDataFrame(
+        verts, "id string, label string, properties map<string,string>"
+    )
+
+
+def adj_graph_plain_e(spark):
+    edges = [(f"c_{i % 60}", "PLACED", f"o_{i}", {}) for i in range(300)]
+    return spark.createDataFrame(
+        edges,
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
