@@ -746,27 +746,9 @@ def emb_mmr_selection(spark, sf_dir):
     oracle here; the greedy argmax compares IDENTICAL doubles with a
     vec_id tiebreak, and the float32 -> double widening of the
     winner's literals is exact in both engines."""
-    from graphdb_spark.operators.similarity import _dot, _norm
+    from graphdb_spark.operators.similarity import _dot
 
-    e = _emb(spark, sf_dir)
-    qvec_row = (
-        e.filter(F.col("vec_id") == MMR_QUERY)
-        .select("embedding").first()
-    )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec_row["embedding"]])
-    pool = (
-        e.filter((F.col("vec_id") < MMR_POOL)
-                 & (F.col("vec_id") != MMR_QUERY))
-        .select(
-            "vec_id",
-            "embedding",
-            _norm(F.col("embedding")).alias("nrm"),
-            (_dot(F.col("embedding"), qlit)
-             / (_norm(F.col("embedding")) * _norm(qlit))).alias("rel"),
-        )
-        .withColumn("maxsim", F.lit(0.0))
-        .localCheckpoint(eager=False)
-    )
+    pool = _mmr_pool(spark, sf_dir)
     lam = MMR_LAMBDA
     picked = []
     for rank in range(MMR_K):
@@ -848,3 +830,153 @@ FROM ({union}) ORDER BY rank
 
 
 QUERIES["emb_mmr_selection"] = (emb_mmr_selection, _mmr_sql())
+
+
+MMR_BATCH = 5  # picks per round: ceil(K/B)=2 driver rounds vs K=10
+
+
+def _mmr_pool(spark, sf_dir):
+    """Shared candidate-pool construction for both MMR variants:
+    (vec_id, embedding, nrm, rel, maxsim=0) with rel = cos(d, anchor)
+    — anchor collected once as literals (bounded: one 64-dim row)."""
+    from graphdb_spark.operators.similarity import _dot, _norm
+
+    e = _emb(spark, sf_dir)
+    qvec_row = (
+        e.filter(F.col("vec_id") == MMR_QUERY)
+        .select("embedding").first()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec_row["embedding"]])
+    return (
+        e.filter((F.col("vec_id") < MMR_POOL)
+                 & (F.col("vec_id") != MMR_QUERY))
+        .select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            (_dot(F.col("embedding"), qlit)
+             / (_norm(F.col("embedding")) * _norm(qlit))).alias("rel"),
+        )
+        .withColumn("maxsim", F.lit(0.0))
+        .localCheckpoint(eager=False)
+    )
+
+
+def emb_mmr_batched(spark, sf_dir):
+    """Batched MMR — the at-scale variant of ``emb_mmr_selection``
+    (SCALE.md): instead of K sequential argmax jobs, each round takes
+    the TOP-B rows by the current MMR score in ONE job, then folds all
+    B winners' similarities into every survivor's maxsim in one
+    map-side pass. ceil(K/B) driver rounds instead of K — at 100 TB,
+    where each round is a full scan of the candidate shortlist, this
+    divides the number of scans by B.
+
+    Semantics (the standard batched approximation): members of the
+    same batch are scored against the selection state at the START of
+    the round — they do not see each other. Rank within a batch =
+    (score desc, vec_id asc), so the total order is deterministic.
+    Greedy MMR is the B=1 special case; the A/B vs the greedy loop
+    (jobs, wall, selection overlap) is recorded in NOTES.
+
+    Scale shape: each round is one TakeOrdered(B) job over the pool
+    (never collected) plus one narrow column update; the B winners'
+    64-dim vectors re-enter the plan as literals — the same bounded-
+    collect contract as the greedy loop, B*64 doubles per round."""
+    from graphdb_spark.operators.similarity import _dot
+
+    pool = _mmr_pool(spark, sf_dir)
+    lam = MMR_LAMBDA
+    picked = []
+    while len(picked) < MMR_K:
+        b = min(MMR_BATCH, MMR_K - len(picked))
+        score = F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("maxsim")
+        wins = (
+            pool.select("vec_id", "embedding", "nrm", "rel", "maxsim",
+                        score.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(b)
+            .collect()
+        )
+        sims = []
+        win_ids = []
+        for win in wins:
+            picked.append((len(picked), win["vec_id"], win["rel"],
+                           win["maxsim"], win["mmr"]))
+            wlit = F.array(*[F.lit(float(x)) for x in win["embedding"]])
+            sims.append(_dot(F.col("embedding"), wlit)
+                        / (F.col("nrm") * F.lit(float(win["nrm"]))))
+            win_ids.append(win["vec_id"])
+        pool = (
+            pool.filter(~F.col("vec_id").isin(win_ids))
+            .select(
+                "vec_id", "embedding", "nrm", "rel",
+                F.greatest(F.col("maxsim"), *sims).alias("maxsim"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        [(r, int(v), float(rel), float(ms), float(mm))
+         for r, v, rel, ms, mm in picked],
+        "rank int, vec_id bigint, rel double, sel_maxsim double, mmr double",
+    ).select(
+        "rank", "vec_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("sel_maxsim", 6).alias("sel_maxsim"),
+        F.round("mmr", 6).alias("mmr"),
+    ).orderBy("rank")
+
+
+def _mmr_batched_sql() -> str:
+    """Batched greedy unrolled as ceil(K/B) chained CTE layers: layer
+    r picks the top-B by score (rank = batch offset + in-batch
+    position), then folds MAX over the B winners' similarities into
+    every survivor's maxsim (GROUP BY survivor, winners cross-joined
+    and excluded by id)."""
+    lam, k, bsz = MMR_LAMBDA, MMR_K, MMR_BATCH
+    dot_q = _DOT.format(a="e.embedding", b="q.embedding", dim=DIM)
+    nrm = _SQ_SUM.format(v="e.embedding")
+    nrm_q = _SQ_SUM.format(v="q.embedding")
+    dot_s = _DOT.format(a="m.embedding", b="s.embedding", dim=DIM)
+    layers, finals = [], []
+    off = 0
+    r = 0
+    while off < k:
+        b = min(bsz, k - off)
+        prev = f"m{r}"
+        score = f"{lam} * rel - {1 - lam} * maxsim"
+        layers.append(f"""s{r} AS (
+  SELECT *, {score} AS mmr,
+    ROW_NUMBER() OVER (ORDER BY ({score}) DESC, vec_id ASC) - 1 AS bpos
+  FROM {prev} ORDER BY mmr DESC, vec_id ASC LIMIT {b}
+), m{r + 1} AS (
+  SELECT m.vec_id, m.embedding, m.nrm, m.rel,
+    GREATEST(m.maxsim, MAX({dot_s} / (m.nrm * s.nrm))) AS maxsim
+  FROM {prev} m, s{r} s
+  WHERE m.vec_id NOT IN (SELECT vec_id FROM s{r})
+  GROUP BY m.vec_id, m.embedding, m.nrm, m.rel, m.maxsim
+)""")
+        finals.append(
+            f"SELECT CAST({off} + bpos AS INT) AS rank, vec_id, rel,"
+            f" maxsim, mmr FROM s{r}"
+        )
+        off += b
+        r += 1
+    union = "\nUNION ALL\n".join(finals)
+    chain = ",\n".join(layers)
+    return f"""
+WITH m0 AS (
+  SELECT e.vec_id, e.embedding, sqrt({nrm}) AS nrm,
+    {dot_q} / (sqrt({nrm}) * sqrt({nrm_q})) AS rel,
+    CAST(0.0 AS DOUBLE) AS maxsim
+  FROM embeddings e, (SELECT embedding FROM embeddings
+                      WHERE vec_id = {MMR_QUERY}) q
+  WHERE e.vec_id < {MMR_POOL} AND e.vec_id <> {MMR_QUERY}
+),
+{chain}
+SELECT rank, vec_id, ROUND(rel, 6) AS rel,
+  ROUND(maxsim, 6) AS sel_maxsim, ROUND(mmr, 6) AS mmr
+FROM ({union}) ORDER BY rank
+"""
+
+
+QUERIES["emb_mmr_batched"] = (emb_mmr_batched, _mmr_batched_sql())

@@ -73,9 +73,9 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       g_assortativity, g_adamic_adar, g_jaccard_links,
                       g_random_walks, g_modularity, g_walk_pairs,
                       g_edge_support, g_ktruss
-- emb_stats_suite:    emb_norms, emb_centroid_dist, semantic_dedup,
-                      ann_recall_eval, emb_quantize_error, emb_dim_stats,
-                      emb_mmr_selection
+- emb_stats_suite:    emb_norms, emb_centroid_dist, emb_mmr_batched,
+                      semantic_dedup, ann_recall_eval, emb_quantize_error,
+                      emb_dim_stats, emb_mmr_selection
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
                       stream_dedup_counts, stream_interval_join,
                       stream_user_state, stream_session_windows,
@@ -365,6 +365,9 @@ COLS = {
     "emb_mmr_selection": [("rank", "int"), ("vec_id", "bigint"),
                           ("rel", "double"), ("sel_maxsim", "double"),
                           ("mmr", "double")],
+    "emb_mmr_batched": [("rank", "int"), ("vec_id", "bigint"),
+                        ("rel", "double"), ("sel_maxsim", "double"),
+                        ("mmr", "double")],
     "g_ktruss": [("a", "string"), ("b", "string"),
                  ("support", "bigint")],
     "numeric_profile": [("x", "string"), ("y", "string"),
@@ -526,6 +529,7 @@ def build_gate() -> dict:
     keep(E, "ann_ivf_topk")
     keep(E, "emb_cosine_neardup")
     suite("emb_stats_suite", E, "emb_norms", "emb_centroid_dist",
+          "emb_mmr_batched",
           "semantic_dedup", "ann_recall_eval", "emb_quantize_error",
           "emb_dim_stats", "emb_mmr_selection")
 

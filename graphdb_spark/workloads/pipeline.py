@@ -1049,46 +1049,54 @@ def lm_bigram_score(spark, sf_dir):
     corpus; the hashed-feature formulation is the same one DSIR uses,
     so both share the explode→bucket→count shape.)
 
-    Scale shape: one explode to bigram rows, ONE hash aggregate to
-    (doc_id, b1, b12) counts; both LM count tables re-aggregate from
-    that table and join back as a broadcast bounded by the bucket
-    space (<= 256·1024 rows regardless of corpus size — at 100 TB the
-    model is still ~256k rows). Per-bigram NLL is rounded then summed
-    as decimal(18,6) so doc scores are partition-order independent;
-    ln() on identical doubles is bit-identical cross-engine (the
-    bm25/adamic/dsir trick)."""
+    ZERO-corpus-shuffle plan (r8 rewrite; the old version pinned a
+    full-width (doc_id, b1, b12) repartition — the one corpus-sized
+    exchange — and sf10 ran 12.9 s vs the DuckDB twin's 7.5 s):
+    tokens are hashed ONCE into a per-doc int-pair array map-side
+    (the repetition_stats recipe), and that checkpointed frame feeds
+    both passes. The model pass explodes it into a groupBy(b1, b12)
+    whose map-side combine bounds the exchange at <= 256·1024 rows
+    per partition regardless of corpus size (at 100 TB the model is
+    still ~256k rows); context counts re-aggregate from the PINNED
+    262k-row pair table, never from the corpus. The scoring pass
+    explodes again, joins the broadcast model, and partial-aggregates
+    by doc_id — a doc's occurrence rows never leave the partition
+    that generated them, so that exchange carries one row per doc.
+    Per-bigram NLL is rounded to decimal(18,6) then summed, so doc
+    scores are partition-order independent and summing per occurrence
+    equals the old cnt*nll exactly; ln() on identical doubles is
+    bit-identical cross-engine (the bm25/adamic/dsir trick)."""
     d = _docs(spark, sf_dir, spread=True)
+    # tokens materialize in their own projection (engine-wide
+    # lambda-capture rule) before the gram lambda references them
     base = d.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") >= 2)
-    w1 = F.element_at("toks", F.col("i"))
-    w2 = F.element_at("toks", F.col("i") + 1)
-    bi = base.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    gr = base.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
-        "toks",
-    ).select(
-        "doc_id",
-        (T.h64(w1) % LM_CTX_BUCKETS).alias("b1"),
-        (T.h64(F.concat_ws(" ", w1, w2)) % LM_BIGRAM_BUCKETS)
-        .alias("b12"),
-    )
-    # the single corpus-sized shuffle; everything below derives from
-    # it. Pinned to full width (byte-light/CPU-heavy — AQE would
-    # coalesce the 300k-row exchange to one task) and lazily
-    # checkpointed so its THREE consumers (pair counts, context
-    # counts, the scoring join) share one materialization instead of
-    # leaning on ReusedExchange through three different aggregates
-    # (A/B sf0.1: 2.3 s -> 1.6 s; sf1 within noise).
-    n_part = max(spark.sparkContext.defaultParallelism, 8)
-    db = (
-        bi.repartition(n_part, "doc_id", "b1", "b12")
-        .groupBy("doc_id", "b1", "b12")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        F.transform(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+            lambda w, i: F.struct(
+                (T.h64(w) % LM_CTX_BUCKETS).alias("b1"),
+                (
+                    T.h64(
+                        F.concat_ws(
+                            " ", w,
+                            F.element_at(F.col("__toks"), i + F.lit(2)),
+                        )
+                    )
+                    % LM_BIGRAM_BUCKETS
+                ).alias("b12"),
+            ),
+        ).alias("grams"),
+    ).localCheckpoint(eager=False)
+    pair = (
+        gr.select(F.explode("grams").alias("g"))
+        .groupBy(F.col("g.b1").alias("b1"), F.col("g.b12").alias("b12"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
         .localCheckpoint(eager=False)
     )
-    pair = db.groupBy("b1", "b12").agg(F.sum("cnt").alias("n12"))
-    ctx = db.groupBy("b1").agg(F.sum("cnt").alias("n1"))
+    ctx = pair.groupBy("b1").agg(F.sum("n12").alias("n1"))
     w = pair.join(ctx, "b1").select(
         "b1",
         "b12",
@@ -1101,13 +1109,14 @@ def lm_bigram_score(spark, sf_dir):
         ).cast("decimal(18,6)").alias("nll"),
     )
     scored = (
-        db.join(F.broadcast(w), ["b1", "b12"])
+        gr.select("doc_id", F.explode("grams").alias("g"))
+        .select("doc_id", F.col("g.b1").alias("b1"),
+                F.col("g.b12").alias("b12"))
+        .join(F.broadcast(w), ["b1", "b12"])
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(F.col("cnt") * F.col("nll")), 6)
-            .cast("double")
-            .alias("nll_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("nll"), 6).cast("double").alias("nll_total"),
         )
         .select(
             "doc_id",

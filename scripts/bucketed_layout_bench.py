@@ -1,23 +1,25 @@
-"""Bucketed-layout demonstration (VERDICT r6 item 4) — bench-only.
+"""Bucketed-layout demonstration (VERDICT r6 item 4, extended per
+VERDICT r7 items 1 & 6 with the graph heads) — bench-only.
 
 SCALE.md claims "layout does the indexing": tables bucketed on their
 join key let repeated fact joins skip the shuffle entirely (bucket
 join — zero Exchange). partitioning.py proves the zero-Exchange plan
-in a unit test; this script measures what that is WORTH on the
-relational heads' fact join at sf10 (60M lineitem ⋈ 15M orders on
-orderkey), on the same data the scale bench uses.
+in a unit test; this script measures what that is WORTH at sf10, on
+the same data the scale bench uses:
 
-Three measurements, best-of-N each:
-1. plain parquet join   — both sides shuffle on the key (the default)
-2. bucketed-table join  — both sides pre-bucketed on the key: the
-   join plans with ZERO Exchange (asserted from the physical plan)
-3. the one-time bucketing write cost (the honest denominator: layout
-   pays off only across repeated joins)
-
-The join body is the q5/q3 fact-join shape: orders ⋈ lineitem on
-orderkey, grouped aggregate over the joined rows. Dimension pruning
-(region/nation broadcasts) is deliberately absent — it's orthogonal
-to layout and would mask the shuffle being measured.
+1. the relational fact join (60M lineitem ⋈ 15M orders on orderkey):
+   plain parquet vs pre-bucketed tables, plus the one-time bucketing
+   write cost (the honest denominator — layout pays off only across
+   repeated joins).
+2. the GRAPH HEADS on the dual src/dst-bucketed adjacency
+   (GraphSession.use_bucketed_layout — the Spark twin of the
+   reference's forward + reversed edge indexes): g_one_hop,
+   g_two_hop_count, g_degree_topk, g_bfs_reachability run through the
+   EXACT workload code paths, plain cached frames vs adopted layout,
+   with result-equality asserted between the phases.
+3. the adamic pair-generation A/B reading dst-bucketed int edges
+   (VERDICT r7 item 6 — recorded either way; the pair exchange, not
+   the dst-keyed stages, is expected to dominate).
 
 Usage: python scripts/bucketed_layout_bench.py [sf_dir] [buckets]
        (defaults /tmp/sf10synth, 32)
@@ -32,6 +34,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# graph cache + bucketed frames + adamic pair exchange on one JVM
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 
 RUNS = 2
 
@@ -103,11 +108,7 @@ def main(sf_dir: str = "/tmp/sf10synth", buckets: int = 32) -> int:
     # still exchanges on its own (different) key
     bucketed_exchanges = bplan.count("Exchange")
 
-    payload = {
-        "metric": "bucketed_layout_fact_join",
-        "unit": "sec",
-        "sf_dir": sf_dir,
-        "buckets": buckets,
+    fact = {
         "plain_join_sec": round(plain, 3),
         "bucketed_join_sec": round(bucketed, 3),
         "speedup": round(plain / bucketed, 2),
@@ -118,13 +119,125 @@ def main(sf_dir: str = "/tmp/sf10synth", buckets: int = 32) -> int:
         ),
         "plain_plan_exchanges": plain_exchanges,
         "bucketed_plan_exchanges": bucketed_exchanges,
-        "runs_per_query": RUNS,
     }
-    print(json.dumps(payload))
     for t in ("ord_bucketed", "li_bucketed"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    graph = graph_heads_section(spark, sf_dir, buckets)
+    adamic = adamic_pair_gen_section(spark, sf_dir, buckets, F)
+
+    payload = {
+        "metric": "bucketed_layout_bench",
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "buckets": buckets,
+        "runs_per_query": RUNS,
+        "fact_join": fact,
+        "graph_heads": graph,
+        "adamic_pair_gen": adamic,
+    }
+    print(json.dumps(payload))
     spark.stop()
     return 0
+
+
+def _exchanges(df) -> int:
+    return (
+        df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+
+
+def graph_heads_section(spark, sf_dir: str, buckets: int) -> dict:
+    """Run the graph headliners through their EXACT workload code —
+    the module session cache is primed with our GraphSession so
+    g_one_hop / g_two_hop_count / g_degree_topk / g_bfs_reachability
+    execute unmodified — first on plain cached frames, then after
+    use_bucketed_layout() flips the SAME session in place. Result
+    equality between phases is asserted per head."""
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.sources.tpch import tpch_graph
+    from graphdb_spark.workloads import graph as GW
+
+    v, e = tpch_graph(spark, sf_dir)
+    gs = GraphSession(spark, v.cache(), e.cache(), assume_integrity=True)
+    GW._GRAPH_CACHE[(id(spark.sparkContext), sf_dir)] = gs
+
+    heads = {
+        "g_one_hop": GW.g_one_hop,
+        "g_two_hop_count": GW.g_two_hop_count,
+        "g_degree_topk": GW.g_degree_topk,
+        "g_bfs_reachability": GW.g_bfs_reachability,
+    }
+    # exchange counts only where the head returns the live plan
+    # (two_hop/bfs materialize internally — their returned frames
+    # don't expose the traversal plan)
+    plan_heads = {"g_one_hop", "g_degree_topk"}
+    out: dict = {"heads": {}}
+    checks: dict = {}
+    for name, fn in heads.items():
+        out["heads"][name] = {
+            "plain_sec": round(
+                timed(f"plain   {name}",
+                      lambda fn=fn: fn(spark, sf_dir).count()), 3),
+        }
+        if name in plan_heads:
+            out["heads"][name]["plain_exchanges"] = _exchanges(
+                fn(spark, sf_dir))
+        checks[name] = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    t0 = time.perf_counter()
+    gs.use_bucketed_layout("bench_adj", buckets=buckets, cache=True)
+    out["write_adjacency_sec"] = round(time.perf_counter() - t0, 3)
+    print(f"# one-time adjacency write: {out['write_adjacency_sec']:.2f}s",
+          file=sys.stderr, flush=True)
+    # plain frames no longer referenced by the session
+    v.unpersist(), e.unpersist()
+
+    for name, fn in heads.items():
+        r = out["heads"][name]
+        r["bucketed_sec"] = round(
+            timed(f"bucketed {name}",
+                  lambda fn=fn: fn(spark, sf_dir).count()), 3)
+        if name in plan_heads:
+            r["bucketed_exchanges"] = _exchanges(fn(spark, sf_dir))
+        r["speedup"] = round(r["plain_sec"] / r["bucketed_sec"], 2)
+        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert got == checks[name], f"{name}: plain != bucketed results"
+    out["results_identical"] = True
+    for t in ("bench_adj_v", "bench_adj_e_out", "bench_adj_e_in"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def adamic_pair_gen_section(spark, sf_dir: str, buckets: int, F) -> dict:
+    """adamic_adar's input stages are dst-keyed (degree groupBy +
+    weight join + pair self-join all on dst); A/B the whole operator
+    reading plain parquet ints vs a dst-bucketed edge table."""
+    from graphdb_spark.operators.analytics import adamic_adar
+    from graphdb_spark.partitioning import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(F.col("l_orderkey").alias("src"),
+                  F.col("l_partkey").alias("dst"))
+    plain = timed(
+        "adamic pair-gen plain",
+        lambda: adamic_adar(e, max_degree=1000, top_k=20).count(),
+    )
+    t0 = time.perf_counter()
+    write_bucketed(e, "adj_int_dst", "dst", buckets)
+    write_cost = time.perf_counter() - t0
+    eb = spark.table("adj_int_dst")
+    bucketed = timed(
+        "adamic pair-gen dst-bucketed",
+        lambda: adamic_adar(eb, max_degree=1000, top_k=20).count(),
+    )
+    spark.sql("DROP TABLE IF EXISTS adj_int_dst")
+    return {
+        "plain_sec": round(plain, 3),
+        "dst_bucketed_sec": round(bucketed, 3),
+        "speedup": round(plain / bucketed, 2),
+        "one_time_bucketing_write_sec": round(write_cost, 3),
+    }
 
 
 if __name__ == "__main__":

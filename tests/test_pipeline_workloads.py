@@ -680,3 +680,53 @@ class TestEmbMmrSelection:
         # diversity actually bites: at least one later pick has a
         # nonzero similarity penalty
         assert any(r["sel_maxsim"] > 0 for r in rows[1:])
+
+
+class TestEmbMmrBatched:
+    def test_batched_invariants_and_overlap(self, spark):
+        """Batched MMR (SCALE.md's at-scale variant): same pool/K as
+        the greedy loop but ceil(K/B) rounds of top-B picks. Checks
+        the batched-specific invariants — every member of round 0's
+        batch carries maxsim=0 (scored against the round-START state),
+        in-batch rank order is (score desc, vec_id asc) — plus the
+        score arithmetic shared with the greedy variant, and that the
+        two selections substantially overlap (the approximation trades
+        within-batch diversity, not wholesale selection quality)."""
+        from graphdb_spark.workloads.embeddings import (
+            MMR_BATCH,
+            MMR_K,
+            MMR_LAMBDA,
+            MMR_POOL,
+            MMR_QUERY,
+            emb_mmr_batched,
+            emb_mmr_selection,
+        )
+
+        rows = emb_mmr_batched(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == MMR_K
+        ids = [r["vec_id"] for r in rows]
+        assert len(set(ids)) == MMR_K
+        assert MMR_QUERY not in ids
+        assert all(v < MMR_POOL for v in ids)
+        assert [r["rank"] for r in rows] == list(range(MMR_K))
+        # the whole first batch is scored against the empty selection
+        first_batch = rows[:MMR_BATCH]
+        assert all(r["sel_maxsim"] == 0.0 for r in first_batch)
+        # first batch = pure-relevance top-B, so mmr (= lam*rel) is
+        # non-increasing within it with the vec_id tiebreak
+        for a, b in zip(first_batch, first_batch[1:]):
+            assert (a["mmr"], -a["vec_id"]) >= (b["mmr"], -b["vec_id"])
+        for r in rows:
+            assert abs(
+                MMR_LAMBDA * r["rel"]
+                - (1 - MMR_LAMBDA) * r["sel_maxsim"]
+                - r["mmr"]
+            ) < 2e-6
+        # later batches see the earlier picks' similarity penalty
+        assert any(r["sel_maxsim"] > 0 for r in rows[MMR_BATCH:])
+        greedy = emb_mmr_selection(spark, "/root/testdata/sf0.001").collect()
+        overlap = len(set(ids) & {r["vec_id"] for r in greedy})
+        # greedy's first pick is batched's first pick by construction;
+        # demand substantial (not total) agreement beyond that
+        assert rows[0]["vec_id"] == greedy[0]["vec_id"]
+        assert overlap >= MMR_K // 2
