@@ -23,6 +23,14 @@ the sf0.1 data and records before/after wall time:
    so uncapped owes 12.5M scored pairs from one key; the cap must
    star-link them (4,999 pairs) and stay ~flat.
 
+4. BUCKETED LAYOUT UNDER HUB SKEW (r7 VERDICT item 7): bucketing
+   edges by dst sends a hub dst's 50k rows to ONE bucket file/scan
+   task — the concentration a skewed bucket key can cause. Measured:
+   groupBy(dst) degree (bucketed elides the exchange; the hub bucket
+   is just a fatter scan task) and adamic_adar reading dst-bucketed
+   edges (the cap prunes the hub during candidate prep exactly as on
+   plain parquet). Both should stay ~flat hub vs no-hub.
+
 Usage: python scripts/skew_stress.py [sf_dir]   (default sf0.1)
 """
 
@@ -139,6 +147,31 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         lambda: cosine_neardup_pairs(vsalted, bucket_cap=200),
     )
 
+    # ---- 4. bucketed layout under hub skew (r7 VERDICT item 7) ------
+    from graphdb_spark.partitioning import write_bucketed
+
+    write_bucketed(edges, "skew_e_in", "dst", 32)
+    write_bucketed(edges.unionByName(hub), "skew_e_in_hub", "dst", 32)
+    eb, eb_hub = spark.table("skew_e_in"), spark.table("skew_e_in_hub")
+    base_deg_b = timed(
+        "degree groupBy(dst) dst-bucketed, no hub",
+        lambda: eb.groupBy("dst").agg(F.count(F.lit(1)).alias("d")),
+    )
+    hub_deg_b = timed(
+        "degree groupBy(dst) dst-bucketed + hub",
+        lambda: eb_hub.groupBy("dst").agg(F.count(F.lit(1)).alias("d")),
+    )
+    base_aa_b = timed(
+        "adamic_adar dst-bucketed, no hub",
+        lambda: adamic_adar(eb, max_degree=1000, top_k=20),
+    )
+    hub_aa_b = timed(
+        "adamic_adar dst-bucketed + hub",
+        lambda: adamic_adar(eb_hub, max_degree=1000, top_k=20),
+    )
+    for t in ("skew_e_in", "skew_e_in_hub"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     print(
         f"\nsummary: adamic {base_aa:.2f}->{skew_aa:.2f}s "
         f"({skew_aa / base_aa:.2f}x), lsh uncapped {base_lsh:.2f}->"
@@ -147,7 +180,11 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         f"{base_cc:.2f}->{skew_cc:.2f}s ({skew_cc / base_cc:.2f}x), "
         f"vec uncapped {base_vec:.2f}->{skew_vec:.2f}s "
         f"({skew_vec / base_vec:.2f}x), vec capped {cap_vec:.2f}s "
-        f"({cap_vec / base_vec:.2f}x)"
+        f"({cap_vec / base_vec:.2f}x), bucketed degree "
+        f"{base_deg_b:.2f}->{hub_deg_b:.2f}s "
+        f"({hub_deg_b / base_deg_b:.2f}x), bucketed adamic "
+        f"{base_aa_b:.2f}->{hub_aa_b:.2f}s "
+        f"({hub_aa_b / base_aa_b:.2f}x)"
     )
     spark.stop()
     return 0

@@ -383,13 +383,20 @@ def test_ann_recall_no_python_no_cartesian_beyond_probe(spark, sf_dir):
 def test_lm_bigram_model_join_is_broadcast(spark, sf_dir):
     """The bigram-LM weight table is bounded by the bucket space
     (256x1024), so it must come back as a broadcast join; no
-    cartesian, no Python evaluation anywhere in the scoring plan."""
+    cartesian, no Python evaluation anywhere in the scoring plan.
+    The r8 rewrite additionally removed the corpus-sized exchange:
+    the old plan pinned a full-width (doc_id, b1, b12) repartition —
+    its hashpartitioning signature must never reappear (remaining
+    exchanges are the partial-agg-bounded model and per-doc ones)."""
     from graphdb_spark.workloads.pipeline import lm_bigram_score
 
     plan = plan_of(lm_bigram_score(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+    # no exchange keyed on the full (doc_id, b1, b12) triple
+    import re
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, b1#", plan)
 
 
 def test_tfidf_pairs_meet_through_terms(spark, sf_dir):
