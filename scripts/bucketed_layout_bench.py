@@ -147,6 +147,26 @@ def _exchanges(df) -> int:
     )
 
 
+def _fingerprint(df) -> tuple:
+    """(row count, order-independent content hash) — result equality
+    without collecting millions of rows to the driver (a 2.9M-row
+    sorted collect between timed heads polluted the first artifact
+    run's JVM: bfs measured 1.34 s in-bench vs 0.62-0.77 s isolated)."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    # ANSI mode: a plain SUM over 64-bit hashes overflows long —
+    # aggregate in overflow-free domains (xor + modular sum)
+    row = df.select(
+        h.alias("h"), F.pmod(h, F.lit(1_000_000_007)).alias("hm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(h)").alias("hx"),
+        F.sum("hm").alias("hs"),
+    ).collect()[0]
+    return (row["n"], row["hx"], row["hs"])
+
+
 def graph_heads_section(spark, sf_dir: str, buckets: int) -> dict:
     """Run the graph headliners through their EXACT workload code —
     the module session cache is primed with our GraphSession so
@@ -183,7 +203,7 @@ def graph_heads_section(spark, sf_dir: str, buckets: int) -> dict:
         if name in plan_heads:
             out["heads"][name]["plain_exchanges"] = _exchanges(
                 fn(spark, sf_dir))
-        checks[name] = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        checks[name] = _fingerprint(fn(spark, sf_dir))
 
     t0 = time.perf_counter()
     gs.use_bucketed_layout("bench_adj", buckets=buckets, cache=True)
@@ -201,7 +221,7 @@ def graph_heads_section(spark, sf_dir: str, buckets: int) -> dict:
         if name in plan_heads:
             r["bucketed_exchanges"] = _exchanges(fn(spark, sf_dir))
         r["speedup"] = round(r["plain_sec"] / r["bucketed_sec"], 2)
-        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        got = _fingerprint(fn(spark, sf_dir))
         assert got == checks[name], f"{name}: plain != bucketed results"
     out["results_identical"] = True
     for t in ("bench_adj_v", "bench_adj_e_out", "bench_adj_e_in"):
