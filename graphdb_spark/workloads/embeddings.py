@@ -897,6 +897,14 @@ def emb_mmr_batched(spark, sf_dir):
             .limit(b)
             .collect()
         )
+        if len(wins) < b:
+            # pool exhausted before K picks (possible if constants
+            # change so MMR_POOL < MMR_K): fail loudly instead of
+            # looping forever on an empty TakeOrdered (r8 ADVICE)
+            raise ValueError(
+                f"MMR pool exhausted at {len(picked) + len(wins)} picks "
+                f"(asked for {MMR_K}); grow MMR_POOL"
+            )
         sims = []
         win_ids = []
         for win in wins:
@@ -944,17 +952,22 @@ def _mmr_batched_sql() -> str:
         b = min(bsz, k - off)
         prev = f"m{r}"
         score = f"{lam} * rel - {1 - lam} * maxsim"
-        layers.append(f"""s{r} AS (
+        layer = f"""s{r} AS (
   SELECT *, {score} AS mmr,
     ROW_NUMBER() OVER (ORDER BY ({score}) DESC, vec_id ASC) - 1 AS bpos
   FROM {prev} ORDER BY mmr DESC, vec_id ASC LIMIT {b}
-), m{r + 1} AS (
+)"""
+        if off + b < k:
+            # survivor-fold CTE only while another layer consumes it —
+            # the last round's m{r+1} was dead SQL (r8 ADVICE)
+            layer += f""", m{r + 1} AS (
   SELECT m.vec_id, m.embedding, m.nrm, m.rel,
     GREATEST(m.maxsim, MAX({dot_s} / (m.nrm * s.nrm))) AS maxsim
   FROM {prev} m, s{r} s
   WHERE m.vec_id NOT IN (SELECT vec_id FROM s{r})
   GROUP BY m.vec_id, m.embedding, m.nrm, m.rel, m.maxsim
-)""")
+)"""
+        layers.append(layer)
         finals.append(
             f"SELECT CAST({off} + bpos AS INT) AS rank, vec_id, rel,"
             f" maxsim, mmr FROM s{r}"

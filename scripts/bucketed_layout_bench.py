@@ -222,7 +222,12 @@ def graph_heads_section(spark, sf_dir: str, buckets: int) -> dict:
             r["bucketed_exchanges"] = _exchanges(fn(spark, sf_dir))
         r["speedup"] = round(r["plain_sec"] / r["bucketed_sec"], 2)
         got = _fingerprint(fn(spark, sf_dir))
-        assert got == checks[name], f"{name}: plain != bucketed results"
+        # explicit raise, not assert: the equality gate must survive
+        # `python -O` (r8 ADVICE) — results_identical may never be
+        # published unchecked
+        if got != checks[name]:
+            raise SystemExit(f"{name}: plain != bucketed results "
+                             f"({checks[name]} vs {got})")
     out["results_identical"] = True
     for t in ("bench_adj_v", "bench_adj_e_out", "bench_adj_e_in"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -394,9 +394,15 @@ def test_lm_bigram_model_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    # no exchange keyed on the full (doc_id, b1, b12) triple
+    # no exchange keyed on the full (doc_id, b1, b12) triple — match
+    # ANY key order (r8 ADVICE: a regressed exchange keyed (b1, b12,
+    # doc_id) must fail this too, not just the one historical order)
     import re
-    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, b1#", plan)
+    for clause in re.findall(r"hashpartitioning\([^)]*\)", plan):
+        assert not (
+            "doc_id#" in clause
+            and ("b1#" in clause or "b12#" in clause)
+        ), f"corpus-wide gram exchange reappeared: {clause}"
 
 
 def test_tfidf_pairs_meet_through_terms(spark, sf_dir):
