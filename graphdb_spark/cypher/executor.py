@@ -238,13 +238,39 @@ class _Executor:
             out = F.broadcast(out)
         return out
 
-    def _edge_base(self, rp: P.RelPattern) -> DataFrame:
-        e = self.g.edges
+    def _g_edges(self, key: str | None = None) -> DataFrame:
+        """Edge frame for a hop joining on ``key`` ('src'/'dst'): the
+        copy bucketed on that key when the session adopted the dual
+        adjacency layout (session.use_bucketed_layout — the Spark twin
+        of the reference's forward/reversed edge indexes), else the
+        canonical frame. Same rows either way."""
+        by_key = getattr(self.g, "_e_by_key", None) or {}
+        return by_key.get(key, self.g.edges)
+
+    def _edge_base(self, rp: P.RelPattern,
+                   key: str | None = None) -> DataFrame:
+        e = self._g_edges(key)
         if rp.types:
             e = e.filter(F.col("relationship").isin(list(rp.types)))
         for k, val in rp.properties.items():
             e = e.filter(F.col("properties").getItem(k) == stringify_value(val))
         return e
+
+    def _hop_edges(self, rel: P.RelPattern,
+                   direction: str) -> tuple[DataFrame, DataFrame | None]:
+        """(edges, edges_in) for a var-length/path hop: each
+        orientation half reads its own-key bucketed copy when adopted.
+        Keeps the historical gate (pre-filter only when rel.types) so
+        semantics are unchanged without a layout."""
+        key = "dst" if direction == "in" else "src"
+        use_base = bool(rel.types)
+        edges = self._edge_base(rel, key) if use_base else self._g_edges(key)
+        if direction == "both":
+            edges_in = (self._edge_base(rel, "dst") if use_base
+                        else self._g_edges("dst"))
+        else:
+            edges_in = None
+        return edges, edges_in
 
     # ------------------------------------------------------------ patterns
 
@@ -319,7 +345,7 @@ class _Executor:
                 direction = (
                     "both" if rel.undirected else ("in" if rel.incoming else "out")
                 )
-                base_edges = self._edge_base(rel) if rel.types else self.g.edges
+                base_edges, rev_edges = self._hop_edges(rel, direction)
                 if mixed_reify:
                     # pattern-order segment: path = [start, ..., end];
                     # drop the leading start id (already contributed by
@@ -327,6 +353,7 @@ class _Executor:
                     reach = T.var_length_paths(
                         base_edges, starts, rel.min_hops,
                         rel.max_hops or 5, t=None, direction=direction,
+                        edges_in=rev_edges,
                     ).select(
                         F.col("start_id").alias(f"{cur}__id__r"),
                         F.col("id").alias("__end"),
@@ -344,6 +371,7 @@ class _Executor:
                     reach = T.var_length_paths(
                         base_edges, starts, rel.min_hops,
                         rel.max_hops or 5, t=None, direction=direction,
+                        edges_in=rev_edges,
                     ).select(
                         F.col("start_id").alias(f"{cur}__id__r"),
                         F.col("id").alias("__end"),
@@ -358,7 +386,7 @@ class _Executor:
                 else:
                     reach = T.var_length_expand(
                         base_edges, starts, rel.min_hops, rel.max_hops or 5,
-                        t=None, direction=direction,
+                        t=None, direction=direction, edges_in=rev_edges,
                     ).select(
                         F.col("start_id").alias(f"{cur}__id__r"),
                         F.col("id").alias("__end"),
@@ -379,7 +407,11 @@ class _Executor:
                 continue
             evar = rel.var or self._fresh("_e")
             evars.append(evar)
-            e = self._edge_base(rel)
+            # fixed hop joins on src (outgoing) / dst (incoming): read
+            # the copy bucketed on that key when a layout is adopted;
+            # an undirected hop's flipped half joins on the original
+            # dst, so it reads the reversed copy
+            e = self._edge_base(rel, "dst" if rel.incoming else "src")
             esel = e.select(
                 F.col("src").alias(f"{evar}__src"),
                 F.col("relationship").alias(f"{evar}__relationship"),
@@ -387,7 +419,7 @@ class _Executor:
                 F.col("properties").alias(f"{evar}__properties"),
             )
             if rel.undirected:
-                flipped = e.select(
+                flipped = self._edge_base(rel, "dst").select(
                     F.col("dst").alias(f"{evar}__src"),
                     F.col("relationship").alias(f"{evar}__relationship"),
                     F.col("src").alias(f"{evar}__dst"),
@@ -985,10 +1017,11 @@ class _Executor:
             # bound through the reified-path (varlen) machinery so
             # nodes(p)/relationships(p)/length(p)/RETURN p all work
             pv = pat.path_var or self._fresh("_path")
-            base = self._edge_base(rel) if rel.types else self.g.edges
+            base, rev = self._hop_edges(rel, direction)
             paths = T.all_shortest_paths(
                 base, ida[0], idb[0],
                 max_depth=rel.max_hops or 5, t=None, direction=direction,
+                edges_in=rev,
             )
             row_df = paths.select(
                 F.col("path").alias(f"{pv}__nodes"),
@@ -1005,10 +1038,12 @@ class _Executor:
                 self.binding = self.binding.crossJoin(row_df)
             return
         path = T.shortest_path(
-            self.g.edges, ida[0], idb[0],
+            self._g_edges("dst" if direction == "in" else "src"),
+            ida[0], idb[0],
             max_depth=rel.max_hops or 5,
             t=rel.types[0] if rel.types else None,
             direction=direction,
+            edges_in=self._g_edges("dst") if direction == "both" else None,
         )
         pv = pat.path_var or self._fresh("_path")
         row_df = local_df(

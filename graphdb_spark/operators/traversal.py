@@ -97,11 +97,24 @@ def _rightsize(df: DataFrame, rows: int) -> DataFrame:
     return df.coalesce(want) if want < cur else df
 
 
-def _edges_step(edges: DataFrame, t: str | None, direction: str) -> DataFrame:
-    """(from, to) pairs for one hop. direction: out | in | both."""
-    e = edges if t is None else edges.filter(F.col("relationship") == t)
-    out = e.select(F.col("src").alias("from"), F.col("dst").alias("to"))
-    inn = e.select(F.col("dst").alias("from"), F.col("src").alias("to"))
+def _edges_step(edges: DataFrame, t: str | None, direction: str,
+                edges_in: DataFrame | None = None) -> DataFrame:
+    """(from, to) pairs for one hop. direction: out | in | both.
+
+    ``edges_in``: same rows as ``edges`` but stored dst-keyed (the
+    reversed copy of partitioning.write_adjacency). When a bucketed
+    layout is adopted, callers pass the dst copy so the ``in``
+    orientation reads the table bucket-sorted on its own hop key —
+    frontier `IN (...)` pushdown then prunes sorted row groups and
+    non-broadcast hops skip the edge-side exchange. Caller contract:
+    edges_in must hold the SAME edge rows (it is the same relation,
+    different physical order); absent, both halves read ``edges``."""
+    rev = edges_in if edges_in is not None else edges
+    if t is not None:
+        edges = edges.filter(F.col("relationship") == t)
+        rev = rev.filter(F.col("relationship") == t)
+    out = edges.select(F.col("src").alias("from"), F.col("dst").alias("to"))
+    inn = rev.select(F.col("dst").alias("from"), F.col("src").alias("to"))
     if direction == "out":
         return out
     if direction == "in":
@@ -125,7 +138,8 @@ def bfs(edges: DataFrame, start_id: str, max_depth: int = 5,
         t: str | None = None, direction: str = "out",
         max_branch: int | None = None,
         hops_per_round: int = 1,
-        frontier_pushdown: bool = True) -> DataFrame:
+        frontier_pushdown: bool = True,
+        edges_in: DataFrame | None = None) -> DataFrame:
     """Breadth-first reachability: (id, depth) for every vertex within
     max_depth hops of start_id, depth = first (minimal) hop count.
 
@@ -158,9 +172,11 @@ def bfs(edges: DataFrame, start_id: str, max_depth: int = 5,
     the edge-relation scan, not the probe job — so the default stays 1.
 
     ``frontier_pushdown=False`` disables phase 1 (tests use it to
-    exercise the distributed loop at unit scale)."""
+    exercise the distributed loop at unit scale). ``edges_in``: the
+    dst-keyed copy for the ``in`` half of both-direction hops (see
+    :func:`_edges_step`)."""
     spark = edges.sparkSession
-    step = _edges_step(edges, t, direction)
+    step = _edges_step(edges, t, direction, edges_in)
     visited_local: dict[str, int] = {start_id: 0}
     frontier_ids = [start_id]
     depth = 1
@@ -286,7 +302,8 @@ def bfs(edges: DataFrame, start_id: str, max_depth: int = 5,
 
 def shortest_path(edges: DataFrame, src_id: str, dst_id: str,
                   max_depth: int = 5, t: str | None = None,
-                  direction: str = "both") -> list[str] | None:
+                  direction: str = "both",
+                  edges_in: DataFrame | None = None) -> list[str] | None:
     """One shortest path (list of vertex ids) or None — the declared
     shortestPath((a)-[*..5]-(b)) (queries_examples.txt:109-113).
     Frontier carries a path array; visited anti-join keeps every vertex
@@ -294,7 +311,7 @@ def shortest_path(edges: DataFrame, src_id: str, dst_id: str,
     Deterministic: ties resolved by the lexicographically smallest
     path (min over array<string> comparison)."""
     spark = edges.sparkSession
-    step = _edges_step(edges, t, direction)
+    step = _edges_step(edges, t, direction, edges_in)
     frontier = local_df(
         spark, [(src_id, [src_id])], "id string, path array<string>"
     )
@@ -334,7 +351,8 @@ def shortest_path(edges: DataFrame, src_id: str, dst_id: str,
 
 def var_length_expand(edges: DataFrame, start_ids: DataFrame,
                       min_hops: int = 1, max_hops: int = 3,
-                      t: str | None = None, direction: str = "out") -> DataFrame:
+                      t: str | None = None, direction: str = "out",
+                      edges_in: DataFrame | None = None) -> DataFrame:
     """Variable-length expansion -[:T*min..max]-> : (start_id, id,
     hops) for every vertex reachable in min..max hops (minimal hop
     count per (start, end), matching path-existence semantics without
@@ -347,11 +365,12 @@ def var_length_expand(edges: DataFrame, start_ids: DataFrame,
     (diamond a->b, a->x->b with [*2..3] must still return b)."""
     if min_hops > 1:
         return (
-            var_length_paths(edges, start_ids, min_hops, max_hops, t, direction)
+            var_length_paths(edges, start_ids, min_hops, max_hops, t,
+                             direction, edges_in)
             .groupBy("start_id", "id")
             .agg(F.min("hops").alias("hops"))
         )
-    step = _edges_step(edges, t, direction)
+    step = _edges_step(edges, t, direction, edges_in)
     frontier = start_ids.select(
         F.col(start_ids.columns[0]).alias("start_id")
     ).withColumn("id", F.col("start_id")).withColumn("hops", F.lit(0))
@@ -436,7 +455,8 @@ def connected_components_small(edges: DataFrame, max_iter: int = 20) -> DataFram
 def var_length_paths(edges: DataFrame, start_ids: DataFrame,
                      min_hops: int = 1, max_hops: int = 3,
                      t: str | None = None,
-                     direction: str = "out") -> DataFrame:
+                     direction: str = "out",
+                     edges_in: DataFrame | None = None) -> DataFrame:
     """Path-REIFYING variable-length expansion: one row per distinct
     relationship-path of min..max hops — (start_id, id, path
     array<string> of vertex ids, rels array<string> of relationship
@@ -450,13 +470,16 @@ def var_length_paths(edges: DataFrame, start_ids: DataFrame,
     arrays are bounded (max_hops+1 ids), so row width stays small.
     Reference analogue: the declared traversal surface
     (queries_examples.txt var-length patterns)."""
-    e = edges if t is None else edges.filter(F.col("relationship") == t)
+    rev = edges_in if edges_in is not None else edges
+    if t is not None:
+        edges = edges.filter(F.col("relationship") == t)
+        rev = rev.filter(F.col("relationship") == t)
     key = F.concat_ws("\x00", "src", "relationship", "dst")
-    out = e.select(
+    out = edges.select(
         F.col("src").alias("from"), F.col("dst").alias("to"),
         F.col("relationship").alias("rel"), key.alias("ekey"),
     )
-    inn = e.select(
+    inn = rev.select(
         F.col("dst").alias("from"), F.col("src").alias("to"),
         F.col("relationship").alias("rel"), key.alias("ekey"),
     )
@@ -519,7 +542,8 @@ def var_length_paths(edges: DataFrame, start_ids: DataFrame,
 
 def all_shortest_paths(edges: DataFrame, src_id: str, dst_id: str,
                        max_depth: int = 5, t: str | None = None,
-                       direction: str = "both") -> DataFrame:
+                       direction: str = "both",
+                       edges_in: DataFrame | None = None) -> DataFrame:
     """ALL shortest paths src→dst: one row per path — (path
     array<string> of vertex ids, rels array<string> of relationship
     types, hops int). Declared surface: allShortestPaths(...)
@@ -531,11 +555,14 @@ def all_shortest_paths(edges: DataFrame, src_id: str, dst_id: str,
     blind path enumeration. Same per-hop shuffle-join + eager
     localCheckpoint shape as bfs()."""
     spark = edges.sparkSession
-    e = edges if t is None else edges.filter(F.col("relationship") == t)
-    out = e.select(F.col("src").alias("from"), F.col("dst").alias("to"),
-                   F.col("relationship").alias("rel"))
-    inn = e.select(F.col("dst").alias("from"), F.col("src").alias("to"),
-                   F.col("relationship").alias("rel"))
+    rev = edges_in if edges_in is not None else edges
+    if t is not None:
+        edges = edges.filter(F.col("relationship") == t)
+        rev = rev.filter(F.col("relationship") == t)
+    out = edges.select(F.col("src").alias("from"), F.col("dst").alias("to"),
+                       F.col("relationship").alias("rel"))
+    inn = rev.select(F.col("dst").alias("from"), F.col("src").alias("to"),
+                     F.col("relationship").alias("rel"))
     step = (
         out if direction == "out"
         else inn if direction == "in"
@@ -734,7 +761,8 @@ def weighted_sssp(edges: DataFrame, src_id: str, weight_col: str = "w",
 
 def multi_source_bfs(edges: DataFrame, start_ids: list[str],
                      max_depth: int = 5, t: str | None = None,
-                     direction: str = "out") -> DataFrame:
+                     direction: str = "out",
+                     edges_in: DataFrame | None = None) -> DataFrame:
     """(seed, id, depth): minimal hop count from EACH seed, computed in
     ONE iterative job with the frontier keyed on (seed, id) — running
     k separate :func:`bfs` calls would pay the per-hop probe/checkpoint
@@ -743,7 +771,7 @@ def multi_source_bfs(edges: DataFrame, start_ids: list[str],
     checkpoint + count probe); state is k× larger, which the broadcast
     cap already accounts for in rows."""
     spark = edges.sparkSession
-    step = _edges_step(edges, t, direction)
+    step = _edges_step(edges, t, direction, edges_in)
     # dedupe seeds (order-preserving): a repeated seed id would emit
     # duplicate (seed, seed, 0) rows and double-count every frontier
     start_ids = list(dict.fromkeys(start_ids))
@@ -790,13 +818,15 @@ def multi_source_bfs(edges: DataFrame, start_ids: list[str],
 
 def closeness_seeds(edges: DataFrame, start_ids: list[str],
                     max_depth: int = 4, t: str | None = None,
-                    direction: str = "out") -> DataFrame:
+                    direction: str = "out",
+                    edges_in: DataFrame | None = None) -> DataFrame:
     """Bounded closeness centrality for a seed set: per seed, over the
     vertices reached within max_depth, the reach count, total and mean
     distance (depth-bounded closeness — the unbounded variant needs a
     full APSP, which is not a 100 TB operation). One multi-source BFS
     + one aggregate."""
-    reach = multi_source_bfs(edges, start_ids, max_depth, t, direction)
+    reach = multi_source_bfs(edges, start_ids, max_depth, t, direction,
+                             edges_in)
     return (
         reach.filter(F.col("depth") > 0)
         .groupBy("seed")

@@ -143,6 +143,67 @@ def write_adjacency(vertices: DataFrame, edges: DataFrame, name: str,
     return {t: k for t, (_, k) in specs.items()}
 
 
+def adjacency_table_location(spark, table: str) -> str:
+    """Filesystem path a write_adjacency table lives at (warehouse
+    dir + table name — matching saveAsTable's managed-table layout)."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    return os.path.join(wh.path or str(wh), table)
+
+
+def attach_adjacency(spark, name: str, buckets: int = 32) -> bool:
+    """Re-register ``write_adjacency`` tables from an EARLIER process
+    over their existing warehouse files. Spark's default in-memory
+    catalog forgets table metadata at process exit while the bucketed
+    parquet files survive; declaring an external table with the same
+    CLUSTERED BY / SORTED BY / bucket count over that location restores
+    the full bucketed-scan contract (verified: the re-attached scan
+    reports ``Bucketed: true`` and a groupBy on the bucket key plans
+    zero exchanges). Returns True when all three tables are available
+    (already in the catalog or re-registered), False when any file set
+    is missing — callers then fall back to writing.
+
+    Caller contract: ``name`` must be keyed to the exact dataset AND
+    bucket count (workloads.graph keys it to the source files'
+    signature + bucket count) — the declared metadata is TRUSTED by
+    the planner, so registering mismatched files would corrupt joins."""
+    import os
+
+    specs = {f"{name}_v": "id", f"{name}_e_out": "src", f"{name}_e_in": "dst"}
+    for table, key in specs.items():
+        if spark.catalog.tableExists(table):
+            continue
+        loc = adjacency_table_location(spark, table)
+        if not os.path.isdir(loc) or not any(
+            f.endswith(".parquet") for f in os.listdir(loc)
+        ):
+            return False
+        sch = spark.read.parquet(loc).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+        )
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING parquet "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+        )
+    return True
+
+
+def drop_adjacency(spark, name: str):
+    """Drop the three layout tables AND their files (DROP TABLE on an
+    externally re-attached table keeps files; a later overwrite-write
+    must start clean)."""
+    import shutil
+
+    for table in (f"{name}_v", f"{name}_e_out", f"{name}_e_in"):
+        loc = adjacency_table_location(spark, table)
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def load_adjacency(spark, name: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(vertices, edges_by_src, edges_by_dst) from ``write_adjacency``
     tables. The two edge frames hold identical rows; pick by join key."""

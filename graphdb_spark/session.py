@@ -217,6 +217,75 @@ class GraphSession:
         self._register_views()
         return self
 
+    def ensure_bucketed_layout(self, name: str = "graph_adj",
+                               buckets: int = 32,
+                               cache: bool = False) -> "GraphSession":
+        """Adopt the dual bucketed adjacency, REUSING tables a prior
+        process already wrote under ``name`` when they still describe
+        this exact state (row counts of both relations match) —
+        otherwise (re)write them. This is the default-adoption entry
+        point: the reference ALWAYS maintains its forward + reversed
+        edge indexes (rdb/managers.rs:233-240); for a resident graph
+        the one-time write amortizes in ~10-20 hop queries at sf10
+        (BENCH_sf10_bucketed.json). Callers that key ``name`` to an
+        immutable dataset (workloads.graph.graph_session keys it to
+        the sf_dir's file signature) get cross-process reuse for
+        free."""
+        from graphdb_spark import partitioning as P
+
+        spark = self.spark
+        tables = [f"{name}_v", f"{name}_e_out", f"{name}_e_in"]
+        try:
+            # same-process catalog hit, or cross-process re-attach over
+            # the surviving warehouse files (P.attach_adjacency)
+            attach = P.attach_adjacency(spark, name, buckets)
+        except Exception:  # noqa: BLE001 — any attach failure → write
+            attach = False
+        if attach:
+            # stale-table guard: same name, different state (e.g. a
+            # mutated session re-adopting) must rewrite, not attach
+            attach = (
+                spark.table(tables[0]).count() == self._v.count()
+                and spark.table(tables[1]).count() == self._e.count()
+            )
+        if not attach:
+            # STAGED write + swap, never an in-place overwrite: after a
+            # mutation the session's frames may themselves read the old
+            # layout tables (layout-frame + delta lineage), and
+            # overwrite-saveAsTable deletes the files it is about to
+            # read from. Writing a staging generation first keeps the
+            # sources consistent; the swap is metadata + a dir rename.
+            # A crash between drop and rename just loses the layout —
+            # the next ensure writes it fresh (REINDEX semantics).
+            stage = f"{name}__stage"
+            P.drop_adjacency(spark, stage)
+            P.write_adjacency(self._v, self._e, stage, buckets)
+            P.drop_adjacency(spark, name)
+            for sfx in ("_v", "_e_out", "_e_in"):
+                spark.sql(
+                    f"ALTER TABLE `{stage}{sfx}` RENAME TO `{name}{sfx}`"
+                )
+        return self.use_bucketed_layout(
+            name, buckets, write=False, cache=cache
+        )
+
+    def edges_for(self, direction: str) -> DataFrame:
+        """Direction-appropriate edge frame: the copy bucketed on the
+        hop key when a layout is adopted ('out' joins on src, 'in' on
+        dst), else the canonical frame. 'both' has no single hop key —
+        callers pass ``edges_for('out')`` plus ``reversed_edges()`` so
+        each orientation half reads its own-key copy."""
+        by_key = getattr(self, "_e_by_key", None) or {}
+        key = {"out": "src", "in": "dst"}.get(direction)
+        return by_key.get(key, self._e)
+
+    def reversed_edges(self) -> DataFrame | None:
+        """The dst-keyed copy when adopted (for both-direction hops'
+        ``edges_in``), else None (callers fall back to the single
+        frame)."""
+        by_key = getattr(self, "_e_by_key", None) or {}
+        return by_key.get("dst")
+
     # ------------------------------------------------------------ ingest
 
     @classmethod
@@ -409,20 +478,19 @@ class GraphSession:
         # directed traversals read the copy bucketed+sorted on their
         # hop key when a layout is adopted: phase-1's `src IN (...)`
         # pushdown then prunes sorted row groups, and phase-2's
-        # non-broadcast hops skip the edge-side exchange
-        by_key = getattr(self, "_e_by_key", None) or {}
-        e = by_key.get(
-            "src" if direction == "out"
-            else "dst" if direction == "in" else "", self._e
-        )
-        return bfs(e, start_id, max_depth, t, direction,
-                   max_branch=self.max_branch(direction))
+        # non-broadcast hops skip the edge-side exchange; both-
+        # direction hops read EACH orientation from its own-key copy
+        return bfs(self.edges_for(direction), start_id, max_depth, t,
+                   direction, max_branch=self.max_branch(direction),
+                   edges_in=self.reversed_edges())
 
     def shortest_path(self, src_id: str, dst_id: str, max_depth: int = 5,
                       t: str | None = None, direction: str = "both"):
         from graphdb_spark.operators.traversal import shortest_path
 
-        return shortest_path(self._e, src_id, dst_id, max_depth, t, direction)
+        return shortest_path(self.edges_for(direction), src_id, dst_id,
+                             max_depth, t, direction,
+                             edges_in=self.reversed_edges())
 
     def degrees(self):
         from graphdb_spark.operators.analytics import degrees

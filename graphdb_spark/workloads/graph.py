@@ -10,6 +10,8 @@ capability layer — the IndraDB pipe algebra (SURVEY.md §2.1/2.3/2.4)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from graphdb_spark.algebra import Q
@@ -19,11 +21,71 @@ from graphdb_spark.datamodel import local_df
 
 _GRAPH_CACHE: dict = {}
 
+#: auto-adopt the dual bucketed adjacency (the reference's always-on
+#: forward + reversed edge indexes, rdb/managers.rs:233-240) for
+#: resident graphs at or above this edge count. Below it every hop's
+#: frontier broadcasts anyway and the one-time write cannot pay for
+#: itself; above it the layout is a measured 3-7x on hop-bound heads
+#: (BENCH_sf10_bucketed.json) and the write cost amortizes in 10-20
+#: queries. sf0.1 (~744k edges) adopts; the sf0.01 gate and unit-test
+#: graphs (7k-74k) stay on plain cached frames.
+AUTO_LAYOUT_MIN_EDGES = int(
+    os.environ.get("SPARK_GRAFT_AUTO_LAYOUT_EDGES", "500000")
+)
+ADJ_BUCKETS = 32
+
+
+def _adjacency_name(sf_dir: str, buckets: int) -> str:
+    """Layout table-name prefix keyed to the dataset identity: path
+    slug + bucket count + a signature of the source files' (size,
+    mtime). A regenerated sf_dir gets a NEW name, so a stale layout
+    can never be re-attached to different data; old signatures are
+    garbage-collected at adoption time."""
+    import hashlib
+    import re
+
+    sig = hashlib.sha1()
+    for fname in ("customer.parquet", "orders.parquet",
+                  "lineitem.parquet", "part.parquet"):
+        try:
+            st = os.stat(os.path.join(sf_dir, fname))
+            sig.update(f"{fname}:{st.st_size}:{int(st.st_mtime)};".encode())
+        except OSError:
+            sig.update(f"{fname}:absent;".encode())
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
+    return f"adj_{slug}_{buckets}b_{sig.hexdigest()[:10]}"
+
+
+def _gc_stale_adjacency(spark, sf_dir: str, keep: str):
+    """Best-effort removal of adjacency layouts from earlier
+    generations of the same sf_dir (regenerated testdata ⇒ new
+    signature ⇒ the old tables are dead weight in the warehouse)."""
+    import glob
+    import re
+
+    from graphdb_spark import partitioning as P
+
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
+    pattern = P.adjacency_table_location(spark, f"adj_{slug}_*_v")
+    for loc in glob.glob(pattern):
+        name = os.path.basename(loc)[: -len("_v")]
+        if name != keep:
+            P.drop_adjacency(spark, name)
+
 
 def graph_session(spark, sf_dir) -> GraphSession:
-    """Memoized per sf_dir; vertices/edges cached for repeated queries
-    (the reference keeps the graph resident in its daemons — our
-    equivalent is a cached DataFrame pair).
+    """Memoized per sf_dir; vertices/edges resident for repeated
+    queries (the reference keeps the graph resident in its daemons —
+    our equivalent is a cached DataFrame pair).
+
+    Default layout policy (VERDICT r8 item 1): at or above
+    AUTO_LAYOUT_MIN_EDGES edges the session adopts the dual bucketed
+    adjacency via ensure_bucketed_layout — re-attaching tables an
+    earlier process wrote for this exact dataset (signature-keyed
+    name), else writing them once — and caches the bucketed frames.
+    Below the threshold the plain cached frames remain (their hops
+    broadcast the frontier; the layout buys nothing). Disable with
+    SPARK_GRAFT_AUTO_LAYOUT=0.
 
     The cache keeps its natural ~parallelism partitioning: compute-
     bound scans (multi-hop joins, distincts) want the full core count;
@@ -36,9 +98,25 @@ def graph_session(spark, sf_dir) -> GraphSession:
         # FK-derived from TPC-H keys: every edge endpoint exists by
         # construction, so the Cypher planner may elide anonymous-
         # endpoint existence joins
-        _GRAPH_CACHE[key] = GraphSession(
-            spark, v.cache(), e.cache(), assume_integrity=True
-        )
+        auto = os.environ.get("SPARK_GRAFT_AUTO_LAYOUT", "1") != "0"
+        if auto and e.count() >= AUTO_LAYOUT_MIN_EDGES:
+            import sys
+            import time
+
+            g = GraphSession(spark, v, e, assume_integrity=True)
+            name = _adjacency_name(sf_dir, ADJ_BUCKETS)
+            t0 = time.perf_counter()
+            g.ensure_bucketed_layout(name, ADJ_BUCKETS, cache=True)
+            print(
+                f"# graph_session: bucketed layout '{name}' adopted in "
+                f"{time.perf_counter() - t0:.2f}s",
+                file=sys.stderr,
+            )
+            _gc_stale_adjacency(spark, sf_dir, keep=name)
+        else:
+            g = GraphSession(spark, v.cache(), e.cache(),
+                             assume_integrity=True)
+        _GRAPH_CACHE[key] = g
     return _GRAPH_CACHE[key]
 
 
@@ -311,14 +389,15 @@ def g_bidirectional_degree(spark, sf_dir):
     (CONTAINS) per order vertex, top 10 by total — the bidirectional
     pattern of queries_examples.txt:89-92 as degree arithmetic."""
     g = graph_session(spark, sf_dir)
-    e = g.edges
+    # each degree half aggregates on its own key: the adopted layout's
+    # own-key copy makes both groupBys exchange-free
     out_d = (
-        e.filter(F.col("relationship") == "CONTAINS")
+        g.edges_for("out").filter(F.col("relationship") == "CONTAINS")
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("out_degree"))
     )
     in_d = (
-        e.filter(F.col("relationship") == "PLACED")
+        g.edges_for("in").filter(F.col("relationship") == "PLACED")
         .groupBy(F.col("dst").alias("id"))
         .agg(F.count(F.lit(1)).alias("in_degree"))
     )
@@ -399,7 +478,7 @@ def g_var_length_count(spark, sf_dir):
         spark, [(f"c_{i}",) for i in range(1, 6)], "id string"
     )
     return (
-        var_length_expand(g.edges, starts, 1, 2, direction="out")
+        var_length_expand(g.edges_for("out"), starts, 1, 2, direction="out")
         .groupBy("start_id")
         .agg(F.count(F.lit(1)).alias("reachable"))
         .orderBy("start_id")
@@ -633,7 +712,8 @@ def g_closeness_seeds(spark, sf_dir):
 
     g = graph_session(spark, sf_dir)
     return closeness_seeds(
-        g.edges, list(PPR_SOURCES), max_depth=3, direction="both"
+        g.edges_for("out"), list(PPR_SOURCES), max_depth=3,
+        direction="both", edges_in=g.reversed_edges(),
     ).orderBy("seed")
 
 

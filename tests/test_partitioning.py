@@ -286,3 +286,118 @@ def adj_graph_plain_e(spark):
         "src string, relationship string, dst string, "
         "properties map<string,string>",
     )
+
+
+def test_ensure_bucketed_layout_attaches_and_guards(spark, adj_graph):
+    """ensure_bucketed_layout reuses existing layout tables (attach,
+    no rewrite) when they match the session state, re-registers them
+    after a catalog loss (the cross-process case, simulated by copying
+    the table dirs to a fresh name and calling attach_adjacency), and
+    REWRITES when the row counts disagree (stale-table guard)."""
+    import os
+    import shutil
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.session import GraphSession
+
+    g = adj_graph
+    name, name2 = "t_adj_ensure", "t_adj_reattach"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        assert g._e_by_key
+        want = g.get(Q.edges().count())[-1].count
+
+        # attach path: same state, second ensure must NOT rewrite —
+        # prove it by mtime of the written files staying put
+        loc = P.adjacency_table_location(spark, f"{name}_e_out")
+        mtime = os.path.getmtime(loc)
+        g.ensure_bucketed_layout(name, buckets=4)
+        assert os.path.getmtime(loc) == mtime
+        assert g.get(Q.edges().count())[-1].count == want
+
+        # cross-process re-attach: copy files to a name the catalog
+        # has never seen; attach_adjacency must register bucketed
+        # external tables over them with identical rows
+        for sfx in ("_v", "_e_out", "_e_in"):
+            shutil.copytree(
+                P.adjacency_table_location(spark, f"{name}{sfx}"),
+                P.adjacency_table_location(spark, f"{name2}{sfx}"),
+            )
+        assert P.attach_adjacency(spark, name2, buckets=4)
+        assert spark.table(f"{name2}_e_out").count() == want
+        plan = (
+            spark.table(f"{name2}_e_out").groupBy("src").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan  # bucketing contract restored
+
+        # stale guard: a session with FEWER edges must rewrite, not
+        # attach the old tables
+        g2 = GraphSession(
+            spark, adj_graph.vertices,
+            adj_graph.edges.filter("relationship = 'PLACED'"),
+            assume_integrity=True,
+        )
+        g2.ensure_bucketed_layout(name, buckets=4)
+        got = g2.get(Q.edges().count())[-1].count
+        assert got == 300 and got != want
+    finally:
+        P.drop_adjacency(spark, name)
+        P.drop_adjacency(spark, name2)
+
+
+def test_graph_session_auto_layout_policy(spark, monkeypatch):
+    """graph_session adopts the layout at cache time when the edge
+    count clears AUTO_LAYOUT_MIN_EDGES (threshold forced to 1 here),
+    results matching the plain session; below the threshold (default,
+    at sf0.001) it stays on plain cached frames."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.workloads import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    key = (id(spark.sparkContext), sf)
+    saved = dict(G._GRAPH_CACHE)
+    try:
+        G._GRAPH_CACHE.clear()
+        plain = G.graph_session(spark, sf)
+        assert not plain._e_by_key  # 7442 edges < default threshold
+        plain_rows = sorted(
+            map(tuple, G.g_degree_topk(spark, sf).collect())
+        )
+
+        G._GRAPH_CACHE.clear()
+        monkeypatch.setattr(G, "AUTO_LAYOUT_MIN_EDGES", 1)
+        adopted = G.graph_session(spark, sf)
+        assert adopted._e_by_key
+        assert sorted(
+            map(tuple, G.g_degree_topk(spark, sf).collect())
+        ) == plain_rows
+    finally:
+        name = G._adjacency_name(sf, G.ADJ_BUCKETS)
+        P.drop_adjacency(spark, name)
+        G._GRAPH_CACHE.clear()
+        G._GRAPH_CACHE.update(saved)
+
+
+def test_traversals_route_through_layout(spark, adj_graph):
+    """shortest_path / var-length / undirected Cypher hops on an
+    adopted layout return exactly the plain-path answers (the in-half
+    of both-direction hops reads the reversed copy — edges_in)."""
+    g = adj_graph
+    sp_plain = g.shortest_path("c_0", "p_0", max_depth=4)
+    cy = ("MATCH (a)-[r:PLACED]-(b) WHERE a.mktsegment = 'BUILDING' "
+          "RETURN count(*) AS n")
+    cy_plain = g.cypher(cy).collect()
+    vl = ("MATCH (c)-[:PLACED*1..2]->(x) WHERE c.mktsegment = 'BUILDING' "
+          "RETURN count(*) AS n")
+    vl_plain = g.cypher(vl).collect()
+    try:
+        g.use_bucketed_layout("t_adj_route", buckets=4)
+        g._cypher_plan_cache = {}
+        assert g.shortest_path("c_0", "p_0", max_depth=4) == sp_plain
+        assert sp_plain is not None
+        assert g.cypher(cy).collect() == cy_plain
+        assert g.cypher(vl).collect() == vl_plain
+    finally:
+        _drop_adj(spark, "t_adj_route")
