@@ -793,34 +793,74 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
     shared = _shared_dst_weights(edges, max_degree).select(
         "src", "dst", (F.col("w") * 1000000).cast("bigint").alias("wu")
     )
+    n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
+    # r9 pair-exchange reduction (VERDICT r8 item 3): when src is an
+    # integral key that fits 31 bits (one cheap MAX probe; negative
+    # keys excluded), PACK the oriented pair into ONE bigint -- the
+    # dominating exchange (~900M rows at sf10) then carries two
+    # fixed-width longs (16 B) instead of three (24 B), and the hash
+    # aggregate runs over a single long key. Exactness is free here:
+    # pk order == (src_a, src_b) order, so orientation and the top-k
+    # tiebreak are bit-identical to the unpacked plan and the SQL
+    # oracle. Strings keep the direct plan: an order-isomorphic
+    # dictionary encode was built and measured (sf1: pair stage -32%
+    # but dictionary build + 1.5M-row broadcast +5 s net; scales with
+    # |V|) -- a net loss, recorded in NOTES r9.
+    src_type = dict(edges.dtypes)["src"]
+    packable = False
+    if src_type in ("int", "bigint", "smallint", "tinyint"):
+        bounds = edges.agg(
+            F.max("src").alias("mx"), F.min("src").alias("mn")
+        ).collect()[0]
+        packable = (
+            bounds["mx"] is not None
+            and 0 <= bounds["mn"]
+            and bounds["mx"] < (1 << 31)
+        )
     a, b = shared.alias("a"), shared.alias("b")
-    exploded = a.join(
+    joined = a.join(
         b,
         (F.col("a.dst") == F.col("b.dst"))
         & (F.col("a.src") < F.col("b.src")),
-    ).select(
-        F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"),
-        F.col("a.wu").alias("wu"),
     )
-    # Same explosion blindness on the aggregate: pairs are mostly
-    # unique, so partial aggregation barely shrinks the shuffle and
-    # AQE again coalesces the post-join exchange by stale pre-join
-    # size estimates. Pin the aggregate's partitioning explicitly —
+    if packable:
+        exploded = joined.select(
+            (F.shiftleft(F.col("a.src").cast("bigint"), 32)
+             + F.col("b.src").cast("bigint")).alias("pk"),
+            F.col("a.wu").alias("wu"),
+        )
+        keys = ["pk"]
+    else:
+        exploded = joined.select(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"),
+            F.col("a.wu").alias("wu"),
+        )
+        keys = ["src_a", "src_b"]
+    # Explosion blindness on the aggregate: pairs are mostly unique,
+    # so partial aggregation barely shrinks the shuffle and AQE
+    # coalesces the post-join exchange by stale pre-join size
+    # estimates. Pin the aggregate's partitioning explicitly --
     # groupBy over data already hash-partitioned on exactly its keys
     # adds no further exchange. 2x the base width: the pair fan-out
     # is ~15x the posting rows (90M at sf1), so per-task hash tables
     # at 1x width blow the cache (width sweep at sf1: 32 parts
     # 11.4 s, 64 parts 6.6 s, 128 parts 7.4 s; sf0.1 is flat 32-64).
-    n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
     pairs = (
-        exploded.repartition(n_part * 2, "src_a", "src_b")
-        .groupBy("src_a", "src_b")
+        exploded.repartition(n_part * 2, *keys)
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.round(F.sum("wu").cast("double") / 1000000.0, 6)
             .alias("score"),
         )
     )
+    if packable:
+        pairs = pairs.select(
+            F.shiftright(F.col("pk"), 32).cast(src_type).alias("src_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1))
+            .cast(src_type).alias("src_b"),
+            "common", "score",
+        )
     if top_k is not None:
         pairs = pairs.orderBy(
             F.desc("score"), F.asc("src_a"), F.asc("src_b")

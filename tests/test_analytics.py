@@ -2,6 +2,8 @@
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from graphdb_spark.operators import analytics as AN
 
 
@@ -454,3 +456,49 @@ def test_ktruss_hand_graph_and_subset(spark):
     assert all(r["support"] >= 4 for r in rows)
     und = {(r["a"], r["b"]) for r in _canonical_und(edges).collect()}
     assert {(r["a"], r["b"]) for r in rows} <= und
+
+
+def test_adamic_topk_tiebreak_matches_string_order(spark):
+    """Score ties at the top-k boundary must resolve by (src_a, src_b)
+    order, identically to the SQL oracle's ORDER BY. Graph: three
+    disjoint wedges with identical scores; top-2 must be the two
+    smallest pairs."""
+    from graphdb_spark.operators.analytics import adamic_adar
+
+    rows = []
+    for stem in ("x", "b", "m"):  # deliberately unsorted stems
+        rows += [(f"{stem}1", f"d_{stem}"), (f"{stem}2", f"d_{stem}")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = [(r["src_a"], r["src_b"])
+           for r in adamic_adar(e, max_degree=10, top_k=2).collect()]
+    assert got == [("b1", "b2"), ("m1", "m2")], got
+
+
+def test_adamic_packed_int_path_matches_string_plan(spark):
+    """Integral srcs within 31 bits take the packed-pair fast path
+    (single-long group key). Its output — values, orientation, top-k
+    tiebreak, dtypes — must be identical to the same graph run through
+    the string plan; negative/oversized keys must fall back."""
+    from graphdb_spark.operators.analytics import adamic_adar
+
+    rows = [(i % 7, f"d_{(i * 3) % 5}") for i in range(40)] + [
+        (100, "d_0"), (101, "d_0"),
+    ]
+    e_int = spark.createDataFrame(rows, "src int, dst string")
+    e_str = e_int.select(
+        # zero-pad so string order == numeric order for the comparison
+        F.lpad(F.col("src").cast("string"), 3, "0").alias("src"), "dst"
+    )
+    got_int = [(int(r["src_a"]), int(r["src_b"]), r["common"], r["score"])
+               for r in adamic_adar(e_int, 100, top_k=5).collect()]
+    got_str = [(int(r["src_a"]), int(r["src_b"]), r["common"], r["score"])
+               for r in adamic_adar(e_str, 100, top_k=5).collect()]
+    assert got_int == got_str
+    assert dict(adamic_adar(e_int, 100).dtypes)["src_a"] == "int"
+    # negative key → unpackable → falls back, still correct
+    e_neg = spark.createDataFrame(
+        [(-1, "d_0"), (2, "d_0"), (3, "d_0")], "src int, dst string"
+    )
+    got = sorted((r["src_a"], r["src_b"])
+                 for r in adamic_adar(e_neg, 100).collect())
+    assert got == [(-1, 2), (-1, 3), (2, 3)]
