@@ -78,8 +78,10 @@ ORACLE_QUERIES = [
 ]
 RUNS = 2
 # per-twin wall budget: a DuckDB twin that spills past this is
-# recorded as infeasible-with-reason, not silently dropped
-DUCK_TIMEOUT_S = 900
+# recorded as infeasible-with-reason, not silently dropped.
+# Env-overridable for one-off raised-watchdog runs (VERDICT r8 item 4:
+# get a real number for the cluster-canonical twin).
+DUCK_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "900"))
 
 
 def main(sf_dir: str = "/tmp/sf10synth") -> int:
@@ -91,6 +93,22 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
     spark = build_spark("sf10_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = workloads.all_unpacked_queries()
+    # Resident-graph setup, SEPARATELY timed (r9: the layout is the
+    # default for resident graphs — graph_session adopts the dual
+    # bucketed adjacency at cache time; the one-time write/attach cost
+    # is reported as its own line item, not hidden in a query's run 1).
+    layout_sec = None
+    try:
+        from graphdb_spark.workloads.graph import graph_session
+
+        t0 = time.perf_counter()
+        g = graph_session(spark, sf_dir)
+        g.vertex_count(), g.edge_count()
+        layout_sec = round(time.perf_counter() - t0, 3)
+        print(f"# graph cache + layout adoption: {layout_sec:.1f}s "
+              f"(bucketed={bool(g._e_by_key)})", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# layout adoption FAILED: {exc}", file=sys.stderr)
     timings: dict[str, float | None] = {}
     # "no silent nulls" (VERDICT r6 item 2): every null in the payload
     # MUST carry its reason here
@@ -181,6 +199,11 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
         "shared_subset_duckdb": round(sum(duck[n] for n in shared), 3),
         "sf": 10,
         "runs_per_query": RUNS,
+        # one-time resident-graph setup (graph cache + bucketed
+        # adjacency adoption) — paid once per resident session, the
+        # reference's always-on index trade (rdb/managers.rs:233-240)
+        "layout_adoption_sec": layout_sec,
+        "duckdb_timeout_s": DUCK_TIMEOUT_S,
         # reason for every null above — empty when fully green
         "errors": errors,
     }
