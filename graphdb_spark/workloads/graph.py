@@ -35,14 +35,27 @@ AUTO_LAYOUT_MIN_EDGES = int(
 ADJ_BUCKETS = 32
 
 
-def _adjacency_name(sf_dir: str, buckets: int) -> str:
-    """Layout table-name prefix keyed to the dataset identity: path
-    slug + bucket count + a signature of the source files' (size,
-    mtime). A regenerated sf_dir gets a NEW name, so a stale layout
-    can never be re-attached to different data; old signatures are
-    garbage-collected at adoption time."""
+def _dataset_slug(sf_dir: str) -> str:
+    """Identity slug for an sf_dir: human-readable path slug + a hash
+    of the RAW path. The regex slug alone is lossy — distinct dirs
+    like ``/data/sf0.1`` and ``/data/sf0/1`` collapse to the same
+    slug, so a GC keyed on it could delete the OTHER dataset's live
+    layout (ADVICE r9); the path hash makes the slug injective."""
     import hashlib
     import re
+
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
+    ph = hashlib.sha1(sf_dir.encode()).hexdigest()[:6]
+    return f"{slug}_{ph}"
+
+
+def _adjacency_name(sf_dir: str, buckets: int) -> str:
+    """Layout table-name prefix keyed to the dataset identity:
+    injective path slug + bucket count + a signature of the source
+    files' (size, mtime). A regenerated sf_dir gets a NEW name, so a
+    stale layout can never be re-attached to different data; old
+    signatures are garbage-collected at adoption time."""
+    import hashlib
 
     sig = hashlib.sha1()
     for fname in ("customer.parquet", "orders.parquet",
@@ -52,21 +65,24 @@ def _adjacency_name(sf_dir: str, buckets: int) -> str:
             sig.update(f"{fname}:{st.st_size}:{int(st.st_mtime)};".encode())
         except OSError:
             sig.update(f"{fname}:absent;".encode())
-    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
-    return f"adj_{slug}_{buckets}b_{sig.hexdigest()[:10]}"
+    return f"adj_{_dataset_slug(sf_dir)}_{buckets}b_{sig.hexdigest()[:10]}"
 
 
-def _gc_stale_adjacency(spark, sf_dir: str, keep: str):
+def _gc_stale_adjacency(spark, sf_dir: str, buckets: int, keep: str):
     """Best-effort removal of adjacency layouts from earlier
     generations of the same sf_dir (regenerated testdata ⇒ new
-    signature ⇒ the old tables are dead weight in the warehouse)."""
+    signature ⇒ the old tables are dead weight in the warehouse).
+    Scope is exactly this dataset at exactly this bucket count — the
+    injective slug keeps other datasets' layouts out of reach, and
+    pinning the bucket count keeps a deliberately different-buckets
+    layout of the SAME dataset alive (ADVICE r9)."""
     import glob
-    import re
 
     from graphdb_spark import partitioning as P
 
-    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
-    pattern = P.adjacency_table_location(spark, f"adj_{slug}_*_v")
+    pattern = P.adjacency_table_location(
+        spark, f"adj_{_dataset_slug(sf_dir)}_{buckets}b_*_v"
+    )
     for loc in glob.glob(pattern):
         name = os.path.basename(loc)[: -len("_v")]
         if name != keep:
@@ -106,13 +122,26 @@ def graph_session(spark, sf_dir) -> GraphSession:
             g = GraphSession(spark, v, e, assume_integrity=True)
             name = _adjacency_name(sf_dir, ADJ_BUCKETS)
             t0 = time.perf_counter()
-            g.ensure_bucketed_layout(name, ADJ_BUCKETS, cache=True)
-            print(
-                f"# graph_session: bucketed layout '{name}' adopted in "
-                f"{time.perf_counter() - t0:.2f}s",
-                file=sys.stderr,
-            )
-            _gc_stale_adjacency(spark, sf_dir, keep=name)
+            try:
+                g.ensure_bucketed_layout(name, ADJ_BUCKETS, cache=True)
+                print(
+                    f"# graph_session: bucketed layout '{name}' adopted "
+                    f"in {time.perf_counter() - t0:.2f}s",
+                    file=sys.stderr,
+                )
+                _gc_stale_adjacency(spark, sf_dir, ADJ_BUCKETS, keep=name)
+            except Exception as exc:  # noqa: BLE001
+                # layout adoption is an OPTIMIZATION — a write failure
+                # (read-only / full warehouse dir) must degrade to the
+                # plain cached session, not break every graph workload
+                # (ADVICE r9)
+                print(
+                    f"# graph_session: layout adoption failed ({exc!r});"
+                    " falling back to plain cached frames",
+                    file=sys.stderr,
+                )
+                g = GraphSession(spark, v.cache(), e.cache(),
+                                 assume_integrity=True)
         else:
             g = GraphSession(spark, v.cache(), e.cache(),
                              assume_integrity=True)

@@ -401,3 +401,114 @@ def test_traversals_route_through_layout(spark, adj_graph):
         assert g.cypher(vl).collect() == vl_plain
     finally:
         _drop_adj(spark, "t_adj_route")
+
+
+def test_ensure_layout_detects_count_preserving_mutation(spark, adj_graph):
+    """VERDICT r9 item 1 mirror test (the count-changing twin lives in
+    test_ensure_bucketed_layout_attaches_and_guards): a mutation that
+    changes CONTENT but not cardinality (set_properties upsert,
+    mutations.py:162) followed by a re-ensure under the same name must
+    REWRITE the layout and serve the post-mutation values. The old
+    row-count-only guard attached the pre-mutation tables here —
+    and, because adoption replaces the canonical frames, silently
+    reverted the session."""
+    import os
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.operators.mutations import set_properties
+
+    g = adj_graph
+    name = "t_adj_cpm"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        before = g.vertices.count()
+        # count-preserving content mutation: flip every BUILDING
+        # customer's segment (same rows, new property values)
+        set_properties(
+            g, Q.vertices_with_property_value("mktsegment", "BUILDING"),
+            "mktsegment", "MACHINERY",
+        )
+        assert g.vertices.count() == before
+        loc = P.adjacency_table_location(spark, f"{name}_v")
+        mtime = os.path.getmtime(loc)
+        g.ensure_bucketed_layout(name, buckets=4)
+        # the layout was REWRITTEN, not attached ...
+        assert os.path.getmtime(loc) != mtime
+        # ... and the session serves the POST-mutation state
+        assert g.df(Q.vertices_with_property_value(
+            "mktsegment", "BUILDING")).count() == 0
+        assert g.df(Q.vertices_with_property_value(
+            "mktsegment", "MACHINERY")).count() == 20
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_attach_adjacency_rejects_bucket_and_meta_mismatch(spark, adj_graph):
+    """ADVICE r9: declaring CLUSTERED BY INTO N BUCKETS over files
+    written with a different count would make the planner elide
+    exchanges that ARE needed (silently dropped join matches). attach
+    must refuse when the files' stamped spec disagrees with the
+    declaration — and when the spec is missing entirely."""
+    import os
+    import shutil
+
+    from graphdb_spark import partitioning as P
+
+    g = adj_graph
+    name, name2 = "t_adj_bsrc", "t_adj_bmm"
+    try:
+        g.use_bucketed_layout(name, buckets=4)
+        for sfx in ("_v", "_e_out", "_e_in"):
+            shutil.copytree(
+                P.adjacency_table_location(spark, f"{name}{sfx}"),
+                P.adjacency_table_location(spark, f"{name2}{sfx}"),
+            )
+        # wrong declared bucket count vs the files' spec: refuse
+        assert not P.attach_adjacency(spark, name2, buckets=8)
+        assert not spark.catalog.tableExists(f"{name2}_v")
+        # spec missing: refuse (pre-meta layouts are not trustworthy)
+        meta = P.layout_meta_path(spark, name2)
+        os.rename(meta, meta + ".bak")
+        assert not P.attach_adjacency(spark, name2, buckets=4)
+        os.rename(meta + ".bak", meta)
+        # matching spec: re-register with the full bucketing contract
+        assert P.attach_adjacency(spark, name2, buckets=4)
+        assert (
+            spark.table(f"{name2}_e_out").count()
+            == spark.table(f"{name}_e_out").count()
+        )
+    finally:
+        P.drop_adjacency(spark, name)
+        P.drop_adjacency(spark, name2)
+
+
+def test_adjacency_name_injective_and_gc_scoped(spark, adj_graph, tmp_path):
+    """ADVICE r9: distinct sf_dirs must never share a layout-name
+    slug (/x/sf0.1 vs /x/sf0/1 collapse under the lossy regex alone),
+    and GC must be scoped to the current bucket count so a same-
+    dataset layout written with different buckets stays alive."""
+    import os
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.workloads import graph as G
+
+    assert G._dataset_slug("/x/sf0.1") != G._dataset_slug("/x/sf0/1")
+    assert G._adjacency_name("/x/sf0.1", 32) != G._adjacency_name(
+        "/x/sf0/1", 32)
+
+    sf = str(tmp_path / "sf0.1")
+    n4, n8 = G._adjacency_name(sf, 4), G._adjacency_name(sf, 8)
+    try:
+        adj_graph.use_bucketed_layout(n4, buckets=4)
+        adj_graph.use_bucketed_layout(n8, buckets=8)
+        # GC at 4 buckets keeping nothing: the 8-bucket layout of the
+        # SAME dataset must survive, the 4-bucket one goes
+        G._gc_stale_adjacency(spark, sf, 4, keep="__none__")
+        assert not os.path.isdir(
+            P.adjacency_table_location(spark, f"{n4}_v"))
+        assert os.path.isdir(
+            P.adjacency_table_location(spark, f"{n8}_v"))
+    finally:
+        P.drop_adjacency(spark, n4)
+        P.drop_adjacency(spark, n8)

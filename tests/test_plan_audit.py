@@ -362,14 +362,15 @@ def test_adamic_prep_single_edge_exchange(spark, sf_dir):
     dst_ex = [l for l in ex
               if "dst" in l and "ReusedExchange" not in l]
     # r9: the pair aggregate exchanges the PACKED long key (pk =
-    # sid_a<<32 | sid_b) — two fixed-width longs per row instead of
-    # two strings; (sid_a, sid_b) is the >2^31-source fallback
+    # src_a<<32 | src_b); (src_a, src_b) is the >2^31-source fallback
     pair_ex = [l for l in ex
-               if "pk#" in l or ("sid_a" in l and "sid_b" in l)]
+               if "pk#" in l or ("src_a" in l and "src_b" in l)]
     assert len(dst_ex) == 1, dst_ex
     assert len(pair_ex) == 1, pair_ex
-    # the exploded pair rows must never shuffle as strings again
-    assert not any("src_a" in l and "src_b" in l for l in ex), ex
+    # this dataset's sources are 31-bit orderkeys, so the pair key
+    # MUST be the packed long — an (src_a, src_b) exchange here means
+    # the packability probe regressed and pairs shuffle double-wide
+    assert "pk#" in pair_ex[0], pair_ex
     assert any("ReusedExchange" in l and "dst" in l
                for l in plan.splitlines()), plan
 
