@@ -60,7 +60,10 @@ def create_vertex(g: GraphSession, vid: str, label: str,
                   props: dict | None = None) -> GraphSession:
     if g.vertices.filter(F.col("id") == vid).limit(1).count() > 0:
         raise VertexExistsError(f"vertex {vid!r} already exists")
-    return g.set_state(vertices=g.vertices.unionByName(_vrow(g.spark, vid, label, props)))
+    # pure row-add: goes through the layout-maintaining append path
+    # (an adopted bucketed layout survives the write — the reference
+    # updates its indexes with every put, rdb/managers.rs:233-260)
+    return g.append_state(vertices=_vrow(g.spark, vid, label, props))
 
 
 def update_vertex(g: GraphSession, vid: str, label: str,
@@ -210,25 +213,23 @@ def bulk_insert(g: GraphSession, vertices: list[tuple] | None = None,
     duplicate vertices and dangling edges are allowed, matching
     tests/bulk_insert.rs:79-98. vertices: (id, label, props);
     edges: (src, rel, dst, props)."""
-    v, e = g.vertices, g.edges
+    dv = de = None
     if vertices:
         rows = [(i, l, normalize_properties(p)) for i, l, p in vertices]
-        v = v.unionByName(
-            local_df(
-                g.spark, rows,
-                "id string, label string, properties map<string,string>",
-            )
+        dv = local_df(
+            g.spark, rows,
+            "id string, label string, properties map<string,string>",
         )
     if edges:
         rows = [(s, r, d, normalize_properties(p)) for s, r, d, p in edges]
-        e = e.unionByName(
-            local_df(
-                g.spark, rows,
-                "src string, relationship string, dst string, "
-                "properties map<string,string>",
-            )
+        de = local_df(
+            g.spark, rows,
+            "src string, relationship string, dst string, "
+            "properties map<string,string>",
         )
-    g = g.set_state(vertices=v, edges=e)
+    # pure row-add: the layout-maintaining append path (an adopted
+    # bucketed layout folds the delta in, no REINDEX)
+    g = g.append_state(vertices=dv, edges=de)
     # validation was skipped: the graph may now hold dangling
     # edges, so the Cypher planner must stop eliding anonymous-
     # endpoint existence joins for this state

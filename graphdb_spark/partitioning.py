@@ -132,14 +132,7 @@ def write_adjacency(vertices: DataFrame, edges: DataFrame, name: str,
         f"{name}_e_in": (edges, "dst"),
     }
     for table, (df, key) in specs.items():
-        (
-            df.repartition(buckets, F.col(key))
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(buckets, key)
-            .sortBy(key)
-            .saveAsTable(table)
-        )
+        write_adjacency_table(df, table, key, buckets)
     # stamp the bucket count + content fingerprints next to the files:
     # attach_adjacency refuses to re-register without a matching spec
     # (a declared-but-wrong bucket count would make the planner elide
@@ -226,6 +219,93 @@ def read_layout_meta(spark, name: str) -> dict | None:
             return json.load(fh)
     except (OSError, ValueError):
         return None
+
+
+def write_adjacency_table(df: DataFrame, table: str, key: str,
+                          buckets: int):
+    """One bucketed, bucket-sorted relation of the adjacency layout:
+    repartitioned to exactly ``buckets`` partitions on the bucket key
+    so every bucket is ONE file (one-task-per-bucket reads + the scan
+    reports the sortBy order).
+
+    autoBucketedScan is disabled for the write: when ``df`` itself
+    reads a bucketed table (compaction / REINDEX reading the previous
+    layout generation), the planner elides the repartition against the
+    scan's claimed hash partitioning while the scan still packs files
+    by SIZE — tasks then hold mixed buckets and the rewrite emits
+    multi-file buckets, defeating the compaction (measured: 5 files
+    for 4 buckets). A plain file scan makes the repartition real and
+    the output exactly one file per non-empty bucket."""
+    spark = df.sparkSession
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        (
+            df.repartition(buckets, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+    finally:
+        spark.conf.set(conf, old)
+
+
+def append_adjacency(spark, name: str, buckets: int,
+                     vertices: DataFrame | None = None,
+                     edges: DataFrame | None = None) -> dict:
+    """LSM-style layout append — the incremental half of the
+    reference's per-write index maintenance (rdb/managers.rs:233-260:
+    forward + reversed indexes are updated WITH every write, never
+    rebuilt). New rows are appended into the existing bucketed tables
+    (Spark appends extra files per bucket: hash DISTRIBUTION — the
+    layout's exchange-elision contract — is preserved; the per-bucket
+    one-file sort degrades until compaction, costing at most a local
+    sort, never an exchange) and the stamped content fingerprint is
+    folded forward in O(delta): counts add, XOR accumulates —
+    appending never rescans the base. Returns the updated meta (its
+    ``appends`` counter is the caller's compaction trigger)."""
+    meta = read_layout_meta(spark, name)
+    if meta is None or meta.get("buckets") != buckets:
+        raise ValueError(
+            f"layout {name!r} has no matching spec to append into"
+        )
+
+    def _append(df, table, key):
+        # small deltas: one task, at most one new file per non-empty
+        # bucket (an un-coalesced append writes files per task x
+        # bucket — file explosion)
+        (
+            df.coalesce(1)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+
+    def _fold(entry, fp):
+        return {"n": entry["n"] + fp["n"], "x": entry["x"] ^ fp["x"]}
+
+    if vertices is not None:
+        fp = content_fingerprint(vertices)
+        _append(vertices, f"{name}_v", "id")
+        meta["v"] = _fold(meta["v"], fp)
+    if edges is not None:
+        fp = content_fingerprint(edges)
+        _append(edges, f"{name}_e_out", "src")
+        _append(edges, f"{name}_e_in", "dst")
+        meta["e"] = _fold(meta["e"], fp)
+    meta["appends"] = meta.get("appends", 0) + 1
+    write_layout_meta(spark, name, meta)
+    for sfx in ("_v", "_e_out", "_e_in"):
+        # drop any cached scan + stale file listing: a cached plan
+        # keyed on the same table would silently serve the
+        # pre-append snapshot
+        spark.catalog.refreshTable(f"{name}{sfx}")
+    return meta
 
 
 def adjacency_table_location(spark, table: str) -> str:

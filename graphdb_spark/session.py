@@ -113,6 +113,11 @@ class GraphSession:
         # property upserts — forces it (VERDICT r9 item 1)
         self._state_version = 0
         self._layout_valid: dict = {}  # name -> state_version
+        # currently adopted layout (None when on plain frames) —
+        # append_state/compact_layout maintain it incrementally
+        self._layout_name: str | None = None
+        self._layout_buckets = 0
+        self._layout_cached = False
         self._register_views()
 
     # ------------------------------------------------------------ state
@@ -180,7 +185,10 @@ class GraphSession:
         # written tables describe the PREVIOUS state. The canonical
         # _v/_e frames (just swapped) stay correct; hops simply lose
         # the exchange-elision until use_bucketed_layout() is re-run.
+        # (Row-ADD mutations should go through append_state instead —
+        # it maintains the layout WITH the write.)
         self._e_by_key = {}
+        self._layout_name = None
         self._register_views()
         return self
 
@@ -218,6 +226,9 @@ class GraphSession:
         self._v = v
         self._e = e_out  # canonical scan order: forward copy
         self._e_by_key = {"src": e_out, "dst": e_in}
+        self._layout_name = name
+        self._layout_buckets = buckets
+        self._layout_cached = cache
         # frames changed identity: derived memos are stale
         self._frontier_cache = {}
         self._label_count_cache = None
@@ -255,7 +266,10 @@ class GraphSession:
         pre-mutation state. The reference cannot hit this class of
         bug: its indexes update transactionally with every write
         (rdb/managers.rs:233-260); the fingerprint is our equivalent
-        invariant. (3) Any mismatch → staged rewrite."""
+        invariant. (3) Mismatch → staged rewrite of ONLY the stale
+        relations (per-relation fingerprints): a vertex-property bulk
+        upsert rewrites one vertex table, not the two — much larger —
+        edge tables (partial REINDEX; VERDICT r9 item 2)."""
         from graphdb_spark import partitioning as P
 
         spark = self.spark
@@ -273,35 +287,136 @@ class GraphSession:
             attach = P.attach_adjacency(spark, name, buckets)
         except Exception:  # noqa: BLE001 — any attach failure → write
             attach = False
+        stale, fp_v, fp_e = {"v", "e"}, None, None
         if attach:
             meta = P.read_layout_meta(spark, name)
-            attach = (
-                meta is not None
-                and meta.get("buckets") == buckets
-                and meta.get("v") == P.content_fingerprint(self._v)
-                and meta.get("e") == P.content_fingerprint(self._e)
-            )
-        if not attach:
-            # STAGED write + swap, never an in-place overwrite: after a
-            # mutation the session's frames may themselves read the old
-            # layout tables (layout-frame + delta lineage), and
-            # overwrite-saveAsTable deletes the files it is about to
-            # read from. Writing a staging generation first keeps the
-            # sources consistent; the swap is metadata + a dir rename.
-            # A crash between drop and rename just loses the layout —
-            # the next ensure writes it fresh (REINDEX semantics).
-            stage = f"{name}__stage"
-            P.drop_adjacency(spark, stage)
+            if meta is not None and meta.get("buckets") == buckets:
+                fp_v = P.content_fingerprint(self._v)
+                fp_e = P.content_fingerprint(self._e)
+                stale = set()
+                if meta.get("v") != fp_v:
+                    stale.add("v")
+                if meta.get("e") != fp_e:
+                    stale.add("e")
+        if stale:
+            self._reindex(name, buckets, stale, fp_v=fp_v, fp_e=fp_e)
+        self._layout_valid[name] = self._state_version
+        return self.use_bucketed_layout(
+            name, buckets, write=False, cache=cache
+        )
+
+    def _reindex(self, name: str, buckets: int, stale: set,
+                 fp_v: dict | None = None, fp_e: dict | None = None):
+        """STAGED rewrite of the stale layout relations + swap, never
+        an in-place overwrite: after a mutation the session's frames
+        may themselves read the old layout tables (layout-frame +
+        delta lineage), and overwrite-saveAsTable deletes the files it
+        is about to read from. Writing a staging generation first
+        keeps the sources consistent; the swap is metadata + a dir
+        rename. A crash between drop and rename just loses (part of)
+        the layout — the next ensure detects the missing table and
+        writes fresh (REINDEX semantics). ``stale`` picks the
+        relations: {"v"} rewrites one table, {"e"} the two edge
+        copies, both the full three-table REINDEX."""
+        import shutil
+
+        from graphdb_spark import partitioning as P
+
+        spark = self.spark
+        stage = f"{name}__stage"
+        P.drop_adjacency(spark, stage)
+        if stale == {"v", "e"}:
+            # full REINDEX: write_adjacency stamps fresh meta into the
+            # staged _v dir; the renames carry it into place
             P.write_adjacency(self._v, self._e, stage, buckets)
             P.drop_adjacency(spark, name)
             for sfx in ("_v", "_e_out", "_e_in"):
                 spark.sql(
                     f"ALTER TABLE `{stage}{sfx}` RENAME TO `{name}{sfx}`"
                 )
+            return
+        # partial REINDEX: preserve the fresh relation's tables and
+        # fingerprint, swap only the stale one
+        old_meta = P.read_layout_meta(spark, name) or {}
+        specs = {
+            "v": [("_v", self._v, "id")],
+            "e": [("_e_out", self._e, "src"), ("_e_in", self._e, "dst")],
+        }
+        todo = [t for k in sorted(stale) for t in specs[k]]
+        for sfx, df, key in todo:
+            P.write_adjacency_table(df, f"{stage}{sfx}", key, buckets)
+        for sfx, _, _ in todo:
+            loc = P.adjacency_table_location(spark, f"{name}{sfx}")
+            spark.sql(f"DROP TABLE IF EXISTS `{name}{sfx}`")
+            shutil.rmtree(loc, ignore_errors=True)
+            spark.sql(f"ALTER TABLE `{stage}{sfx}` RENAME TO `{name}{sfx}`")
+        P.write_layout_meta(spark, name, {
+            "buckets": buckets,
+            "v": (fp_v or P.content_fingerprint(self._v))
+            if "v" in stale else old_meta.get("v"),
+            "e": (fp_e or P.content_fingerprint(self._e))
+            if "e" in stale else old_meta.get("e"),
+            # a rewrite compacts what it touches; appended files may
+            # survive on the untouched relation, so keep its pressure
+            "appends": 0 if "e" in stale else old_meta.get("appends", 0),
+        })
+
+    #: full-rewrite compaction triggers after this many layout appends
+    #: (multi-file buckets keep hash distribution — the exchange-
+    #: elision contract — but each append adds a file per non-empty
+    #: bucket; past this point the one-file-per-bucket sort contract
+    #: is worth restoring). The reference's analogue is the LSM
+    #: memtable flush -> SST compaction cycle its RocksDB backend
+    #: runs continuously.
+    LAYOUT_COMPACT_APPENDS = 16
+
+    def append_state(self, vertices: DataFrame | None = None,
+                     edges: DataFrame | None = None) -> "GraphSession":
+        """Row-ADD mutation (create_vertex / bulk_insert): when a
+        bucketed layout is adopted, the new rows are APPENDED into the
+        layout tables and the stamped fingerprint folds forward in
+        O(delta) (``partitioning.append_adjacency``) — the layout
+        survives the write with NO REINDEX, closing the reference's
+        per-write index-maintenance gap (rdb/managers.rs:233-260)
+        incrementally instead of by full rebuild. Hash distribution is
+        preserved, so hops keep their exchange elision over the
+        appended state; per-bucket sort degrades to multi-file until
+        compaction (auto past LAYOUT_COMPACT_APPENDS appends). Without
+        an adopted layout this is plain union + set_state."""
+        name = self._layout_name
+        if name is None:
+            v = (self._v.unionByName(vertices)
+                 if vertices is not None else None)
+            e = self._e.unionByName(edges) if edges is not None else None
+            return self.set_state(vertices=v, edges=e)
+        from graphdb_spark import partitioning as P
+
+        meta = P.append_adjacency(self.spark, name, self._layout_buckets,
+                                  vertices=vertices, edges=edges)
+        # it IS a mutation: version bumps and derived memos drop, but
+        # the layout was maintained WITH the write, so re-adopt it
+        self._mutation_count += 1
+        self._state_version += 1
+        cache = self._layout_cached
+        g = self.use_bucketed_layout(name, self._layout_buckets,
+                                     write=False, cache=cache)
         self._layout_valid[name] = self._state_version
-        return self.use_bucketed_layout(
-            name, buckets, write=False, cache=cache
-        )
+        if meta.get("appends", 0) >= self.LAYOUT_COMPACT_APPENDS:
+            g = g.compact_layout()
+        return g
+
+    def compact_layout(self) -> "GraphSession":
+        """Restore one-file-per-bucket on the adopted layout (the
+        compaction half of append_state's LSM cycle) via the staged
+        full REINDEX. No-op on plain frames."""
+        name = self._layout_name
+        if name is None:
+            return self
+        buckets, cache = self._layout_buckets, self._layout_cached
+        self._reindex(name, buckets, {"v", "e"})
+        self._layout_valid[name] = self._state_version
+        return self.use_bucketed_layout(name, buckets, write=False,
+                                        cache=cache)
 
     def edges_for(self, direction: str) -> DataFrame:
         """Direction-appropriate edge frame: the copy bucketed on the

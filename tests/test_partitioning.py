@@ -512,3 +512,130 @@ def test_adjacency_name_injective_and_gc_scoped(spark, adj_graph, tmp_path):
     finally:
         P.drop_adjacency(spark, n4)
         P.drop_adjacency(spark, n8)
+
+
+_V_SCHEMA = "id string, label string, properties map<string,string>"
+_E_SCHEMA = ("src string, relationship string, dst string, "
+             "properties map<string,string>")
+
+
+def _dir_state(spark, table):
+    """(filename, mtime) set of a layout table dir — identity check
+    for 'these files were not rewritten'."""
+    import os
+
+    from graphdb_spark import partitioning as P
+
+    loc = P.adjacency_table_location(spark, table)
+    return {
+        (f, os.stat(os.path.join(loc, f)).st_mtime)
+        for f in os.listdir(loc) if f.endswith(".parquet")
+    }
+
+
+def test_append_state_maintains_layout(spark, adj_graph):
+    """VERDICT r9 item 2 (incremental index maintenance): a row-ADD
+    mutation through append_state keeps the adopted layout live — the
+    delta is APPENDED into the bucketed tables (base files untouched),
+    the stamped fingerprint folds forward in O(delta), hops see the
+    new rows, and groupBy on the bucket key stays exchange-free. The
+    folded fingerprint must equal a from-scratch recompute: a fresh
+    session holding the identical post-append state attaches without
+    any rewrite."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+
+    g, name = adj_graph, "t_adj_app"
+    plain_v, plain_e = g.vertices, g.edges  # pre-adoption frames
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        base = g.get(Q.edges().count())[-1].count
+        base_files = _dir_state(spark, f"{name}_e_out")
+        dv = local_df(spark, [("o_new_1", "order", {}),
+                              ("o_new_2", "order", {})], _V_SCHEMA)
+        de = local_df(spark, [("c_0", "PLACED", "o_new_1", {}),
+                              ("c_1", "PLACED", "o_new_2", {})], _E_SCHEMA)
+        g = g.append_state(vertices=dv, edges=de)
+        assert g._e_by_key, "layout must survive the append"
+        assert g.get(Q.edges().count())[-1].count == base + 2
+        now = _dir_state(spark, f"{name}_e_out")
+        assert base_files < now, "append must keep base files intact"
+        # the new edge is traversable through the layout copies
+        ids = {r["id"] for r in g.df(
+            Q.specific_vertices("c_0").outbound(t="PLACED").inbound()
+        ).collect()}
+        assert "o_new_1" in ids
+        # bucket-key aggregate still exchange-free over appended state
+        plan = (g.edges.groupBy("src").count()
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, plan
+        # incremental fold == recompute: an independent session with
+        # the identical post-append state ATTACHES, no rewrite
+        g2 = GraphSession(
+            spark, plain_v.unionByName(dv), plain_e.unionByName(de),
+            assume_integrity=True,
+        )
+        g2.ensure_bucketed_layout(name, buckets=4)
+        assert _dir_state(spark, f"{name}_e_out") == now
+        assert g2.get(Q.edges().count())[-1].count == base + 2
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_append_state_compaction(spark, adj_graph):
+    """Past LAYOUT_COMPACT_APPENDS appends the layout compacts back to
+    one file per bucket (staged full REINDEX), results unchanged."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.datamodel import local_df
+
+    g, name = adj_graph, "t_adj_cmp"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        base = g.get(Q.edges().count())[-1].count
+        g.LAYOUT_COMPACT_APPENDS = 2  # instance override for the test
+        for i in range(2):
+            g = g.append_state(edges=local_df(
+                spark, [("c_0", "PLACED", f"o_x{i}", {})], _E_SCHEMA))
+        # compaction ran: one file per (non-empty) bucket again
+        files = _dir_state(spark, f"{name}_e_out")
+        assert len(files) <= 4, files
+        assert (P.read_layout_meta(spark, name) or {}).get("appends", 0) == 0
+        assert g.get(Q.edges().count())[-1].count == base + 2
+        assert g._e_by_key
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_partial_reindex_rewrites_only_stale_relation(spark, adj_graph):
+    """Per-relation fingerprints make REINDEX partial: a vertex-only
+    content mutation must rewrite the ONE vertex table and leave the
+    two (larger) edge tables byte-identical — the ops gap VERDICT r9
+    item 2 names (a property-only bulk upsert forcing a full edge
+    re-bucket)."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.operators.mutations import set_properties
+
+    g, name = adj_graph, "t_adj_part"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        e_out_before = _dir_state(spark, f"{name}_e_out")
+        e_in_before = _dir_state(spark, f"{name}_e_in")
+        v_before = _dir_state(spark, f"{name}_v")
+        set_properties(
+            g, Q.vertices_with_property_value("mktsegment", "AUTO"),
+            "mktsegment", "RAIL",
+        )
+        g.ensure_bucketed_layout(name, buckets=4)
+        assert _dir_state(spark, f"{name}_e_out") == e_out_before
+        assert _dir_state(spark, f"{name}_e_in") == e_in_before
+        assert _dir_state(spark, f"{name}_v") != v_before
+        assert g.df(Q.vertices_with_property_value(
+            "mktsegment", "RAIL")).count() == 40
+        assert g.df(Q.vertices_with_property_value(
+            "mktsegment", "AUTO")).count() == 0
+    finally:
+        P.drop_adjacency(spark, name)
