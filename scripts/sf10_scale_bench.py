@@ -30,14 +30,33 @@ sys.path.insert(0, REPO)
 # Must be set before the JVM launches (build_spark reads it).
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 
-# Spark-only set: every scale-critical plan shape
+# r10 (VERDICT r9 item 5): ALL 31 bench headliners, each with a
+# watchdogged DuckDB twin — the sf0.1/sf1 "weak" set is a job-floor
+# artifact and the strongest answer to "weak at 100x?" is measuring
+# every head at 100x.
 SPARK_QUERIES = [
+    # relational core
     "q1_pricing_summary",      # full-scan agg over 60M rows
+    "q3_shipping_topk",
     "q5_region_revenue",       # multi-join
     "top_customers",
-    "g_bfs_reachability",      # iterative frontier
+    "window_top_order_per_segment",
+    # graph (resident session, bucketed layout adopted)
+    "g_point_lookup",
+    "g_one_hop",
     "g_two_hop_count",
+    "g_degree_topk",
+    "g_bfs_reachability",      # iterative frontier
+    "cypher_grouped_count",
     "g_adamic_adar",           # ~900M-pair explosion at sf10
+    # temporal / streaming views
+    "temporal_replay",
+    "sessionize",
+    "rollup_gauges",
+    "decayed_user_value",
+    "scd2_intervals",
+    "gapfill_locf",
+    # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical", # fixpoint CC
@@ -45,38 +64,24 @@ SPARK_QUERIES = [
     "text_stats",
     "gopher_quality",
     "repetition_stats",
+    "ann_bruteforce_topk",     # labeled exact baseline
     "text_bm25_topk",
     "lm_bigram_score",
+    "emb_quantize_error",
     "emb_cosine_neardup",      # banded vector LSH
     "corpus_shards",
 ]
-# DuckDB twins only where a single-node run is affordable at sf10
-ORACLE_QUERIES = [
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "dedup_exact",
-    "text_stats",
-    "gopher_quality",
-    "text_bm25_topk",
-    "tfidf_cosine_pairs",
-    "g_adamic_adar",
-    # r7 additions: crossover candidates (sf1 ratios 37x / 80x / ~3x)
-    # plus the bfs twin the r6 verdict asked for evidence on
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
-    "repetition_stats",
-    "g_bfs_reachability",
-    "emb_cosine_neardup",
-    # r7b: the last untwinned headliners — measured once off-harness
-    # (two_hop 0.35s / top_customers 0.05s / lm_bigram 7.54s /
-    # corpus_shards 1.21s, NOTES r7); kept in the list so future
-    # artifact runs carry them
-    "g_two_hop_count",
-    "top_customers",
-    "lm_bigram_score",
-    "corpus_shards",
-]
+# every headliner gets a twin; infeasible ones are watchdogged and
+# recorded with reasons, never silently dropped
+ORACLE_QUERIES = list(SPARK_QUERIES)
 RUNS = 2
+# contention-proofing (VERDICT r9 item 3): the r9 artifact published
+# burst numbers for sub-10s heads (q5 23.9s in-artifact vs 4.7s
+# off-harness on unchanged code). Fast queries get a third run — the
+# cost is seconds; the probability of ALL runs landing in a
+# contention burst drops superlinearly.
+EXTRA_RUN_UNDER_S = 10.0
+MAX_RUNS = 3
 # per-twin wall budget: a DuckDB twin that spills past this is
 # recorded as infeasible-with-reason, not silently dropped.
 # Env-overridable for one-off raised-watchdog runs (VERDICT r8 item 4:
@@ -113,16 +118,20 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
     # "no silent nulls" (VERDICT r6 item 2): every null in the payload
     # MUST carry its reason here
     errors: dict[str, str] = {}
+    spark_runs: dict[str, list[float]] = {}
     for name in SPARK_QUERIES:
         try:
-            best = None
-            for _ in range(RUNS):
+            times: list[float] = []
+            while len(times) < RUNS or (
+                len(times) < MAX_RUNS and min(times) < EXTRA_RUN_UNDER_S
+            ):
                 t0 = time.perf_counter()
                 n = qs[name](spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            print(f"# spark {name}: {best:.2f}s rows={n}", file=sys.stderr)
+                times.append(round(time.perf_counter() - t0, 3))
+            spark_runs[name] = times
+            timings[name] = min(times)
+            print(f"# spark {name}: {min(times):.2f}s rows={n} "
+                  f"runs={times}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[f"spark:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -139,10 +148,20 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
     duck: dict[str, float | None] = {}
     import threading
 
+    duck_runs: dict[str, list[float]] = {}
     for name in ORACLE_QUERIES:
         best = None
+        times: list[float] = []
         run_errs: list[str] = []
-        for _ in range(RUNS):
+        while (
+            (len(times) + len(run_errs)) < RUNS
+            or (len(times) + len(run_errs) < MAX_RUNS
+                and times and min(times) < EXTRA_RUN_UNDER_S)
+        ):
+            # a watchdog-interrupted twin will not finish on retry
+            # either — don't burn another DUCK_TIMEOUT_S on it
+            if any("INTERRUPT" in e.upper() for e in run_errs):
+                break
             # duckdb has no statement timeout; interrupt from a
             # watchdog so one spilling twin can't eat the run. The
             # done-flag closes the completion race (ADVICE r7): once
@@ -161,12 +180,14 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
                 con.sql(oracles[name]).fetchall()
                 done.set()
                 dt = time.perf_counter() - t0
+                times.append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # noqa: BLE001
                 done.set()
                 run_errs.append(f"{type(exc).__name__}: {exc}"[:200])
             finally:
                 timer.cancel()
+        duck_runs[name] = times
         if best is not None:
             # a single interrupted/failed run no longer discards a
             # completed run's timing (ADVICE r7): keep the best
@@ -199,6 +220,11 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
         "shared_subset_duckdb": round(sum(duck[n] for n in shared), 3),
         "sf": 10,
         "runs_per_query": RUNS,
+        "extra_run_under_s": EXTRA_RUN_UNDER_S,
+        # every completed run, so next-round comparisons can judge
+        # spread (the r9 contention-burst lesson) without a re-run
+        "spark_runs": spark_runs,
+        "duckdb_runs": duck_runs,
         # one-time resident-graph setup (graph cache + bucketed
         # adjacency adoption) — paid once per resident session, the
         # reference's always-on index trade (rdb/managers.rs:233-240)
