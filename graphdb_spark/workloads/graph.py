@@ -123,7 +123,12 @@ def graph_session(spark, sf_dir) -> GraphSession:
             name = _adjacency_name(sf_dir, ADJ_BUCKETS)
             t0 = time.perf_counter()
             try:
-                g.ensure_bucketed_layout(name, ADJ_BUCKETS, cache=True)
+                # assume_immutable: the name embeds the source files'
+                # signature and the session is freshly built from
+                # exactly those files — adoption re-checks row counts
+                # (metadata-only) instead of full-column fingerprints
+                g.ensure_bucketed_layout(name, ADJ_BUCKETS, cache=True,
+                                         assume_immutable=True)
                 print(
                     f"# graph_session: bucketed layout '{name}' adopted "
                     f"in {time.perf_counter() - t0:.2f}s",

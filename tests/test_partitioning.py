@@ -639,3 +639,40 @@ def test_partial_reindex_rewrites_only_stale_relation(spark, adj_graph):
             "mktsegment", "AUTO")).count() == 0
     finally:
         P.drop_adjacency(spark, name)
+
+
+def test_assume_immutable_shortcut_voided_by_mutation(spark, adj_graph):
+    """assume_immutable downgrades the attach guard to row counts,
+    but ONLY for an unmutated session: after a count-preserving
+    mutation the fingerprint compare must re-arm and rewrite — the
+    shortcut must never reopen the r9 latent bug."""
+    import os
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.operators.mutations import set_properties
+    from graphdb_spark.session import GraphSession
+
+    g, name = adj_graph, "t_adj_imm"
+    plain_v, plain_e = g.vertices, g.edges
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        loc = P.adjacency_table_location(spark, f"{name}_v")
+        mtime = os.path.getmtime(loc)
+        # fresh unmutated session, same content: shortcut attaches
+        g2 = GraphSession(spark, plain_v, plain_e, assume_integrity=True)
+        g2.ensure_bucketed_layout(name, buckets=4, assume_immutable=True)
+        assert os.path.getmtime(loc) == mtime, "shortcut must attach"
+        # mutated session: assume_immutable is VOID, fingerprint
+        # mismatch forces the rewrite
+        g3 = GraphSession(spark, plain_v, plain_e, assume_integrity=True)
+        set_properties(
+            g3, Q.vertices_with_property_value("mktsegment", "BUILDING"),
+            "mktsegment", "FURNITURE",
+        )
+        g3.ensure_bucketed_layout(name, buckets=4, assume_immutable=True)
+        assert os.path.getmtime(loc) != mtime, "mutation must rewrite"
+        assert g3.df(Q.vertices_with_property_value(
+            "mktsegment", "FURNITURE")).count() == 20
+    finally:
+        P.drop_adjacency(spark, name)
