@@ -229,6 +229,10 @@ class GraphSession:
         self._layout_name = name
         self._layout_buckets = buckets
         self._layout_cached = cache
+        # adoption defaults to session-OWNED (mutations may maintain
+        # the tables in place); graph_session flags its adoption
+        # shared (see append_state)
+        self._layout_shared = False
         # frames changed identity: derived memos are stale
         self._frontier_cache = {}
         self._label_count_cache = None
@@ -406,9 +410,19 @@ class GraphSession:
         preserved, so hops keep their exchange elision over the
         appended state; per-bucket sort degrades to multi-file until
         compaction (auto past LAYOUT_COMPACT_APPENDS appends). Without
-        an adopted layout this is plain union + set_state."""
+        an adopted layout this is plain union + set_state.
+
+        Ownership rule: the in-place append only runs on a layout this
+        session OWNS. A SHARED adoption (``_layout_shared`` — e.g.
+        graph_session's signature-keyed default layout, a cache of
+        IMMUTABLE dataset state reused across processes) must never
+        absorb one session's mutations: the rows would pollute every
+        later reader's re-attach (the fingerprint guard would catch it
+        and force them all to rewrite). Mutating a shared adoption
+        falls back to plain union + set_state — the session simply
+        divorces the layout, exactly like any other mutation."""
         name = self._layout_name
-        if name is None:
+        if name is None or getattr(self, "_layout_shared", False):
             v = (self._v.unionByName(vertices)
                  if vertices is not None else None)
             e = self._e.unionByName(edges) if edges is not None else None

@@ -129,6 +129,11 @@ def graph_session(spark, sf_dir) -> GraphSession:
                 # (metadata-only) instead of full-column fingerprints
                 g.ensure_bucketed_layout(name, ADJ_BUCKETS, cache=True,
                                          assume_immutable=True)
+                # the signature-keyed layout is a SHARED cache of the
+                # immutable dataset — this session's mutations must
+                # never be appended into it (append_state falls back
+                # to plain union + set_state instead)
+                g._layout_shared = True
                 print(
                     f"# graph_session: bucketed layout '{name}' adopted "
                     f"in {time.perf_counter() - t0:.2f}s",

@@ -676,3 +676,31 @@ def test_assume_immutable_shortcut_voided_by_mutation(spark, adj_graph):
             "mktsegment", "FURNITURE")).count() == 20
     finally:
         P.drop_adjacency(spark, name)
+
+
+def test_append_state_respects_shared_layout(spark, adj_graph):
+    """A SHARED adoption (graph_session's signature-keyed default) is
+    a cross-process cache of immutable dataset state: append_state
+    must NOT write one session's mutations into it — it falls back to
+    plain union + set_state (layout divorced, table files untouched),
+    so later readers still re-attach the clean tables."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.datamodel import local_df
+
+    g, name = adj_graph, "t_adj_shared"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        g._layout_shared = True
+        base_files = _dir_state(spark, f"{name}_e_out")
+        n0 = g.get(Q.edges().count())[-1].count
+        g = g.append_state(edges=local_df(
+            spark, [("c_0", "PLACED", "o_shared_x", {})], _E_SCHEMA))
+        # session sees the new row, the shared tables do NOT
+        assert g.get(Q.edges().count())[-1].count == n0 + 1
+        assert _dir_state(spark, f"{name}_e_out") == base_files
+        assert g._layout_name is None  # divorced, like any mutation
+        meta = P.read_layout_meta(spark, name)
+        assert meta and meta.get("appends", 0) == 0
+    finally:
+        P.drop_adjacency(spark, name)
