@@ -790,8 +790,14 @@ def adamic_adar(edges: DataFrame, max_degree: int = 1000,
     # end-to-end). score = round(sum/1e6, 6) reconstructs the same
     # 6-dp value the decimal sum yields: the true total has exactly
     # six decimal places, so the nearest-double round is identical.
+    # INT, not BIGINT: wu = w*1e6 <= 1e6/ln(2) = 1,442,695 by
+    # construction (w = 1/ln(deg), deg >= 2 for any shared dst), so a
+    # 4-byte int is exact and the dominating ~900M-row pair exchange
+    # drops another 4 B/row (r10; r9's packed key took it 24->16 B,
+    # this takes it to 12 B). The aggregate's SUM over int promotes
+    # to long — identical totals to the bigint plan.
     shared = _shared_dst_weights(edges, max_degree).select(
-        "src", "dst", (F.col("w") * 1000000).cast("bigint").alias("wu")
+        "src", "dst", (F.col("w") * 1000000).cast("int").alias("wu")
     )
     n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
     # r9 pair-exchange reduction (VERDICT r8 item 3): when src is an

@@ -266,7 +266,15 @@ def append_adjacency(spark, name: str, buckets: int,
     sort, never an exchange) and the stamped content fingerprint is
     folded forward in O(delta): counts add, XOR accumulates —
     appending never rescans the base. Returns the updated meta (its
-    ``appends`` counter is the caller's compaction trigger)."""
+    ``appends`` counter is the caller's compaction trigger).
+
+    NOT atomic across the three tables (plain parquet appends have no
+    transaction): a failure mid-append leaves extra rows visible in
+    the already-appended tables until the next ensure detects the
+    fingerprint mismatch (meta is written LAST, so it always describes
+    at most what was fully appended) and REINDEXes. The transactional
+    alternative at production scale is the Delta-backed store
+    (sources/delta_store.py), where the append is one commit."""
     meta = read_layout_meta(spark, name)
     if meta is None or meta.get("buckets") != buckets:
         raise ValueError(

@@ -118,6 +118,7 @@ class GraphSession:
         self._layout_name: str | None = None
         self._layout_buckets = 0
         self._layout_cached = False
+        self._layout_shared = False
         self._register_views()
 
     # ------------------------------------------------------------ state
@@ -194,7 +195,8 @@ class GraphSession:
 
     def use_bucketed_layout(self, name: str = "graph_adj",
                             buckets: int = 32, write: bool = True,
-                            cache: bool = False) -> "GraphSession":
+                            cache: bool = False,
+                            shared: bool = False) -> "GraphSession":
         """Adopt the dual bucketed adjacency layout
         (``partitioning.write_adjacency``): vertices bucketed by id,
         edges stored twice — bucketed by src (forward) and by dst
@@ -229,10 +231,12 @@ class GraphSession:
         self._layout_name = name
         self._layout_buckets = buckets
         self._layout_cached = cache
-        # adoption defaults to session-OWNED (mutations may maintain
-        # the tables in place); graph_session flags its adoption
-        # shared (see append_state)
-        self._layout_shared = False
+        # session-OWNED by default (mutations may maintain the tables
+        # in place via append_state); shared=True marks a cross-
+        # process cache of immutable dataset state that must never
+        # absorb this session's mutations (see append_state). A flag,
+        # not a post-hoc attribute: re-adoption re-states ownership.
+        self._layout_shared = shared
         # frames changed identity: derived memos are stale
         self._frontier_cache = {}
         self._label_count_cache = None
@@ -245,6 +249,7 @@ class GraphSession:
                                buckets: int = 32,
                                cache: bool = False,
                                assume_immutable: bool = False,
+                               shared: bool = False,
                                ) -> "GraphSession":
         """Adopt the dual bucketed adjacency, REUSING tables a prior
         process already wrote under ``name`` when they still describe
@@ -290,7 +295,7 @@ class GraphSession:
             spark.catalog.tableExists(t) for t in tables
         ):
             return self.use_bucketed_layout(
-                name, buckets, write=False, cache=cache
+                name, buckets, write=False, cache=cache, shared=shared
             )
         try:
             # same-process catalog hit, or cross-process re-attach over
@@ -330,7 +335,7 @@ class GraphSession:
             self._reindex(name, buckets, stale, fp_v=fp_v, fp_e=fp_e)
         self._layout_valid[name] = self._state_version
         return self.use_bucketed_layout(
-            name, buckets, write=False, cache=cache
+            name, buckets, write=False, cache=cache, shared=shared
         )
 
     def _reindex(self, name: str, buckets: int, stale: set,
@@ -437,7 +442,8 @@ class GraphSession:
         self._state_version += 1
         cache = self._layout_cached
         g = self.use_bucketed_layout(name, self._layout_buckets,
-                                     write=False, cache=cache)
+                                     write=False, cache=cache,
+                                     shared=self._layout_shared)
         self._layout_valid[name] = self._state_version
         if meta.get("appends", 0) >= self.LAYOUT_COMPACT_APPENDS:
             g = g.compact_layout()
@@ -454,7 +460,8 @@ class GraphSession:
         self._reindex(name, buckets, {"v", "e"})
         self._layout_valid[name] = self._state_version
         return self.use_bucketed_layout(name, buckets, write=False,
-                                        cache=cache)
+                                        cache=cache,
+                                        shared=self._layout_shared)
 
     def edges_for(self, direction: str) -> DataFrame:
         """Direction-appropriate edge frame: the copy bucketed on the

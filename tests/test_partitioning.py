@@ -690,8 +690,7 @@ def test_append_state_respects_shared_layout(spark, adj_graph):
 
     g, name = adj_graph, "t_adj_shared"
     try:
-        g.ensure_bucketed_layout(name, buckets=4)
-        g._layout_shared = True
+        g.ensure_bucketed_layout(name, buckets=4, shared=True)
         base_files = _dir_state(spark, f"{name}_e_out")
         n0 = g.get(Q.edges().count())[-1].count
         g = g.append_state(edges=local_df(
