@@ -162,14 +162,23 @@ LAYOUT_META_FILE = "_layout_meta.json"
 
 def content_fingerprint(df: DataFrame) -> dict:
     """Order-independent content fingerprint of a frame: row count +
-    bit-XOR of per-row xxhash64 over EVERY column. This is the layout
-    stale-guard (VERDICT r9 item 1): row counts alone cannot see a
-    count-preserving mutation (set_properties / update_vertex upsert
-    values without changing cardinality), so attaching layout tables
-    on a count match could silently serve pre-mutation data. XOR is
-    commutative, so the fingerprint is independent of partitioning and
-    row order; map columns are normalized to sorted-entry JSON because
-    Spark (correctly) refuses hash() over MapType and raw map json is
+    bit-XOR of per-row xxhash64 over EVERY column + the exact integer
+    SUM of the same hashes. This is the layout stale-guard (VERDICT
+    r9 item 1): row counts alone cannot see a count-preserving
+    mutation (set_properties / update_vertex upsert values without
+    changing cardinality), so attaching layout tables on a count
+    match could silently serve pre-mutation data. XOR and SUM are
+    both commutative, so the fingerprint is independent of
+    partitioning and row order — and both fold forward in O(delta)
+    under appends. The SUM term exists because XOR alone has a
+    structural collision class: any PAIR of identical rows cancels
+    (h ^ h = 0), so e.g. {A, A, B} and {B, C, C} share count AND
+    XOR while holding different content; their hash sums differ
+    unless the colliding rows hash equal. SUM is computed in
+    DECIMAL(38,0) (exact; a bigint sum would hit ANSI overflow at
+    scale) and carried as a string in the JSON sidecar. Map columns
+    are normalized to sorted-entry JSON because Spark (correctly)
+    refuses hash() over MapType and raw map json is
     entry-order-sensitive. One scan + a 1-row aggregate — the same
     cost class as the count() guard it replaces, strictly more
     information."""
@@ -183,10 +192,18 @@ def content_fingerprint(df: DataFrame) -> dict:
         cols.append(c)
     row = (
         df.select(F.xxhash64(*cols).alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        )
         .collect()[0]
     )
-    return {"n": row["n"], "x": int(row["x"]) if row["x"] is not None else 0}
+    return {
+        "n": row["n"],
+        "x": int(row["x"]) if row["x"] is not None else 0,
+        "s": str(int(row["s"])) if row["s"] is not None else "0",
+    }
 
 
 def layout_meta_path(spark, name: str) -> str:
@@ -280,6 +297,16 @@ def append_adjacency(spark, name: str, buckets: int,
         raise ValueError(
             f"layout {name!r} has no matching spec to append into"
         )
+    for k in ("v", "e"):
+        if k in meta and "s" not in meta[k]:
+            # pre-sum-term sidecar: folding forward would stamp a sum
+            # that does not cover the base rows, poisoning every later
+            # fingerprint compare. MUST be rejected BEFORE any file
+            # append — the caller's fallback re-unions the delta, so
+            # rows half-appended here would be served twice.
+            raise ValueError(
+                f"layout {name!r} spec predates the hash-sum term"
+            )
 
     def _append(df, table, key):
         # small deltas: one task, at most one new file per non-empty
@@ -295,7 +322,11 @@ def append_adjacency(spark, name: str, buckets: int,
         )
 
     def _fold(entry, fp):
-        return {"n": entry["n"] + fp["n"], "x": entry["x"] ^ fp["x"]}
+        return {
+            "n": entry["n"] + fp["n"],
+            "x": entry["x"] ^ fp["x"],
+            "s": str(int(entry["s"]) + int(fp["s"])),
+        }
 
     if vertices is not None:
         fp = content_fingerprint(vertices)
@@ -368,6 +399,33 @@ def attach_adjacency(spark, name: str, buckets: int = 32) -> bool:
             f"INTO {buckets} BUCKETS LOCATION '{loc}'"
         )
     return True
+
+
+def gc_stale_stages(spark, name: str, max_age_s: int = 3600):
+    """Remove abandoned staging generations of ``name`` (a crashed
+    REINDEX leaves its ``{name}__stage*`` tables behind). Age-gated:
+    a LIVE concurrent writer's staging dir is at most minutes old, so
+    only stages untouched for ``max_age_s`` are collected — deleting
+    a peer's in-flight stage would corrupt its swap."""
+    import glob
+    import os
+    import time
+
+    pattern = adjacency_table_location(spark, f"{name}__stage*")
+    now = time.time()
+    prefixes = set()
+    for loc in glob.glob(pattern):
+        try:
+            if now - os.path.getmtime(loc) < max_age_s:
+                continue
+        except OSError:
+            continue
+        base = os.path.basename(loc)
+        for sfx in ("_v", "_e_out", "_e_in"):
+            if base.endswith(sfx):
+                prefixes.add(base[: -len(sfx)])
+    for p in prefixes:
+        drop_adjacency(spark, p)
 
 
 def drop_adjacency(spark, name: str):

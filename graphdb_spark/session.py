@@ -78,6 +78,12 @@ def build_spark(app_name: str = "graphdb_spark", master: str | None = None,
 class GraphSession:
     """Two-DataFrame property graph + KV store + query surfaces."""
 
+    #: REINDEX staging-name sequence: combined with the pid it makes
+    #: every staging generation unique across sessions AND processes,
+    #: so concurrent REINDEXes of the same layout name over a shared
+    #: warehouse can never write into each other's staging dirs.
+    _STAGE_SEQ = 0
+
     def __init__(self, spark: SparkSession, vertices: DataFrame | None = None,
                  edges: DataFrame | None = None, strict_indexing: bool = False,
                  assume_integrity: bool | None = None):
@@ -350,23 +356,74 @@ class GraphSession:
         the layout — the next ensure detects the missing table and
         writes fresh (REINDEX semantics). ``stale`` picks the
         relations: {"v"} rewrites one table, {"e"} the two edge
-        copies, both the full three-table REINDEX."""
+        copies, both the full three-table REINDEX.
+
+        Concurrency: staging names are PER-PROCESS unique (pid +
+        sequence), so two drivers REINDEXing the same ``name`` over a
+        shared warehouse can never write into each other's staging
+        dirs — the swap is last-writer-wins per table, and a loser
+        whose rename fails because the winner's tables landed first
+        ACCEPTS the winner's layout iff its stamped fingerprints match
+        this session's state (always true for signature-keyed names,
+        where the name pins the content). Readers racing a swap can
+        fail transiently (non-transactional FS rename) and recover at
+        the next ensure; abandoned stages from crashed processes are
+        age-gated garbage-collected."""
+        import os
         import shutil
 
         from graphdb_spark import partitioning as P
 
         spark = self.spark
-        stage = f"{name}__stage"
+        GraphSession._STAGE_SEQ += 1
+        stage = f"{name}__stage{os.getpid():x}_{GraphSession._STAGE_SEQ}"
+        P.gc_stale_stages(spark, name)
         P.drop_adjacency(spark, stage)
         if stale == {"v", "e"}:
             # full REINDEX: write_adjacency stamps fresh meta into the
             # staged _v dir; the renames carry it into place
             P.write_adjacency(self._v, self._e, stage, buckets)
-            P.drop_adjacency(spark, name)
-            for sfx in ("_v", "_e_out", "_e_in"):
-                spark.sql(
-                    f"ALTER TABLE `{stage}{sfx}` RENAME TO `{name}{sfx}`"
-                )
+            renamed = 0
+            try:
+                P.drop_adjacency(spark, name)
+                for sfx in ("_v", "_e_out", "_e_in"):
+                    spark.sql(
+                        f"ALTER TABLE `{stage}{sfx}` RENAME TO `{name}{sfx}`"
+                    )
+                    renamed += 1
+            except Exception:
+                if renamed == 0:
+                    # lost a concurrent swap race cleanly: a peer's
+                    # complete generation landed between our drop and
+                    # first rename. Accept it ONLY when its spec
+                    # describes exactly this session's state (compare
+                    # against our own staged meta — write_adjacency
+                    # just computed those fingerprints, no rescans);
+                    # anything else re-raises (ensure's caller falls
+                    # back / rewrites — never silent wrong data).
+                    meta = P.read_layout_meta(spark, name)
+                    want = P.read_layout_meta(spark, stage) or {}
+                    fpv = fp_v or want.get("v")
+                    fpe = fp_e or want.get("e")
+                    if (
+                        meta is not None
+                        and fpv is not None
+                        and fpe is not None
+                        and meta.get("buckets") == buckets
+                        and meta.get("v") == fpv
+                        and meta.get("e") == fpe
+                        and P.attach_adjacency(spark, name, buckets)
+                    ):
+                        P.drop_adjacency(spark, stage)
+                        return
+                else:
+                    # mid-swap failure: a PARTIAL generation must not
+                    # survive behind a valid-looking sidecar (the _v
+                    # rename carries our meta; a later ensure would
+                    # trust it over mixed files). Drop what landed —
+                    # the next ensure finds no spec and rewrites.
+                    P.drop_adjacency(spark, name)
+                raise
             return
         # partial REINDEX: preserve the fresh relation's tables and
         # fingerprint, swap only the stale one
@@ -434,8 +491,21 @@ class GraphSession:
             return self.set_state(vertices=v, edges=e)
         from graphdb_spark import partitioning as P
 
-        meta = P.append_adjacency(self.spark, name, self._layout_buckets,
-                                  vertices=vertices, edges=edges)
+        try:
+            meta = P.append_adjacency(self.spark, name,
+                                      self._layout_buckets,
+                                      vertices=vertices, edges=edges)
+        except ValueError:
+            # unusable sidecar spec (bucket mismatch, or a sidecar
+            # predating the hash-sum term): folding forward would
+            # stamp a fingerprint that doesn't cover the base rows.
+            # Divorce the layout instead — plain union + set_state,
+            # the same degradation every other mutation takes; the
+            # next ensure REINDEXes with a fresh spec.
+            v = (self._v.unionByName(vertices)
+                 if vertices is not None else None)
+            e = self._e.unionByName(edges) if edges is not None else None
+            return self.set_state(vertices=v, edges=e)
         # it IS a mutation: version bumps and derived memos drop, but
         # the layout was maintained WITH the write, so re-adopt it
         self._mutation_count += 1

@@ -703,3 +703,133 @@ def test_append_state_respects_shared_layout(spark, adj_graph):
         assert meta and meta.get("appends", 0) == 0
     finally:
         P.drop_adjacency(spark, name)
+
+
+def test_fingerprint_sum_breaks_xor_pair_collision(spark):
+    """XOR alone is blind to PAIRS of identical rows (h ^ h = 0):
+    {A, A, B} and {B, C, C} share row count AND xor. The hash-sum
+    term must split them — without it a mutation swapping duplicated
+    rows for different duplicated rows would pass the stale guard."""
+    from graphdb_spark import partitioning as P
+
+    schema = "id string, label string"
+    df1 = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], schema)
+    df2 = spark.createDataFrame(
+        [("b", "y"), ("c", "z"), ("c", "z")], schema)
+    fp1, fp2 = P.content_fingerprint(df1), P.content_fingerprint(df2)
+    assert fp1["n"] == fp2["n"]
+    assert fp1["x"] == fp2["x"], "premise: the XOR collision is real"
+    assert fp1["s"] != fp2["s"]
+    assert fp1 != fp2
+
+
+def test_append_state_divorces_on_presum_sidecar(spark, adj_graph):
+    """A sidecar stamped before the hash-sum term cannot fold forward
+    (the folded sum would not cover the base rows, poisoning every
+    later compare). append_state must degrade to plain union +
+    set_state — the same divorce as any other mutation — leaving the
+    old tables' files untouched."""
+    import json
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.datamodel import local_df
+
+    g, name = adj_graph, "t_adj_presum"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        n0 = g.get(Q.edges().count())[-1].count
+        base_files = _dir_state(spark, f"{name}_e_out")
+        # simulate an r10-early sidecar: strip the sum term
+        mp = P.layout_meta_path(spark, name)
+        with open(mp) as fh:
+            meta = json.load(fh)
+        for k in ("v", "e"):
+            meta[k].pop("s", None)
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+        g = g.append_state(edges=local_df(
+            spark, [("c_0", "PLACED", "o_presum_x", {})], _E_SCHEMA))
+        assert g.get(Q.edges().count())[-1].count == n0 + 1
+        assert g._layout_name is None  # divorced, not half-appended
+        assert _dir_state(spark, f"{name}_e_out") == base_files
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_gc_stale_stages_age_gated(spark, adj_graph):
+    """Abandoned staging generations (crashed REINDEX) are collected;
+    a FRESH stage — possibly a live concurrent writer's — is not."""
+    import os
+    import time
+
+    from graphdb_spark import partitioning as P
+
+    name = "t_adj_gcstage"
+    dead = f"{name}__stagedead_1_v"
+    live = f"{name}__stagelive_2_v"
+    dead_loc = P.adjacency_table_location(spark, dead)
+    live_loc = P.adjacency_table_location(spark, live)
+    os.makedirs(dead_loc, exist_ok=True)
+    os.makedirs(live_loc, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(dead_loc, (old, old))
+    try:
+        P.gc_stale_stages(spark, name)
+        assert not os.path.exists(dead_loc)
+        assert os.path.exists(live_loc)
+    finally:
+        import shutil
+
+        shutil.rmtree(live_loc, ignore_errors=True)
+        shutil.rmtree(dead_loc, ignore_errors=True)
+
+
+def test_reindex_swap_race_accepts_identical_winner(spark, adj_graph,
+                                                    monkeypatch):
+    """Two drivers REINDEXing the same name over a shared warehouse:
+    the loser's rename fails because the winner's generation landed
+    first. When the winner's stamped fingerprints describe EXACTLY
+    the loser's state (always true for signature-keyed names), the
+    loser must accept the winner's tables — not crash, not clobber.
+    Simulated by pre-installing the 'winner' layout and making the
+    loser's pre-swap drop a no-op for the target name (in the real
+    cross-process race the winner lands between drop and rename; the
+    rename failure itself is genuine — the target exists)."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.session import GraphSession
+
+    g, name = adj_graph, "t_adj_race"
+    try:
+        # the winner: identical state, already swapped in
+        winner = GraphSession(spark, g.vertices, g.edges,
+                              assume_integrity=True)
+        winner.ensure_bucketed_layout(name, buckets=4)
+        winner_files = _dir_state(spark, f"{name}_e_out")
+
+        real_drop = P.drop_adjacency
+
+        def selective_drop(s, n):
+            if n == name:
+                return  # the winner's tables stay — rename will fail
+            real_drop(s, n)
+
+        monkeypatch.setattr(P, "drop_adjacency", selective_drop)
+        g._reindex(name, 4, {"v", "e"})  # must accept, not raise
+        monkeypatch.setattr(P, "drop_adjacency", real_drop)
+        assert _dir_state(spark, f"{name}_e_out") == winner_files
+        # no stray staging tables survive the accepted race
+        import glob
+
+        stray = glob.glob(
+            P.adjacency_table_location(spark, f"{name}__stage*"))
+        assert stray == [], stray
+        g2 = g.use_bucketed_layout(name, 4, write=False)
+        got = {r["id"] for r in g2.df(
+            Q.specific_vertices("c_0").outbound(t="PLACED").inbound()
+        ).collect()}
+        assert got, "accepted layout must serve hops"
+    finally:
+        P.drop_adjacency(spark, name)
