@@ -337,7 +337,18 @@ def append_adjacency(spark, name: str, buckets: int,
         _append(edges, f"{name}_e_out", "src")
         _append(edges, f"{name}_e_in", "dst")
         meta["e"] = _fold(meta["e"], fp)
-    meta["appends"] = meta.get("appends", 0) + 1
+    # PER-RELATION append pressure (r10): compaction rewrites only
+    # relations that actually accumulated files — at 100 TB an
+    # edge-only ingest stream must never force the pristine (and
+    # comparably huge) vertex table through a rewrite.
+    ap = meta.get("appends") or {}
+    if isinstance(ap, int):  # legacy scalar counter
+        ap = {"v": ap, "e": ap}
+    if vertices is not None:
+        ap["v"] = ap.get("v", 0) + 1
+    if edges is not None:
+        ap["e"] = ap.get("e", 0) + 1
+    meta["appends"] = ap
     write_layout_meta(spark, name, meta)
     for sfx in ("_v", "_e_out", "_e_in"):
         # drop any cached scan + stale file listing: a cached plan

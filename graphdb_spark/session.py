@@ -75,6 +75,15 @@ def build_spark(app_name: str = "graphdb_spark", master: str | None = None,
     )
 
 
+def _append_pressure(meta: dict | None) -> dict:
+    """Per-relation append counters from a layout sidecar, normalizing
+    the legacy scalar form (one global counter) to {"v": n, "e": n}."""
+    ap = (meta or {}).get("appends") or {}
+    if isinstance(ap, int):
+        return {"v": ap, "e": ap}
+    return ap
+
+
 class GraphSession:
     """Two-DataFrame property graph + KV store + query surfaces."""
 
@@ -448,10 +457,14 @@ class GraphSession:
             if "e" in stale else old_meta.get("e"),
             # a rewrite compacts what it touches; appended files may
             # survive on the untouched relation, so keep its pressure
-            "appends": 0 if "e" in stale else old_meta.get("appends", 0),
+            "appends": {
+                k: 0 if k in stale else _append_pressure(old_meta).get(k, 0)
+                for k in ("v", "e")
+            },
         })
 
-    #: full-rewrite compaction triggers after this many layout appends
+    #: compaction (per-relation rewrite) triggers after this many
+    #: layout appends on any one relation
     #: (multi-file buckets keep hash distribution — the exchange-
     #: elision contract — but each append adds a file per non-empty
     #: bucket; past this point the one-file-per-bucket sort contract
@@ -515,19 +528,38 @@ class GraphSession:
                                      write=False, cache=cache,
                                      shared=self._layout_shared)
         self._layout_valid[name] = self._state_version
-        if meta.get("appends", 0) >= self.LAYOUT_COMPACT_APPENDS:
+        pressure = _append_pressure(meta)
+        if pressure and max(pressure.values()) >= self.LAYOUT_COMPACT_APPENDS:
             g = g.compact_layout()
         return g
 
     def compact_layout(self) -> "GraphSession":
         """Restore one-file-per-bucket on the adopted layout (the
         compaction half of append_state's LSM cycle) via the staged
-        full REINDEX. No-op on plain frames."""
+        REINDEX — PER RELATION: only relations that actually
+        accumulated append files are rewritten, so an edge-only ingest
+        stream never forces the pristine (and comparably huge) vertex
+        table through a rewrite at compaction time. Compaction does
+        not change content, so the already-folded fingerprints are
+        passed through instead of being recomputed (saves a full scan
+        per relation). No-op on plain frames or a pressure-free
+        layout."""
+        from graphdb_spark import partitioning as P
+
         name = self._layout_name
         if name is None:
             return self
         buckets, cache = self._layout_buckets, self._layout_cached
-        self._reindex(name, buckets, {"v", "e"})
+        meta = P.read_layout_meta(self.spark, name)
+        pressure = _append_pressure(meta)
+        stale = {k for k, n in pressure.items() if n}
+        if meta is None:
+            stale = {"v", "e"}  # no trustworthy spec: restore fully
+        elif not stale:
+            return self  # every bucket is already one file
+        self._reindex(name, buckets, stale,
+                      fp_v=(meta or {}).get("v"),
+                      fp_e=(meta or {}).get("e"))
         self._layout_valid[name] = self._state_version
         return self.use_bucketed_layout(name, buckets, write=False,
                                         cache=cache,

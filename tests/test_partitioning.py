@@ -586,7 +586,11 @@ def test_append_state_maintains_layout(spark, adj_graph):
 
 def test_append_state_compaction(spark, adj_graph):
     """Past LAYOUT_COMPACT_APPENDS appends the layout compacts back to
-    one file per bucket (staged full REINDEX), results unchanged."""
+    one file per bucket (staged REINDEX), results unchanged — and only
+    the relations that ACCUMULATED append files are rewritten: an
+    edge-only append stream must leave the pristine vertex table's
+    files byte-identical (at 100 TB the vertex table is comparably
+    huge; compacting it for edge pressure is a wasted rewrite)."""
     from graphdb_spark import partitioning as P
     from graphdb_spark.algebra import Q
     from graphdb_spark.datamodel import local_df
@@ -595,6 +599,7 @@ def test_append_state_compaction(spark, adj_graph):
     try:
         g.ensure_bucketed_layout(name, buckets=4)
         base = g.get(Q.edges().count())[-1].count
+        v_files = _dir_state(spark, f"{name}_v")
         g.LAYOUT_COMPACT_APPENDS = 2  # instance override for the test
         for i in range(2):
             g = g.append_state(edges=local_df(
@@ -602,9 +607,16 @@ def test_append_state_compaction(spark, adj_graph):
         # compaction ran: one file per (non-empty) bucket again
         files = _dir_state(spark, f"{name}_e_out")
         assert len(files) <= 4, files
-        assert (P.read_layout_meta(spark, name) or {}).get("appends", 0) == 0
+        ap = (P.read_layout_meta(spark, name) or {}).get("appends")
+        assert ap == {"v": 0, "e": 0}, ap
+        # edge-only pressure: the vertex table was not rewritten
+        assert _dir_state(spark, f"{name}_v") == v_files
         assert g.get(Q.edges().count())[-1].count == base + 2
         assert g._e_by_key
+        # pressure-free compact is a no-op (no rewrite to do)
+        e_files = _dir_state(spark, f"{name}_e_out")
+        g = g.compact_layout()
+        assert _dir_state(spark, f"{name}_e_out") == e_files
     finally:
         P.drop_adjacency(spark, name)
 
