@@ -96,7 +96,8 @@ def read_bucketed(spark, table: str) -> DataFrame:
 
 
 def write_adjacency(vertices: DataFrame, edges: DataFrame, name: str,
-                    buckets: int = 32) -> dict:
+                    buckets: int = 32, fp_v: dict | None = None,
+                    fp_e: dict | None = None) -> dict:
     """Dual bucketed adjacency layout — the Spark twin of the
     reference's forward + reversed edge indexes
     (lib/src/rdb/managers.rs:233-240: EdgeRangeManager bucketed by
@@ -139,14 +140,18 @@ def write_adjacency(vertices: DataFrame, edges: DataFrame, name: str,
     # exchanges that ARE needed → silently dropped join matches), and
     # ensure_bucketed_layout compares the fingerprints against the
     # session's frames (row counts alone miss count-preserving
-    # mutations — VERDICT r9 item 1).
+    # mutations — VERDICT r9 item 1). Callers that already HOLD the
+    # frames' fingerprints (a compaction — content unchanged by
+    # construction; a REINDEX whose ensure just computed them for the
+    # staleness compare) pass them through; recomputing would be one
+    # full scan per relation of pure waste at 100 TB.
     write_layout_meta(
         vertices.sparkSession,
         name,
         {
             "buckets": buckets,
-            "v": content_fingerprint(vertices),
-            "e": content_fingerprint(edges),
+            "v": fp_v or content_fingerprint(vertices),
+            "e": fp_e or content_fingerprint(edges),
         },
     )
     return {t: k for t, (_, k) in specs.items()}
@@ -204,6 +209,32 @@ def content_fingerprint(df: DataFrame) -> dict:
         "x": int(row["x"]) if row["x"] is not None else 0,
         "s": str(int(row["s"])) if row["s"] is not None else "0",
     }
+
+
+def append_pressure(meta: dict | None) -> dict:
+    """Per-relation append counters from a layout sidecar, normalizing
+    the legacy scalar form (one global counter) to {"v": n, "e": n}.
+    The single source of truth for the normalization rule — consumed
+    by append_adjacency (increment), GraphSession._reindex (per-
+    relation reset) and compact_layout (pressure-driven targets)."""
+    ap = (meta or {}).get("appends") or {}
+    if isinstance(ap, int):
+        return {"v": ap, "e": ap}
+    return dict(ap)
+
+
+def invalidate_layout_meta(spark, name: str):
+    """Remove the sidecar so the layout can NEVER attach until a fresh
+    spec is stamped — the guard rail around any multi-step swap whose
+    intermediate states must not be trusted (a partially swapped
+    generation behind a valid-looking sidecar would attach and serve
+    mixed tables)."""
+    import os
+
+    try:
+        os.remove(layout_meta_path(spark, name))
+    except OSError:
+        pass
 
 
 def layout_meta_path(spark, name: str) -> str:
@@ -298,14 +329,19 @@ def append_adjacency(spark, name: str, buckets: int,
             f"layout {name!r} has no matching spec to append into"
         )
     for k in ("v", "e"):
-        if k in meta and "s" not in meta[k]:
-            # pre-sum-term sidecar: folding forward would stamp a sum
-            # that does not cover the base rows, poisoning every later
-            # fingerprint compare. MUST be rejected BEFORE any file
-            # append — the caller's fallback re-unions the delta, so
-            # rows half-appended here would be served twice.
+        entry = meta.get(k)
+        if not isinstance(entry, dict) or "s" not in entry:
+            # missing/truncated relation entry, or a pre-sum-term
+            # sidecar: folding forward would stamp a fingerprint that
+            # does not cover the base rows, poisoning every later
+            # compare. MUST be rejected BEFORE any file append — the
+            # caller's fallback re-unions the delta, so rows
+            # half-appended here would be served twice. (An absent
+            # key hitting _fold AFTER the appends would be exactly
+            # that bug as a KeyError.)
             raise ValueError(
-                f"layout {name!r} spec predates the hash-sum term"
+                f"layout {name!r} spec is unusable for appends "
+                f"(relation {k!r} entry missing or pre-sum-term)"
             )
 
     def _append(df, table, key):
@@ -328,22 +364,59 @@ def append_adjacency(spark, name: str, buckets: int,
             "s": str(int(entry["s"]) + int(fp["s"])),
         }
 
+    # Pin the deltas ONCE: fingerprint + e_out append + e_in append
+    # evaluate the frame up to three times, and a non-deterministic
+    # delta (limit/sample/monotonically_increasing_id lineage) would
+    # otherwise stamp a fingerprint that never matches the appended
+    # rows — or worse, diverge the two edge copies.
     if vertices is not None:
-        fp = content_fingerprint(vertices)
-        _append(vertices, f"{name}_v", "id")
-        meta["v"] = _fold(meta["v"], fp)
+        vertices = vertices.localCheckpoint(eager=True)
     if edges is not None:
-        fp = content_fingerprint(edges)
-        _append(edges, f"{name}_e_out", "src")
-        _append(edges, f"{name}_e_in", "dst")
-        meta["e"] = _fold(meta["e"], fp)
+        edges = edges.localCheckpoint(eager=True)
+
+    # Snapshot each table dir so a mid-append failure (the three
+    # appends are not one transaction) can ROLL BACK to the
+    # pre-append file set: without it, e_out succeeding while e_in
+    # fails leaves the forward and reversed copies disagreeing — and
+    # the session frames read these very tables, so the next REINDEX
+    # would launder the phantom rows into canonical state.
+    import os as _os
+    import shutil as _shutil
+
+    tables = [f"{name}_v", f"{name}_e_out", f"{name}_e_in"]
+    pre = {}
+    for t in tables:
+        loc = adjacency_table_location(spark, t)
+        pre[t] = (loc, set(_os.listdir(loc)) if _os.path.isdir(loc)
+                  else set())
+    try:
+        if vertices is not None:
+            fp = content_fingerprint(vertices)
+            _append(vertices, f"{name}_v", "id")
+            meta["v"] = _fold(meta["v"], fp)
+        if edges is not None:
+            fp = content_fingerprint(edges)
+            _append(edges, f"{name}_e_out", "src")
+            _append(edges, f"{name}_e_in", "dst")
+            meta["e"] = _fold(meta["e"], fp)
+    except BaseException:
+        for t, (loc, had) in pre.items():
+            try:
+                for f in set(_os.listdir(loc)) - had:
+                    p = _os.path.join(loc, f)
+                    if _os.path.isdir(p):
+                        _shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        _os.remove(p)
+                spark.catalog.refreshTable(t)
+            except OSError:
+                pass  # best-effort; meta stays unwritten → REINDEX
+        raise
     # PER-RELATION append pressure (r10): compaction rewrites only
     # relations that actually accumulated files — at 100 TB an
     # edge-only ingest stream must never force the pristine (and
     # comparably huge) vertex table through a rewrite.
-    ap = meta.get("appends") or {}
-    if isinstance(ap, int):  # legacy scalar counter
-        ap = {"v": ap, "e": ap}
+    ap = append_pressure(meta)
     if vertices is not None:
         ap["v"] = ap.get("v", 0) + 1
     if edges is not None:
@@ -424,19 +497,26 @@ def gc_stale_stages(spark, name: str, max_age_s: int = 3600):
 
     pattern = adjacency_table_location(spark, f"{name}__stage*")
     now = time.time()
-    prefixes = set()
+    # age-gate on the NEWEST dir of each staging generation: a live
+    # REINDEX writes _v first and the (much larger) edge tables after,
+    # so the _v dir alone can look hours old while the writer is still
+    # mid-flight — collecting on per-dir age would gut it (the dirs
+    # share one prefix; only the whole generation going quiet for
+    # max_age_s means the writer is dead).
+    newest: dict[str, float] = {}
     for loc in glob.glob(pattern):
         try:
-            if now - os.path.getmtime(loc) < max_age_s:
-                continue
+            mt = os.path.getmtime(loc)
         except OSError:
             continue
         base = os.path.basename(loc)
         for sfx in ("_v", "_e_out", "_e_in"):
             if base.endswith(sfx):
-                prefixes.add(base[: -len(sfx)])
-    for p in prefixes:
-        drop_adjacency(spark, p)
+                p = base[: -len(sfx)]
+                newest[p] = max(newest.get(p, 0.0), mt)
+    for p, mt in newest.items():
+        if now - mt >= max_age_s:
+            drop_adjacency(spark, p)
 
 
 def drop_adjacency(spark, name: str):

@@ -75,13 +75,7 @@ def build_spark(app_name: str = "graphdb_spark", master: str | None = None,
     )
 
 
-def _append_pressure(meta: dict | None) -> dict:
-    """Per-relation append counters from a layout sidecar, normalizing
-    the legacy scalar form (one global counter) to {"v": n, "e": n}."""
-    ap = (meta or {}).get("appends") or {}
-    if isinstance(ap, int):
-        return {"v": ap, "e": ap}
-    return ap
+from graphdb_spark.partitioning import append_pressure as _append_pressure
 
 
 class GraphSession:
@@ -127,7 +121,7 @@ class GraphSession:
         # entirely while ANY mutation — including count-preserving
         # property upserts — forces it (VERDICT r9 item 1)
         self._state_version = 0
-        self._layout_valid: dict = {}  # name -> state_version
+        self._layout_valid: dict = {}  # name -> (state_version, buckets)
         # currently adopted layout (None when on plain frames) —
         # append_state/compact_layout maintain it incrementally
         self._layout_name: str | None = None
@@ -236,7 +230,7 @@ class GraphSession:
 
         if write:
             P.write_adjacency(self._v, self._e, name, buckets)
-            self._layout_valid[name] = self._state_version
+            self._layout_valid[name] = (self._state_version, buckets)
         v, e_out, e_in = P.load_adjacency(self.spark, name)
         if cache:
             v, e_out, e_in = v.cache(), e_out.cache(), e_in.cache()
@@ -306,7 +300,9 @@ class GraphSession:
 
         spark = self.spark
         tables = [f"{name}_v", f"{name}_e_out", f"{name}_e_in"]
-        if self._layout_valid.get(name) == self._state_version and all(
+        if self._layout_valid.get(name) == (
+            self._state_version, buckets,
+        ) and all(
             spark.catalog.tableExists(t) for t in tables
         ):
             return self.use_bucketed_layout(
@@ -348,7 +344,7 @@ class GraphSession:
                     stale.add("e")
         if stale:
             self._reindex(name, buckets, stale, fp_v=fp_v, fp_e=fp_e)
-        self._layout_valid[name] = self._state_version
+        self._layout_valid[name] = (self._state_version, buckets)
         return self.use_bucketed_layout(
             name, buckets, write=False, cache=cache, shared=shared
         )
@@ -391,7 +387,12 @@ class GraphSession:
         if stale == {"v", "e"}:
             # full REINDEX: write_adjacency stamps fresh meta into the
             # staged _v dir; the renames carry it into place
-            P.write_adjacency(self._v, self._e, stage, buckets)
+            # pass any fingerprints the caller already holds (ensure's
+            # staleness compare computed them; compaction's content is
+            # unchanged by construction) — write_adjacency stamps them
+            # instead of paying one recompute scan per relation
+            P.write_adjacency(self._v, self._e, stage, buckets,
+                              fp_v=fp_v, fp_e=fp_e)
             renamed = 0
             try:
                 P.drop_adjacency(spark, name)
@@ -444,6 +445,14 @@ class GraphSession:
         todo = [t for k in sorted(stale) for t in specs[k]]
         for sfx, df, key in todo:
             P.write_adjacency_table(df, f"{stage}{sfx}", key, buckets)
+        # the swap is multi-step and non-transactional: kill the
+        # sidecar FIRST so no intermediate state can ever attach — a
+        # crash between the _e_out and _e_in swaps would otherwise
+        # leave mixed-generation edge copies behind a still-matching
+        # spec (out-hops and in-hops silently disagreeing); with the
+        # meta gone, the next ensure finds no trustworthy spec and
+        # rewrites fully
+        P.invalidate_layout_meta(spark, name)
         for sfx, _, _ in todo:
             loc = P.adjacency_table_location(spark, f"{name}{sfx}")
             spark.sql(f"DROP TABLE IF EXISTS `{name}{sfx}`")
@@ -508,16 +517,38 @@ class GraphSession:
             meta = P.append_adjacency(self.spark, name,
                                       self._layout_buckets,
                                       vertices=vertices, edges=edges)
-        except ValueError:
-            # unusable sidecar spec (bucket mismatch, or a sidecar
-            # predating the hash-sum term): folding forward would
-            # stamp a fingerprint that doesn't cover the base rows.
-            # Divorce the layout instead — plain union + set_state,
-            # the same degradation every other mutation takes; the
-            # next ensure REINDEXes with a fresh spec.
-            v = (self._v.unionByName(vertices)
-                 if vertices is not None else None)
-            e = self._e.unionByName(edges) if edges is not None else None
+        except Exception as exc:
+            # Two classes, one recovery. ValueError = unusable sidecar
+            # spec (bucket mismatch / pre-sum-term / truncated entry),
+            # rejected before any file touched. Anything else = a
+            # failed append, which append_adjacency ROLLED BACK to the
+            # pre-append file set (its three appends are not one
+            # transaction; without the rollback a half-appended delta
+            # would diverge the forward/reversed copies and the next
+            # REINDEX — sourced from these very tables — would launder
+            # the phantom rows into canonical state). Either way the
+            # tables hold exactly the pre-append rows, so the plain
+            # union + set_state divorce is correct, same as any other
+            # mutation; the next ensure REINDEXes with a fresh spec.
+            if not isinstance(exc, ValueError):
+                import sys
+
+                print(
+                    f"# append_state: layout append failed ({exc!r});"
+                    " rolled back, divorcing layout",
+                    file=sys.stderr,
+                )
+            # re-resolve the base tables FRESH: the session's existing
+            # frame objects pinned their relation (and file listing)
+            # at an earlier analysis, and an append+rollback cycle
+            # leaves such pinned listings pointing at deleted files —
+            # refreshTable fixes the catalog, not already-analyzed
+            # DataFrames (measured: the stale object throws
+            # FAILED_READ_FILE.FILE_NOT_EXIST; a fresh spark.table
+            # resolves clean)
+            v0, e0, _e_in = P.load_adjacency(self.spark, name)
+            v = v0.unionByName(vertices) if vertices is not None else v0
+            e = e0.unionByName(edges) if edges is not None else e0
             return self.set_state(vertices=v, edges=e)
         # it IS a mutation: version bumps and derived memos drop, but
         # the layout was maintained WITH the write, so re-adopt it
@@ -527,7 +558,8 @@ class GraphSession:
         g = self.use_bucketed_layout(name, self._layout_buckets,
                                      write=False, cache=cache,
                                      shared=self._layout_shared)
-        self._layout_valid[name] = self._state_version
+        self._layout_valid[name] = (self._state_version,
+                                    self._layout_buckets)
         pressure = _append_pressure(meta)
         if pressure and max(pressure.values()) >= self.LAYOUT_COMPACT_APPENDS:
             g = g.compact_layout()
@@ -560,7 +592,7 @@ class GraphSession:
         self._reindex(name, buckets, stale,
                       fp_v=(meta or {}).get("v"),
                       fp_e=(meta or {}).get("e"))
-        self._layout_valid[name] = self._state_version
+        self._layout_valid[name] = (self._state_version, buckets)
         return self.use_bucketed_layout(name, buckets, write=False,
                                         cache=cache,
                                         shared=self._layout_shared)

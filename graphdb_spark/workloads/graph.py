@@ -139,7 +139,19 @@ def graph_session(spark, sf_dir) -> GraphSession:
                     f"in {time.perf_counter() - t0:.2f}s",
                     file=sys.stderr,
                 )
-                _gc_stale_adjacency(spark, sf_dir, ADJ_BUCKETS, keep=name)
+                # GC of PRIOR generations is best-effort housekeeping:
+                # it must never void a successful adoption (the except
+                # below rebuilds a plain session, discarding the three
+                # cached layout frames it can no longer unpersist)
+                try:
+                    _gc_stale_adjacency(spark, sf_dir, ADJ_BUCKETS,
+                                        keep=name)
+                except Exception as gc_exc:  # noqa: BLE001
+                    print(
+                        f"# graph_session: stale-layout GC failed "
+                        f"({gc_exc!r}); continuing on adopted layout",
+                        file=sys.stderr,
+                    )
             except Exception as exc:  # noqa: BLE001
                 # layout adoption is an OPTIMIZATION — a write failure
                 # (read-only / full warehouse dir) must degrade to the

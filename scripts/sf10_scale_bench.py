@@ -120,22 +120,30 @@ def main(sf_dir: str = "/tmp/sf10synth") -> int:
     errors: dict[str, str] = {}
     spark_runs: dict[str, list[float]] = {}
     for name in SPARK_QUERIES:
+        # keep every COMPLETED measurement even when a later run
+        # throws (the duck loop below has had this since ADVICE r7;
+        # a transient failure on run 3 of a fast query must not null
+        # two valid runs out of the artifact)
+        times: list[float] = []
+        n = None
         try:
-            times: list[float] = []
             while len(times) < RUNS or (
                 len(times) < MAX_RUNS and min(times) < EXTRA_RUN_UNDER_S
             ):
                 t0 = time.perf_counter()
                 n = qs[name](spark, sf_dir).count()
                 times.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001
+            errors[f"spark:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# spark {name}: run {len(times) + 1} FAILED {exc}",
+                  file=sys.stderr)
+        if times:
             spark_runs[name] = times
             timings[name] = min(times)
             print(f"# spark {name}: {min(times):.2f}s rows={n} "
                   f"runs={times}", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
+        else:
             timings[name] = None
-            errors[f"spark:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# spark {name}: FAILED {exc}", file=sys.stderr)
     spark.stop()
 
     oracles = workloads.all_unpacked_oracles()

@@ -845,3 +845,139 @@ def test_reindex_swap_race_accepts_identical_winner(spark, adj_graph,
         assert got, "accepted layout must serve hops"
     finally:
         P.drop_adjacency(spark, name)
+
+
+def test_partial_reindex_crash_leaves_no_valid_sidecar(spark, adj_graph):
+    """The partial swap is multi-step and non-transactional: a crash
+    between the _e_out and _e_in swaps must NOT leave mixed-generation
+    edge copies behind a valid-looking sidecar (out-hops and in-hops
+    would silently disagree). The sidecar is invalidated before the
+    first rename, so the interrupted state cannot attach — the next
+    ensure rewrites fully."""
+    import pytest
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+
+    g, name = adj_graph, "t_adj_crash"
+
+    class _FlakySql:
+        """Delegates everything to the real session; fails the SECOND
+        edge-table rename (simulating a crash mid-partial-swap)."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, a):
+            return getattr(self._real, a)
+
+        def sql(self, q, *a, **k):
+            if "RENAME TO `t_adj_crash_e_in`" in q:
+                raise RuntimeError("simulated crash mid-partial-swap")
+            return self._real.sql(q, *a, **k)
+
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        # edge-only content mutation (same cardinality) → stale={"e"}
+        e2 = g.edges.withColumn(
+            "properties",
+            F.create_map(F.lit("touched"), F.lit("1")),
+        )
+        g.set_state(edges=e2)
+        e2_rows = [tuple(r) for r in e2.collect()]  # survives the crash
+        v_rows = [tuple(r) for r in g.vertices.collect()]
+        g.spark = _FlakySql(spark)
+        with pytest.raises(Exception):
+            g.ensure_bucketed_layout(name, buckets=4)
+        g.spark = spark
+        # the interrupted generation must not be attachable
+        assert P.read_layout_meta(spark, name) is None
+        assert P.attach_adjacency(spark, name, 4) is False
+        # recovery is a NEW session over the source-of-truth state
+        # (after a crash the old session's layout-backed frames pin
+        # listings of the swapped-away files — documented REINDEX
+        # semantics: the layout is lost, the next ensure rewrites):
+        # the fresh ensure must full-rewrite and serve hops
+        from graphdb_spark.session import GraphSession
+
+        g2 = GraphSession(
+            spark,
+            spark.createDataFrame(v_rows, _V_SCHEMA),
+            spark.createDataFrame(e2_rows, _E_SCHEMA),
+            assume_integrity=True,
+        )
+        g2.ensure_bucketed_layout(name, buckets=4)
+        assert P.read_layout_meta(spark, name) is not None
+        ids = {r["id"] for r in g2.df(
+            Q.specific_vertices("c_0").outbound(t="PLACED").inbound()
+        ).collect()}
+        assert ids, "recovered layout must serve hops"
+    finally:
+        g.spark = spark
+        P.drop_adjacency(spark, name)
+
+
+def test_ensure_different_buckets_rewrites(spark, adj_graph):
+    """Tier-1 fast path must not hand back tables written with a
+    DIFFERENT bucket count: the planner trusts the declared bucketing,
+    so attaching 4-bucket files as 64 buckets would silently drop join
+    matches. Re-ensuring with new buckets on an unmutated session
+    rewrites (attach refuses via the stamped spec; the in-session
+    shortcut is keyed on (state_version, buckets))."""
+    from graphdb_spark import partitioning as P
+
+    g, name = adj_graph, "t_adj_rebkt"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        assert (P.read_layout_meta(spark, name) or {}).get("buckets") == 4
+        g.ensure_bucketed_layout(name, buckets=8)
+        meta = P.read_layout_meta(spark, name)
+        assert meta and meta.get("buckets") == 8, meta
+        files = _dir_state(spark, f"{name}_e_out")
+        assert files, "rewritten layout must have files"
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_append_failure_rolls_back_files(spark, adj_graph, monkeypatch):
+    """The three layout appends are not one transaction: a failure
+    after the vertex append but before the edge appends must roll the
+    table dirs back to the pre-append file set (a half-appended delta
+    would diverge the forward/reversed copies, and the next REINDEX —
+    sourced from these very tables — would launder the phantom rows
+    into canonical state). append_state then divorces via plain
+    union, so the session still sees the delta exactly once."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+    from graphdb_spark.datamodel import local_df
+
+    g, name = adj_graph, "t_adj_rollback"
+    try:
+        g.ensure_bucketed_layout(name, buckets=4)
+        nv0 = g.get(Q.vertices().count())[-1].count
+        ne0 = g.get(Q.edges().count())[-1].count
+        states = {t: _dir_state(spark, f"{name}{t}")
+                  for t in ("_v", "_e_out", "_e_in")}
+        real_fp = P.content_fingerprint
+        calls = {"n": 0}
+
+        def flaky_fp(df):
+            calls["n"] += 1
+            if calls["n"] == 2:  # vertices fp ok, edges fp raises
+                raise RuntimeError("simulated failure mid-append")
+            return real_fp(df)
+
+        monkeypatch.setattr(P, "content_fingerprint", flaky_fp)
+        dv = local_df(spark, [("v_rb_1", "order", {})], _V_SCHEMA)
+        de = local_df(spark, [("c_0", "PLACED", "v_rb_1", {})], _E_SCHEMA)
+        g = g.append_state(vertices=dv, edges=de)
+        monkeypatch.setattr(P, "content_fingerprint", real_fp)
+        # session sees the delta exactly once, via the divorce
+        assert g.get(Q.vertices().count())[-1].count == nv0 + 1
+        assert g.get(Q.edges().count())[-1].count == ne0 + 1
+        assert g._layout_name is None
+        # every table dir rolled back to the pre-append file set
+        for t in ("_v", "_e_out", "_e_in"):
+            assert _dir_state(spark, f"{name}{t}") == states[t], t
+    finally:
+        P.drop_adjacency(spark, name)
