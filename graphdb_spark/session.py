@@ -115,11 +115,14 @@ class GraphSession:
         self._indexed: set[str] = set()
         self._mutation_count = 0
         self._e_by_key: dict = {}  # use_bucketed_layout fills this
-        # monotonically bumped by set_state; ensure_bucketed_layout
-        # records the version a layout was written/validated at, so a
-        # re-ensure on an unmutated session skips the content check
-        # entirely while ANY mutation — including count-preserving
-        # property upserts — forces it (VERDICT r9 item 1)
+        # monotonically bumped by every GRAPH-state (vertices/edges)
+        # swap; ensure_bucketed_layout records the version a layout was
+        # written/validated at, so a re-ensure on an unmutated session
+        # skips the content check entirely while ANY graph mutation —
+        # including count-preserving property upserts — forces it
+        # (VERDICT r9 item 1). KV-only swaps deliberately do NOT bump
+        # it: the layout describes vertices/edges, which a KV write
+        # cannot drift.
         self._state_version = 0
         self._layout_valid: dict = {}  # name -> (state_version, buckets)
         # currently adopted layout (None when on plain frames) —
@@ -172,7 +175,6 @@ class GraphSession:
         production scale the same role is played by the Delta commit.
         """
         self._mutation_count += 1
-        self._state_version += 1
         cut = self._mutation_count % 3 == 0
 
         def _cp(df):
@@ -184,22 +186,32 @@ class GraphSession:
             self._e = _cp(edges)
         if kv is not None:
             self._kv = _cp(kv)
-        # state changed in place: drop memos derived from the old state
-        # (the translator's materialized frontiers would be STALE DATA,
-        # the executor's label counts a stale broadcast decision)
-        self._frontier_cache = {}
-        self._label_count_cache = None
-        self._branch_cache = {}
-        self._cypher_plan_cache = {}
-        # a mutation invalidates any adopted bucketed layout: the
-        # written tables describe the PREVIOUS state. The canonical
-        # _v/_e frames (just swapped) stay correct; hops simply lose
-        # the exchange-elision until use_bucketed_layout() is re-run.
-        # (Row-ADD mutations should go through append_state instead —
-        # it maintains the layout WITH the write.)
-        self._e_by_key = {}
-        self._layout_name = None
-        self._register_views()
+        if vertices is not None or edges is not None:
+            self._state_version += 1
+            # graph state changed in place: drop memos derived from the
+            # old state (the translator's materialized frontiers would
+            # be STALE DATA, the executor's label counts a stale
+            # broadcast decision)
+            self._frontier_cache = {}
+            self._label_count_cache = None
+            self._branch_cache = {}
+            self._cypher_plan_cache = {}
+            # a graph mutation invalidates any adopted bucketed layout:
+            # the written tables describe the PREVIOUS state. The
+            # canonical _v/_e frames (just swapped) stay correct; hops
+            # simply lose the exchange-elision until
+            # use_bucketed_layout() is re-run. (Row-ADD mutations
+            # should go through append_state instead — it maintains
+            # the layout WITH the write.) A KV-ONLY swap skips all of
+            # this: vertices/edges are bit-identical, so the layout,
+            # the graph memos, and the plan cache (cached Cypher plans
+            # are MATCH reads over the v/e views; Cypher KV reads go
+            # through kv_retrieve, a per-call collect that is never
+            # plan-cached) all remain valid — a kv_insert must not
+            # cost the session its exchange-elision contract.
+            self._e_by_key = {}
+            self._layout_name = None
+            self._register_views()
         return self
 
     def use_bucketed_layout(self, name: str = "graph_adj",

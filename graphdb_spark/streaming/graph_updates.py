@@ -106,6 +106,101 @@ def fold_changes(g, batch: DataFrame) -> None:
     g.set_state(new_v, new_e)
 
 
+def fold_appends(g, batch: DataFrame, validate: bool = True) -> None:
+    """Insert-only fold — the APPEND path of the streaming ingest
+    story, for the dominant 100 TB stream shape (event edges arrive,
+    entities are never rewritten). Routes through
+    ``GraphSession.append_state``: on a session-OWNED bucketed layout
+    the rows are APPENDED into the layout tables with the stamped
+    fingerprint folded forward in O(delta)
+    (``partitioning.append_adjacency``) and compaction auto-triggers
+    past the threshold — the reference's per-write index maintenance
+    (rdb/managers.rs:233-260) as a streaming micro-batch, with NO
+    per-batch REINDEX. :func:`fold_changes`, by contrast, supports
+    upserts/deletes and must divorce any layout every batch (its swap
+    rewrites state wholesale).
+
+    Contract (same as :func:`incremental_degree_view`): the stream
+    carries only ``op='upsert'`` rows for NEW entities — a clean CDC
+    insert feed. In-batch duplicates are dropped; CROSS-batch replays
+    are NOT detected (that would cost a full anti-join against state
+    per batch — dedupe replay-prone sources upstream with
+    ``dropDuplicatesWithinWatermark``). A batch carrying deletes
+    raises loudly instead of silently appending them as rows.
+
+    ``validate=True`` drops edges whose endpoints exist in neither
+    current state nor this batch's vertex adds — the semi-join probes
+    the vertex relation on its bucket key (id), so an adopted layout
+    serves it with zero state-side exchange. ``validate=False`` skips
+    the check and clears ``integrity_validated`` (bulk_insert
+    semantics: dangling edges possible)."""
+    batch = batch.localCheckpoint(eager=True)  # consumed several times
+    if not batch.filter(F.col("op") == "delete").isEmpty():
+        raise ValueError(
+            "fold_appends is insert-only; route streams carrying "
+            "deletes/upserts through fold_changes"
+        )
+    empty_map = F.create_map().cast("map<string,string>")
+    v_new = (
+        batch.filter(F.col("kind") == "vertex")
+        .select("id", "label",
+                F.coalesce("properties", empty_map).alias("properties"))
+        .dropDuplicates(["id"])
+    )
+    e_new = (
+        batch.filter(F.col("kind") == "edge")
+        .select("src", "relationship", "dst",
+                F.coalesce("properties", empty_map).alias("properties"))
+        .dropDuplicates(["src", "relationship", "dst"])
+    )
+    if validate:
+        vids = g.vertices.select("id").unionByName(v_new.select("id"))
+        e_new = (
+            e_new
+            .join(vids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(vids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "relationship", "dst", "properties")
+        )
+    # pass None for an empty side: appending zero rows would still
+    # bump that relation's append-pressure counter (and eventually
+    # force a pointless compaction of a pristine table); the probes
+    # are local scans over the checkpointed batch. A fully empty
+    # micro-batch is a no-op — no state-version bump, no meta write.
+    v_arg = None if v_new.isEmpty() else v_new
+    e_arg = None if e_new.isEmpty() else e_new
+    if v_arg is None and e_arg is None:
+        return
+    g.append_state(vertices=v_arg, edges=e_arg)
+    if not validate:
+        g.integrity_validated = False
+
+
+def apply_append_stream(g, adds: DataFrame, checkpoint_dir: str,
+                        available_now: bool = True, validate: bool = True,
+                        on_update=None):
+    """Attach an insert-only CDC stream to the session: every
+    micro-batch appends via :func:`fold_appends` — layout-maintaining
+    ingest (see that contract). ``on_update(g, batch_id)`` runs after
+    each fold, as in :func:`apply_change_stream`."""
+    if not adds.isStreaming:
+        raise ValueError("adds must be a streaming DataFrame; "
+                         "use fold_appends() for batch")
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        fold_appends(g, batch_df, validate=validate)
+        if on_update is not None:
+            on_update(g, _batch_id)
+
+    writer = (
+        adds.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def apply_change_stream(g, changes: DataFrame, checkpoint_dir: str,
                         available_now: bool = True, on_update=None):
     """Attach a streaming change-log to the session: every micro-batch

@@ -79,7 +79,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
 - stream_suite:       stream_fold_degrees, stream_windowed_counts,
                       stream_dedup_counts, stream_interval_join,
                       stream_user_state, stream_session_windows,
-                      stream_apply_changelog, stream_incremental_dedup
+                      stream_apply_changelog, stream_incremental_dedup,
+                      stream_append_ingest
 """
 
 from __future__ import annotations
@@ -376,6 +377,9 @@ COLS = {
     "stream_apply_changelog": [("id", "string"), ("label", "string"),
                                ("out_degree", "bigint"),
                                ("in_degree", "bigint")],
+    "stream_append_ingest": [("id", "string"), ("label", "string"),
+                             ("out_degree", "bigint"),
+                             ("in_degree", "bigint")],
     "dedup_funnel": [("stage", "string"), ("n_docs", "bigint"),
                      ("n_tokens", "bigint")],
 }
@@ -482,7 +486,7 @@ def build_gate() -> dict:
           "stream_windowed_counts", "stream_dedup_counts",
           "stream_interval_join", "stream_user_state",
           "stream_session_windows", "stream_apply_changelog",
-          "stream_incremental_dedup")
+          "stream_incremental_dedup", "stream_append_ingest")
     # -- DML / KV / admin / ingest / piped-algebra (pytest-only through
     #    r2 — now driver-oracle-verified; workloads/admin_gate.py)
     suite("mutation_suite", admin_gate, "mut_graph_final", "mut_counts",

@@ -444,6 +444,50 @@ def test_ensure_layout_detects_count_preserving_mutation(spark, adj_graph):
         P.drop_adjacency(spark, name)
 
 
+def test_kv_mutation_keeps_layout(spark, adj_graph):
+    """A KV-only mutation (kv_insert/kv_delete) does not touch graph
+    state, so it must NOT divorce an adopted layout or bump the graph
+    state version — kv writes losing the session its exchange-elision
+    contract (and forcing a fingerprint compare on the next ensure)
+    would be a pure regression. Graph mutations still divorce (the
+    set_state tail of test_adjacency_layout_preserves_results)."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.algebra import Q
+
+    g = adj_graph
+    name = "t_adj_kv"
+    try:
+        g.use_bucketed_layout(name, buckets=4)
+        assert g._e_by_key and g._layout_name == name
+        ver = g._state_version
+        deg = sorted(
+            map(tuple, g.df(Q.edges()).groupBy("src").count().collect())
+        )
+        g.kv_insert("a", "1").kv_insert("b", "2").kv_delete("a")
+        # KV semantics intact...
+        assert g.kv_retrieve("b") == "2"
+        assert g.kv_retrieve("a") is None
+        # ...and the layout adoption + graph version survived
+        assert g._layout_name == name and g._e_by_key
+        assert g._state_version == ver
+        assert sorted(
+            map(tuple, g.df(Q.edges()).groupBy("src").count().collect())
+        ) == deg
+        # re-ensure after the KV writes hits the no-scan tier-1 path:
+        # the table files are untouched (no rewrite)
+        import os
+
+        loc = P.adjacency_table_location(spark, f"{name}_v")
+        mtime = os.path.getmtime(loc)
+        g.ensure_bucketed_layout(name, buckets=4)
+        assert os.path.getmtime(loc) == mtime
+        # a GRAPH mutation still divorces and bumps the version
+        g.set_state(edges=g.edges.limit(0))
+        assert not g._e_by_key and g._state_version == ver + 1
+    finally:
+        P.drop_adjacency(spark, name)
+
+
 def test_attach_adjacency_rejects_bucket_and_meta_mismatch(spark, adj_graph):
     """ADVICE r9: declaring CLUSTERED BY INTO N BUCKETS over files
     written with a different count would make the planner elide

@@ -424,3 +424,132 @@ def test_stream_incremental_dedup_batch_semantics(spark):
         if r["best_match"] is not None:
             assert r["best_match"] // INC_BATCH < r["batch"]
             assert r["n_matches"] >= 1 and r["best_est"] is not None
+
+
+def test_fold_appends_batch_layout_maintained(spark):
+    """Insert-only fold through the layout-maintaining append path:
+    an adopted session-owned layout SURVIVES each micro-batch (no
+    divorce, no REINDEX), the appended rows are served, endpoint
+    validation drops dangling edges, in-batch duplicates collapse,
+    and a batch carrying deletes raises loudly."""
+    import pytest as _pytest
+
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.streaming.graph_updates import fold_appends
+
+    v = local_df(
+        spark, [("a", "N", {}), ("b", "N", {})],
+        "id string, label string, properties map<string,string>",
+    )
+    e = local_df(
+        spark, [("a", "L", "b", {})],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    g = GraphSession(spark, v, e, assume_integrity=True)
+    name = "t_fold_append"
+    try:
+        g.use_bucketed_layout(name, buckets=4)
+        assert g._layout_name == name
+        fold_appends(g, _mk_changes(spark, [
+            (None, "vertex", "upsert", "c", "N", None, None, None, {}),
+            # in-batch duplicate id: collapses to one row
+            (None, "vertex", "upsert", "c", "N", None, None, None, {}),
+            # edge to a vertex added IN THIS batch: valid
+            (None, "edge", "upsert", None, None, "b", "L", "c", {}),
+            # dangling edge: 'z' exists nowhere -> dropped
+            (None, "edge", "upsert", None, None, "a", "L", "z", {}),
+        ]))
+        # layout maintained WITH the write — still adopted
+        assert g._layout_name == name and g._e_by_key
+        assert g.vertex_count() == 3 and g.edge_count() == 2
+        # the layout sidecar folded the delta forward (appends counted)
+        meta = P.read_layout_meta(spark, name)
+        assert P.append_pressure(meta) == {"v": 1, "e": 1}
+        assert meta["v"]["n"] == 3 and meta["e"]["n"] == 2
+        # deletes are a contract violation, not a silent append
+        with _pytest.raises(ValueError, match="insert-only"):
+            fold_appends(g, _mk_changes(spark, [
+                (None, "vertex", "delete", "a", None, None, None, None,
+                 None),
+            ]))
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_apply_append_stream_matches_batch(spark, tmp_path):
+    """True streaming run of the append path: two disjoint insert
+    micro-batches drained with availableNow; final state equals the
+    one-shot batch fold, and the layout is still adopted afterwards."""
+    from graphdb_spark import partitioning as P
+    from graphdb_spark.datamodel import local_df
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.streaming.graph_updates import (
+        apply_append_stream,
+        change_stream_from_files,
+    )
+
+    v = local_df(
+        spark, [("a", "N", {}), ("b", "N", {})],
+        "id string, label string, properties map<string,string>",
+    )
+    e = local_df(
+        spark, [],
+        "src string, relationship string, dst string, "
+        "properties map<string,string>",
+    )
+    src = str(tmp_path / "adds")
+    _mk_changes(spark, [
+        (None, "edge", "upsert", None, None, "a", "L", "b", {}),
+    ]).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    _mk_changes(spark, [
+        (None, "vertex", "upsert", "c", "N", None, None, None, {}),
+        (None, "edge", "upsert", None, None, "b", "L", "c", {}),
+    ]).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+
+    g = GraphSession(spark, v, e, assume_integrity=True)
+    name = "t_append_stream"
+    try:
+        g.use_bucketed_layout(name, buckets=4)
+        q = apply_append_stream(
+            g,
+            change_stream_from_files(spark, f"{src}/b*",
+                                     max_files_per_trigger=1),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        assert g._layout_name == name and g._e_by_key
+        assert g.vertex_count() == 3 and g.edge_count() == 2
+        edges = sorted(
+            (r["src"], r["relationship"], r["dst"])
+            for r in g.edges.collect()
+        )
+        assert edges == [("a", "L", "b"), ("b", "L", "c")]
+        # compaction restores one-file-per-bucket on the appended
+        # relations and clears their pressure (a both-relation compact
+        # routes through the full REINDEX, whose fresh sidecar omits
+        # the appends key — normalized to zero)
+        g.compact_layout()
+        meta = P.read_layout_meta(spark, name)
+        assert not any(P.append_pressure(meta).values())
+        assert g.vertex_count() == 3 and g.edge_count() == 2
+    finally:
+        P.drop_adjacency(spark, name)
+
+
+def test_stream_append_ingest_gate_semantics(spark):
+    """The gate constituent: per-vertex degrees cover every base user
+    exactly once, only valid endpoints contribute, and totals equal
+    the distinct valid triple count (out) on both sides."""
+    from graphdb_spark.workloads.stream_views import stream_append_ingest
+
+    rows = stream_append_ingest(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert ids == sorted(ids)
+    total_out = sum(r["out_degree"] for r in rows)
+    total_in = sum(r["in_degree"] for r in rows)
+    assert total_out == total_in and total_out > 0
