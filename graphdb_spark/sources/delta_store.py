@@ -7,14 +7,23 @@ module provides that path when ``delta-spark`` is importable, and an
 explicit parquet read-merge-overwrite fallback when it is not (this
 container has no delta package — see SCALE.md "Durability").
 
-Semantics are identical in both modes (upsert by key; last writer
+Semantics are identical in all modes (upsert by key; last writer
 wins); the difference is operational:
 
 - Delta: transactional commit, concurrent-writer safety, time travel,
   file-level data skipping on merge. The mode for 100 TB.
-- Parquet fallback: single-writer only, rewrites the table per merge
-  (read + join-upsert + overwrite). Correct and tested, but the
-  per-merge cost is O(table), not O(delta) — documented, not hidden.
+- ``tlog`` (sources/tlog.py): the same four properties on PLAIN
+  parquet via this engine's own commit log — atomic versioned
+  commits, optimistic concurrency, file-granular copy-on-write MERGE
+  with footer-stats skipping, and working ``versionAsOf`` time
+  travel. The default durable mode when delta-spark is absent (this
+  container), and the engine's answer to the reference's WAL
+  (lib/src/durability/wal.rs:37-108).
+- Parquet fallback: single-writer only, no history, rewrites the
+  table per merge (read + join-upsert + overwrite). Correct and
+  tested, but the per-merge cost is O(table), not O(delta) — kept
+  for plain-directory interop (the files stay readable by any
+  parquet tool with no log to honor).
 """
 
 from __future__ import annotations
@@ -41,12 +50,25 @@ def save_table(df: DataFrame, path: str, fmt: str = "auto",
                mode: str = "overwrite") -> str:
     """Write a vertices/edges table; returns the format used."""
     f = _fmt(fmt)
+    if f == "tlog":
+        from graphdb_spark.sources import tlog  # noqa: PLC0415
+
+        if mode == "append":
+            tlog.append(df, path)
+        else:
+            tlog.overwrite(df, path)
+        return f
     df.write.mode(mode).format(f).save(path)
     return f
 
 
 def load_table(spark, path: str, fmt: str = "auto") -> DataFrame:
-    return spark.read.format(_fmt(fmt)).load(path)
+    f = _fmt(fmt)
+    if f == "tlog":
+        from graphdb_spark.sources import tlog  # noqa: PLC0415
+
+        return tlog.read(spark, path)
+    return spark.read.format(f).load(path)
 
 
 def merge_table(spark, path: str, updates: DataFrame, keys: list[str],
@@ -55,10 +77,17 @@ def merge_table(spark, path: str, updates: DataFrame, keys: list[str],
     (update on match, insert on miss) — the MERGE INTO that
     update_vertex / set_properties compile to at scale.
 
-    Delta mode: a real transactional ``DeltaTable.merge``. Parquet
-    mode: join-based upsert + atomic-ish overwrite (single writer).
+    Delta mode: a real transactional ``DeltaTable.merge``. tlog mode:
+    file-granular copy-on-write merge through the engine's own commit
+    log (O(touched files), concurrent-writer safe). Parquet mode:
+    join-based upsert + atomic-ish overwrite (single writer).
     Returns the format used."""
     f = _fmt(fmt)
+    if f == "tlog":
+        from graphdb_spark.sources import tlog
+
+        tlog.merge(spark, path, updates, keys)
+        return f
     if f == "delta":
         from delta.tables import DeltaTable
 
@@ -109,6 +138,11 @@ def delete_from_table(spark, path: str, keys_df: DataFrame,
                       keys: list[str], fmt: str = "auto") -> str:
     """Keyed delete (delete_vertex / DETACH DELETE's persistent twin)."""
     f = _fmt(fmt)
+    if f == "tlog":
+        from graphdb_spark.sources import tlog
+
+        tlog.delete(spark, path, keys_df, keys)
+        return f
     if f == "delta":
         from delta.tables import DeltaTable
 
@@ -147,15 +181,22 @@ def load_table_version(spark, path: str, version: int,
     """Time travel: read the table AS OF a past commit version.
 
     Delta mode: the transaction log serves any retained version
-    (``versionAsOf``). Parquet mode has no log — callers get an
-    explicit error instead of silently-wrong data; the engine's
-    emulated history path is parquet *snapshots* (sources.readers
-    snapshot_export/import + operators.temporal replay), which the
-    temporal_diff gate entry verifies."""
-    if _fmt(fmt) != "delta":
+    (``versionAsOf``). tlog mode: same, from the engine's own commit
+    log (sources/tlog.py). Plain-parquet mode has no log — callers
+    get an explicit error instead of silently-wrong data; the
+    emulated history path there is parquet *snapshots* (sources.
+    readers snapshot_export/import + operators.temporal replay),
+    which the temporal_diff gate entry verifies."""
+    f = _fmt(fmt)
+    if f == "tlog":
+        from graphdb_spark.sources import tlog
+
+        return tlog.read(spark, path, version=version)
+    if f != "delta":
         raise RuntimeError(
-            "time travel requires delta-spark (parquet fallback keeps "
-            "no version history; use snapshot_export per version)"
+            "time travel requires delta-spark or fmt='tlog' (plain "
+            "parquet keeps no version history; use snapshot_export "
+            "per version)"
         )
     return (
         spark.read.format("delta").option("versionAsOf", version).load(path)

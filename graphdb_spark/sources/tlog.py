@@ -1,0 +1,648 @@
+"""Versioned parquet transaction log: MERGE, time travel and
+concurrent-writer safety on plain parquet — no delta-spark needed.
+
+The reference guarantees durability with an append-only WAL plus
+snapshots (lib/src/durability/wal.rs:37-108 append/replay,
+snapshot.rs:33-62), and SURVEY §2.9 maps that role to a transactional
+table format. This container has no delta-spark, and the previous
+parquet fallback (sources/delta_store.py) was honest but weak: every
+MERGE rewrote the whole table (O(table), not O(delta)), kept no
+version history, and a concurrent writer could silently clobber. This
+module closes all three gaps with a small Delta-style commit log over
+ordinary parquet files:
+
+- ``<table>/_tlog/<version>.json`` — one JSON commit per version. Each
+  commit is SELF-CONTAINED: it lists the table's complete file set at
+  that version (equivalent to a Delta checkpoint at every commit), so
+  a reader loads exactly one small JSON and never replays a chain.
+  The add/remove delta and per-file key stats ride along for
+  introspection and pruning.
+- Commits land via write-tmp → fsync → ``os.link`` — atomic on POSIX
+  and *fails if the version already exists*. That one primitive gives
+  both crash-safety (a half-written tmp file is never visible as a
+  commit) and optimistic concurrency (two writers racing version N+1:
+  exactly one link succeeds; the loser re-reads the new snapshot and
+  retries — the same last-writer-completes model the reference's WAL
+  leader serializes over ZMQ, sled_storage_daemon_pool.rs:1351-1461).
+- MERGE is copy-on-write at FILE granularity: per-file min/max key
+  stats (harvested from the parquet footers at write time, like
+  Delta's add-file stats) prune the candidate set, then an exact
+  ``_metadata.file_path`` semi-join against the (broadcast) update
+  keys pins the files that actually contain matched rows. Only those
+  files are rewritten; a 10k-row upsert into a 10^9-row table touches
+  the handful of files holding those keys, not the table.
+  Stats pruning is a pure OPTIMIZATION gated conservatively (a file
+  with missing/unreadable stats is always a candidate); correctness
+  comes from the exact probe.
+- Time travel: any retained version reads directly
+  (``read(spark, path, version=N)``); ``vacuum`` ages out versions and
+  deletes data files no retained commit references (plus age-gated
+  orphans from crashed writers).
+
+Scale notes (100 TB): the log is driver-side metadata — O(files) JSON
+per commit, same asymptotics as a Delta checkpoint; data files never
+move on commit. Footer harvesting reads O(new files) parquet footers
+(a few KB each), not data. The merge probe scans only stat-surviving
+candidate files and broadcasts only the update KEYS. Production Delta
+adds multi-cluster log stores and checkpoint compaction; this is the
+same design one layer down, and ``delta_store`` still prefers real
+delta-spark when importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+LOG_DIR = "_tlog"
+_TMP_PREFIX = ".tmp-"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first; caller must
+    re-read the snapshot and retry (mutating ops here do so)."""
+
+
+class NoSuchVersion(RuntimeError):
+    """Requested version was never committed or has been vacuumed."""
+
+
+# ------------------------------------------------------------------ log io
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, LOG_DIR)
+
+
+def _commit_files(path: str) -> list[tuple[int, str]]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json") and not n.startswith("."):
+            try:
+                out.append((int(n[: -len(".json")]), os.path.join(d, n)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def exists(path: str) -> bool:
+    return bool(_commit_files(path))
+
+
+def latest_version(path: str) -> int:
+    commits = _commit_files(path)
+    if not commits:
+        raise NoSuchVersion(f"no transaction log at {path}")
+    return commits[-1][0]
+
+
+def _snapshot(path: str, version: int | None = None) -> dict:
+    commits = _commit_files(path)
+    if not commits:
+        raise NoSuchVersion(f"no transaction log at {path}")
+    if version is None:
+        _, f = commits[-1]
+    else:
+        by_v = dict(commits)
+        if version not in by_v:
+            raise NoSuchVersion(
+                f"version {version} not available at {path} "
+                f"(retained: {commits[0][0]}..{commits[-1][0]})"
+            )
+        f = by_v[version]
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _try_commit(path: str, record: dict) -> int:
+    """Atomically publish ``record`` as its version's commit file.
+
+    write-tmp → fsync → hard-link: the link either creates the final
+    name in one atomic step or fails with EEXIST (CommitConflict). A
+    crash before the link leaves only an invisible tmp file; a crash
+    after it leaves a complete, durable commit — no torn state is
+    ever readable."""
+    d = _log_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{_TMP_PREFIX}{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = os.path.join(d, f"{record['version']:020d}.json")
+    try:
+        os.link(tmp, target)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {record['version']} already committed at {path}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+    try:  # best-effort: make the new directory entry durable
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+    return record["version"]
+
+
+# ------------------------------------------------------------- data files
+
+
+def _write_data(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` as parquet under a fresh uuid subdir of the table
+    root; returns table-relative file paths. Files become visible to
+    readers only when a commit references them."""
+    dname = "d" + uuid.uuid4().hex[:12]
+    out = os.path.join(path, dname)
+    df.write.mode("error").parquet(out)
+    rels = [
+        f"{dname}/{n}"
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+    return rels
+
+
+def _json_safe(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _harvest_stats(path: str, relfiles: list[str],
+                   key_cols: list[str]) -> dict:
+    """Per-file row counts + min/max of the key columns, read from the
+    parquet FOOTERS (no data scan) — the same add-file stats Delta
+    records at write time. A column whose stats are absent in any row
+    group is omitted (pruning then treats the file as a candidate)."""
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+    except ImportError:  # stats are an optimization only
+        return {rf: {"rows": None} for rf in relfiles}
+    stats: dict = {}
+    for rf in relfiles:
+        try:
+            md = pq.ParquetFile(os.path.join(path, rf)).metadata
+        except Exception:  # noqa: BLE001 — unreadable footer: no stats
+            stats[rf] = {"rows": None}
+            continue
+        col_idx = {}
+        for i in range(md.num_columns):
+            # leaf path equals the column name for top-level primitives
+            col_idx[md.schema.column(i).path] = i
+        entry: dict = {"rows": md.num_rows, "min": {}, "max": {}}
+        for k in key_cols:
+            i = col_idx.get(k)
+            if i is None:
+                continue
+            mins, maxs, ok = [], [], True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                mins.append(mn)
+                maxs.append(mx)
+            if ok and mins:
+                entry["min"][k] = min(mins)
+                entry["max"][k] = max(maxs)
+        stats[rf] = entry
+    return stats
+
+
+def _may_overlap(st: dict | None, bounds: dict, keys: list[str]) -> bool:
+    """False only when the footer stats PROVE no update key can live in
+    the file (disjoint [min,max] on any single equi-join key). Missing
+    stats → True (conservative)."""
+    if not st:
+        return True
+    mn, mx = st.get("min") or {}, st.get("max") or {}
+    for k in keys:
+        ub = bounds.get(k)
+        if ub is None:
+            continue
+        umin, umax = ub
+        if k in mn and k in mx:
+            try:
+                if mx[k] < umin or mn[k] > umax:
+                    return False
+            except TypeError:  # incomparable stat/bound types
+                continue
+    return True
+
+
+# ------------------------------------------------------------------ reads
+
+
+def read(spark, path: str, version: int | None = None) -> DataFrame:
+    """The table AS OF ``version`` (default: latest). Reads exactly the
+    files that commit references, with the committed schema pinned (an
+    empty table still reads with its schema)."""
+    rec = _snapshot(path, version)
+    schema = T.StructType.fromJson(rec["schema"])
+    files = [os.path.join(path, f) for f in rec["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def history(path: str) -> list[dict]:
+    """Commit metadata, oldest first (op, counts, timestamp) — the
+    WAL's entries_after as table history."""
+    out = []
+    for v, f in _commit_files(path):
+        with open(f) as fh:
+            rec = json.load(fh)
+        out.append({
+            "version": v,
+            "op": rec.get("op"),
+            "ts": rec.get("ts"),
+            "n_files": len(rec.get("files", [])),
+            "added": len(rec.get("add", [])),
+            "removed": len(rec.get("remove", [])),
+        })
+    return out
+
+
+def table_keys(path: str) -> list[str]:
+    return list(_snapshot(path).get("keys") or [])
+
+
+# --------------------------------------------------------------- commits
+
+
+def _base_record(prev: dict | None, op: str, df_schema_json: dict,
+                 keys: list[str]) -> dict:
+    return {
+        "version": (prev["version"] + 1) if prev else 1,
+        "op": op,
+        "ts": time.time(),
+        "keys": keys or (list(prev.get("keys") or []) if prev else []),
+        "schema": df_schema_json,
+        "files": [],
+        "add": [],
+        "remove": [],
+        "stats": {},
+    }
+
+
+def _commit_new_files(path: str, prev: dict | None, op: str,
+                      df: DataFrame, keys: list[str],
+                      keep: list[str], remove: list[str]) -> int:
+    """Write ``df``'s files, then commit file set = keep + new."""
+    new_files = _write_data(df, path)
+    rec = _base_record(prev, op, json.loads(df.schema.json()), keys)
+    rec["files"] = list(keep) + new_files
+    rec["add"] = new_files
+    rec["remove"] = list(remove)
+    prev_stats = (prev or {}).get("stats") or {}
+    rec["stats"] = {f: prev_stats.get(f) for f in keep}
+    rec["stats"].update(_harvest_stats(path, new_files, rec["keys"]))
+    try:
+        return _try_commit(path, rec)
+    except CommitConflict:
+        # the loser's data files are orphans; reclaim them eagerly
+        # (vacuum would age-gate them anyway)
+        for rf in new_files:
+            try:
+                os.unlink(os.path.join(path, rf))
+            except OSError:
+                pass
+        raise
+
+
+def create(df: DataFrame, path: str, keys: list[str] | None = None) -> int:
+    """Version 1 of a new table. Fails if a log already exists (use
+    ``overwrite`` to replace contents)."""
+    if exists(path):
+        raise FileExistsError(
+            f"transaction log already exists at {path}; use overwrite()"
+        )
+    os.makedirs(path, exist_ok=True)
+    return _commit_new_files(path, None, "create", df,
+                             list(keys or []), keep=[], remove=[])
+
+
+def _retrying(path: str, attempt_fn, retries: int = 10):
+    """Optimistic-concurrency loop: re-read the snapshot and retry on
+    CommitConflict (adds commute; merges/overwrites rebase on the
+    winner's state)."""
+    last: Exception | None = None
+    for _ in range(retries):
+        prev = _snapshot(path)
+        try:
+            return attempt_fn(prev)
+        except CommitConflict as exc:
+            last = exc
+            continue
+    raise last  # noqa: PLE0704 — loop ran at least once
+
+
+def _aligned(df: DataFrame, prev: dict, op: str) -> DataFrame:
+    """Schema-on-write: an append/merge must carry exactly the table's
+    columns (Delta's enforcement) — a silently narrower df would
+    otherwise REWRITE the committed schema and drop a column from
+    every future read. Column order is normalized to the table's."""
+    stored = [f["name"] for f in prev["schema"]["fields"]]
+    if set(df.columns) != set(stored):
+        raise ValueError(
+            f"{op}: schema mismatch — table has {stored}, got "
+            f"{df.columns}; use overwrite() to change the schema"
+        )
+    return df.select(*stored)
+
+
+def append(df: DataFrame, path: str, retries: int = 10) -> int:
+    """Add rows; previous files untouched (one O(delta) commit — the
+    partitioning.append_adjacency model, here with a real log)."""
+    if not exists(path):
+        try:
+            return create(df, path)
+        except FileExistsError:
+            pass  # lost a create race: fall through to a real append
+
+    def attempt(prev):
+        return _commit_new_files(
+            path, prev, "append", _aligned(df, prev, "append"),
+            list(prev.get("keys") or []),
+            keep=list(prev["files"]), remove=[],
+        )
+
+    return _retrying(path, attempt, retries)
+
+
+def overwrite(df: DataFrame, path: str, keys: list[str] | None = None,
+              retries: int = 10) -> int:
+    """Replace table contents (old versions stay readable until
+    vacuum)."""
+    if not exists(path):
+        try:
+            return create(df, path, keys)
+        except FileExistsError:
+            pass  # lost a create race: overwrite the winner's table
+
+    def attempt(prev):
+        return _commit_new_files(
+            path, prev, "overwrite", df,
+            list(keys or prev.get("keys") or []),
+            keep=[], remove=list(prev["files"]),
+        )
+
+    return _retrying(path, attempt, retries)
+
+
+def _norm_rel(table_abs: str, uri: str) -> str:
+    return os.path.relpath(urlparse(uri).path, table_abs)
+
+
+def _touched_files(spark, path: str, prev: dict, updates: DataFrame,
+                   keys: list[str]) -> list[str]:
+    """Exactly the committed files containing at least one row whose
+    key matches ``updates`` — footer-stats pruning first, then an
+    exact ``_metadata.file_path`` semi-join over the survivors with
+    the (broadcast, deduped) update keys."""
+    files = list(prev["files"])
+    if not files:
+        return []
+    bounds: dict = {}
+    row = updates.agg(
+        *[F.min(k).alias(f"__mn_{k}") for k in keys],
+        *[F.max(k).alias(f"__mx_{k}") for k in keys],
+    ).collect()[0]
+    for k in keys:
+        mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
+        bounds[k] = None if mn is None else (mn, mx)
+    if any(b is None for b in bounds.values()):
+        # empty updates, or a key column that is null in EVERY update
+        # row — the conjunctive equi-join can then match nothing
+        return []
+    stats = prev.get("stats") or {}
+    cand = [f for f in files if _may_overlap(stats.get(f), bounds, keys)]
+    if not cand:
+        return []
+    schema = T.StructType.fromJson(prev["schema"])
+    table_abs = os.path.abspath(path)
+    probed = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(path, f) for f in cand])
+        .select(*keys, F.col("_metadata.file_path").alias("__file"))
+        .join(F.broadcast(updates.select(*keys).dropDuplicates()),
+              on=list(keys), how="leftsemi")
+        .select("__file").distinct().collect()
+    )
+    hit = {_norm_rel(table_abs, r["__file"]) for r in probed}
+    return [f for f in files if f in hit]
+
+
+def merge(spark, path: str, updates: DataFrame,
+          keys: list[str] | None = None, retries: int = 10) -> int:
+    """Upsert by key (update on match, insert on miss — MERGE INTO),
+    rewriting ONLY the files that contain matched keys. ``updates``
+    must be key-unique (last-writer-wins is the caller's fold, as in
+    delta_store.merge_table)."""
+    if not exists(path):
+        try:
+            return create(updates, path, keys)
+        except FileExistsError:
+            pass  # lost a create race: merge into the winner's table
+
+    def attempt(prev):
+        ks = list(keys or prev.get("keys") or [])
+        if not ks:
+            raise ValueError(
+                f"merge needs key columns (none stored for {path})"
+            )
+        up = _aligned(updates, prev, "merge")
+        touched = _touched_files(spark, path, prev, up, ks)
+        if touched:
+            base = (
+                spark.read
+                .schema(T.StructType.fromJson(prev["schema"]))
+                .parquet(*[os.path.join(path, f) for f in touched])
+                .join(F.broadcast(up.select(*ks).dropDuplicates()),
+                      on=ks, how="left_anti")
+                .unionByName(up)
+            )
+        else:
+            base = up
+        keep = [f for f in prev["files"] if f not in set(touched)]
+        return _commit_new_files(path, prev, "merge", base, ks,
+                                 keep=keep, remove=touched)
+
+    return _retrying(path, attempt, retries)
+
+
+def delete(spark, path: str, keys_df: DataFrame,
+           keys: list[str] | None = None, retries: int = 10) -> int:
+    """Keyed delete — copy-on-write of only the files holding matched
+    keys; untouched files carry over by reference."""
+
+    def attempt(prev):
+        ks = list(keys or prev.get("keys") or [])
+        if not ks:
+            raise ValueError(
+                f"delete needs key columns (none stored for {path})"
+            )
+        kd = keys_df.select(*ks).dropDuplicates()
+        touched = _touched_files(spark, path, prev, kd, ks)
+        keep = [f for f in prev["files"] if f not in set(touched)]
+        if not touched:
+            rec = _base_record(prev, "delete", prev["schema"], ks)
+            rec["files"] = list(prev["files"])
+            prev_stats = prev.get("stats") or {}
+            rec["stats"] = {f: prev_stats.get(f) for f in rec["files"]}
+            return _try_commit(path, rec)
+        kept_rows = (
+            spark.read
+            .schema(T.StructType.fromJson(prev["schema"]))
+            .parquet(*[os.path.join(path, f) for f in touched])
+            .join(F.broadcast(kd), on=ks, how="left_anti")
+        )
+        return _commit_new_files(path, prev, "delete", kept_rows, ks,
+                                 keep=keep, remove=touched)
+
+    return _retrying(path, attempt, retries)
+
+
+def compact(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
+            retries: int = 10) -> int:
+    """Rewrite the current snapshot into ~target_bytes files (merge
+    CoW accretes small files; this is the OPTIMIZE step). Content is
+    unchanged, so history keeps serving older versions."""
+
+    def attempt(prev):
+        files = list(prev["files"])
+        if len(files) <= 1:
+            return prev["version"]
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(path, f))
+            except OSError:
+                pass
+        n = max(1, -(-total // target_bytes))  # ceil
+        df = (
+            spark.read.schema(T.StructType.fromJson(prev["schema"]))
+            .parquet(*[os.path.join(path, f) for f in files])
+            .coalesce(n)
+        )
+        return _commit_new_files(
+            path, prev, "compact", df, list(prev.get("keys") or []),
+            keep=[], remove=files,
+        )
+
+    return _retrying(path, attempt, retries)
+
+
+# ----------------------------------------------------------------- vacuum
+
+
+def vacuum(path: str, retain_versions: int = 2,
+           orphan_age_s: float = 3600.0) -> dict:
+    """Drop history: keep the newest ``retain_versions`` commits,
+    delete data files referenced ONLY by dropped commits, and reclaim
+    age-gated orphans (data dirs from crashed/conflicted writers that
+    no commit ever referenced). Never touches files any retained
+    version reads — a writer racing vacuum always references the
+    latest commit's files, which are always retained."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    commits = _commit_files(path)
+    if not commits:
+        return {"data_files_removed": 0, "commits_removed": 0}
+    cutoff = commits[-1][0] - retain_versions + 1
+    live: set[str] = set()
+    old_refs: set[str] = set()
+    old_commit_files = []
+    for v, f in commits:
+        with open(f) as fh:
+            rec = json.load(fh)
+        if v >= cutoff:
+            live |= set(rec.get("files", []))
+        else:
+            old_refs |= set(rec.get("files", []))
+            old_commit_files.append(f)
+    removed = 0
+    now = time.time()
+    for dirn in sorted(os.listdir(path)):
+        full = os.path.join(path, dirn)
+        if dirn == LOG_DIR or not os.path.isdir(full):
+            continue
+        referenced = False
+        for fn in os.listdir(full):
+            rel = f"{dirn}/{fn}"
+            fp = os.path.join(full, fn)
+            if rel in live:
+                referenced = True
+                continue
+            if rel in old_refs:
+                pass  # referenced only by dropped history: reclaim now
+            elif fn.endswith(".parquet"):
+                try:  # orphan (crashed writer): age-gate
+                    if now - os.path.getmtime(fp) < orphan_age_s:
+                        continue
+                except OSError:
+                    continue
+            else:
+                # _SUCCESS / .crc bookkeeping: removed with the dir
+                continue
+            try:
+                os.unlink(fp)
+                removed += 1
+            except OSError:
+                pass
+        # Remove the dir only when nothing live remains AND it is not
+        # a LIVE writer's staging dir: a concurrent df.write stages
+        # under _temporary/ with no .parquet visible yet, so "no
+        # parquet files" alone must not trigger removal — age-gate the
+        # dir itself (newest mtime across the dir and its entries).
+        if referenced or any(
+            n.endswith(".parquet") for n in os.listdir(full)
+        ):
+            continue
+        try:
+            newest = os.path.getmtime(full)
+            for root, _dirs, fns in os.walk(full):
+                for n in fns:
+                    newest = max(newest,
+                                 os.path.getmtime(os.path.join(root, n)))
+        except OSError:
+            continue
+        if now - newest >= orphan_age_s:
+            shutil.rmtree(full, ignore_errors=True)
+    for f in old_commit_files:
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+    return {"data_files_removed": removed,
+            "commits_removed": len(old_commit_files)}
+
+
+__all__ = [
+    "CommitConflict", "NoSuchVersion", "exists", "latest_version",
+    "read", "history", "table_keys", "create", "append", "overwrite",
+    "merge", "delete", "compact", "vacuum",
+]

@@ -881,6 +881,80 @@ ORDER BY fmt
 QUERIES["format_roundtrip"] = (format_roundtrip, FORMAT_ROUNDTRIP_SQL)
 
 
+# --------------------------------- transaction-logged table lifecycle
+
+
+def tlog_merge_timetravel(spark, sf_dir):
+    """Versioned-table lifecycle through the engine's parquet
+    transaction log (sources/tlog.py — the reference's WAL+snapshot
+    durability surface, lib/src/durability/wal.rs:37-108, rebuilt as
+    Delta-style commits): v1 CREATE the nation table range-partitioned
+    into multiple files, v2 MERGE (update every region-1 name + two
+    inserts; copy-on-write of only the files holding matched keys),
+    v3 keyed DELETE of region-2 rows. The output reads all three
+    versions back via time travel — proving the log serves every
+    historical state exactly, not just the head."""
+    from graphdb_spark.datamodel import scratch_dir  # noqa: PLC0415
+    from graphdb_spark.sources import tlog  # noqa: PLC0415
+    from graphdb_spark.sources.tpch import load_tables  # noqa: PLC0415
+
+    nation = load_tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").cast("int").alias("id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("regionkey"),
+    )
+    path = scratch_dir(prefix="graphdb_gate_tlog_") + "/nation"
+    tlog.create(
+        nation.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        path, keys=["id"],
+    )
+    updates = (
+        nation.filter(F.col("regionkey") == 1)
+        .withColumn("name", F.lower("name"))
+        .unionByName(spark.createDataFrame(
+            [(100, "newland", 0), (101, "newmark", 0)],
+            "id int, name string, regionkey int",
+        ))
+    )
+    tlog.merge(spark, path, updates)
+    tlog.delete(spark, path,
+                nation.filter(F.col("regionkey") == 2).select("id"))
+    out = None
+    for v in (1, 2, 3):
+        d = tlog.read(spark, path, version=v).select(
+            F.lit(v).alias("version"), "id", "name", "regionkey",
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("version", "id")
+
+
+TLOG_MERGE_TIMETRAVEL_SQL = """
+WITH v1 AS (
+  SELECT CAST(n_nationkey AS INT) AS id, n_name AS name,
+         CAST(n_regionkey AS INT) AS regionkey
+  FROM nation
+),
+v2 AS (
+  SELECT id,
+         CASE WHEN regionkey = 1 THEN lower(name) ELSE name END AS name,
+         regionkey
+  FROM v1
+  UNION ALL
+  SELECT * FROM (VALUES (100, 'newland', 0), (101, 'newmark', 0))
+    AS t(id, name, regionkey)
+),
+v3 AS (SELECT * FROM v2 WHERE regionkey <> 2)
+SELECT 1 AS version, * FROM v1
+UNION ALL SELECT 2, * FROM v2
+UNION ALL SELECT 3, * FROM v3
+ORDER BY version, id
+"""
+
+
+QUERIES["tlog_merge_timetravel"] = (tlog_merge_timetravel,
+                                    TLOG_MERGE_TIMETRAVEL_SQL)
+
+
 QUERIES["g_modularity"] = (_graph.g_modularity, _graph._modularity_sql())
 
 

@@ -65,7 +65,8 @@ Suite -> constituents mapping (also in COVERAGE.md):
                       cypher_dml_checks
 - ingest_codec_suite: ingest_csv_json, snapshot_roundtrip,
                       fhir_patients, hl7_segments, plugin_exec,
-                      sql_registry_funcs, format_roundtrip
+                      sql_registry_funcs, format_roundtrip,
+                      tlog_merge_timetravel
 - algebra_suite:      pipe_value_filter, include_two_stage,
                       agg_messages_degree, all_shortest_f6, motif_one_hop,
                       g_weighted_sssp, g_kcore, g_ppr_top, g_hits_top,
@@ -300,6 +301,8 @@ COLS = {
                            ("max_rmse", "double")],
     "format_roundtrip": [("fmt", "string"), ("n", "bigint"),
                          ("key_sum", "bigint"), ("name_fp", "bigint")],
+    "tlog_merge_timetravel": [("version", "int"), ("id", "int"),
+                              ("name", "string"), ("regionkey", "int")],
     "stream_dedup_counts": [("window_start_ms", "bigint"),
                             ("event_type", "string"),
                             ("n", "bigint"),
@@ -497,7 +500,8 @@ def build_gate() -> dict:
           "cypher_dml_edges", "cypher_dml_checks")
     suite("ingest_codec_suite", admin_gate, "ingest_csv_json",
           "snapshot_roundtrip", "fhir_patients", "hl7_segments",
-          "plugin_exec", "sql_registry_funcs", "format_roundtrip")
+          "plugin_exec", "sql_registry_funcs", "format_roundtrip",
+          "tlog_merge_timetravel")
     suite("algebra_suite", admin_gate, "pipe_value_filter",
           "include_two_stage", "agg_messages_degree", "all_shortest_f6",
           "motif_one_hop", "g_weighted_sssp", "g_kcore", "g_ppr_top",
