@@ -417,43 +417,57 @@ def _norm_rel(table_abs: str, uri: str) -> str:
     return os.path.relpath(urlparse(uri).path, table_abs)
 
 
+#: above this many update rows the key side stops being broadcast and
+#: the probe/anti joins fall back to AQE's shuffle strategy — a bulk
+#: merge comparable to the table must not OOM the executors on a hint
+BROADCAST_KEY_ROWS = 10_000_000
+
+
+def _keyed(df: DataFrame, keys: list[str], n: int) -> DataFrame:
+    d = df.select(*keys).dropDuplicates()
+    return F.broadcast(d) if n <= BROADCAST_KEY_ROWS else d
+
+
 def _touched_files(spark, path: str, prev: dict, updates: DataFrame,
-                   keys: list[str]) -> list[str]:
+                   keys: list[str]) -> tuple[list[str], int]:
     """Exactly the committed files containing at least one row whose
     key matches ``updates`` — footer-stats pruning first, then an
     exact ``_metadata.file_path`` semi-join over the survivors with
-    the (broadcast, deduped) update keys."""
-    files = list(prev["files"])
-    if not files:
-        return []
+    the deduped update keys (broadcast while small). Returns
+    (files, update_row_count) — the count rides the bounds aggregate
+    for free and sizes the join strategy."""
     bounds: dict = {}
     row = updates.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.min(k).alias(f"__mn_{k}") for k in keys],
         *[F.max(k).alias(f"__mx_{k}") for k in keys],
     ).collect()[0]
+    n_up = row["__n"]
+    files = list(prev["files"])
+    if not files:
+        return [], n_up
     for k in keys:
         mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
         bounds[k] = None if mn is None else (mn, mx)
     if any(b is None for b in bounds.values()):
         # empty updates, or a key column that is null in EVERY update
         # row — the conjunctive equi-join can then match nothing
-        return []
+        return [], n_up
     stats = prev.get("stats") or {}
     cand = [f for f in files if _may_overlap(stats.get(f), bounds, keys)]
     if not cand:
-        return []
+        return [], n_up
     schema = T.StructType.fromJson(prev["schema"])
     table_abs = os.path.abspath(path)
     probed = (
         spark.read.schema(schema)
         .parquet(*[os.path.join(path, f) for f in cand])
         .select(*keys, F.col("_metadata.file_path").alias("__file"))
-        .join(F.broadcast(updates.select(*keys).dropDuplicates()),
-              on=list(keys), how="leftsemi")
+        .join(_keyed(updates, keys, n_up), on=list(keys), how="leftsemi")
         .select("__file").distinct().collect()
     )
     hit = {_norm_rel(table_abs, r["__file"]) for r in probed}
-    return [f for f in files if f in hit]
+    return [f for f in files if f in hit], n_up
 
 
 def merge(spark, path: str, updates: DataFrame,
@@ -475,14 +489,13 @@ def merge(spark, path: str, updates: DataFrame,
                 f"merge needs key columns (none stored for {path})"
             )
         up = _aligned(updates, prev, "merge")
-        touched = _touched_files(spark, path, prev, up, ks)
+        touched, n_up = _touched_files(spark, path, prev, up, ks)
         if touched:
             base = (
                 spark.read
                 .schema(T.StructType.fromJson(prev["schema"]))
                 .parquet(*[os.path.join(path, f) for f in touched])
-                .join(F.broadcast(up.select(*ks).dropDuplicates()),
-                      on=ks, how="left_anti")
+                .join(_keyed(up, ks, n_up), on=ks, how="left_anti")
                 .unionByName(up)
             )
         else:
@@ -506,7 +519,7 @@ def delete(spark, path: str, keys_df: DataFrame,
                 f"delete needs key columns (none stored for {path})"
             )
         kd = keys_df.select(*ks).dropDuplicates()
-        touched = _touched_files(spark, path, prev, kd, ks)
+        touched, n_kd = _touched_files(spark, path, prev, kd, ks)
         keep = [f for f in prev["files"] if f not in set(touched)]
         if not touched:
             rec = _base_record(prev, "delete", prev["schema"], ks)
@@ -518,7 +531,7 @@ def delete(spark, path: str, keys_df: DataFrame,
             spark.read
             .schema(T.StructType.fromJson(prev["schema"]))
             .parquet(*[os.path.join(path, f) for f in touched])
-            .join(F.broadcast(kd), on=ks, how="left_anti")
+            .join(_keyed(kd, ks, n_kd), on=ks, how="left_anti")
         )
         return _commit_new_files(path, prev, "delete", kept_rows, ks,
                                  keep=keep, remove=touched)
