@@ -630,13 +630,21 @@ class GraphSession:
 
     @classmethod
     def load(cls, spark: SparkSession, vertices_path: str, edges_path: str,
-             **kw) -> "GraphSession":
+             fmt: str = "parquet", **kw) -> "GraphSession":
         """Load a persisted graph. Dedup enforces edge identity
         (src, relationship, dst) (inmemory_storage.rs:16) and endpoint
         validation mirrors create_edge's FK check
-        (rdb/datastore.rs:272-281) via semi-joins."""
-        v = spark.read.parquet(vertices_path)
-        e = spark.read.parquet(edges_path)
+        (rdb/datastore.rs:272-281) via semi-joins. ``fmt='tlog'``
+        reads transaction-logged tables (sources/tlog.py) written by
+        ``save(fmt='tlog')``."""
+        if fmt == "parquet":
+            v = spark.read.parquet(vertices_path)
+            e = spark.read.parquet(edges_path)
+        else:
+            from graphdb_spark.sources import delta_store as DS
+
+            v = DS.load_table(spark, vertices_path, fmt)
+            e = DS.load_table(spark, edges_path, fmt)
         return cls.from_dataframes(spark, v, e, **kw)
 
     @classmethod
@@ -657,11 +665,22 @@ class GraphSession:
         kw.setdefault("assume_integrity", validate)
         return cls(spark, v, e, **kw)
 
-    def save(self, vertices_path: str, edges_path: str, mode: str = "overwrite"):
+    def save(self, vertices_path: str, edges_path: str,
+             mode: str = "overwrite", fmt: str = "parquet"):
         """Persist. Snapshot export/import equivalent
-        (lib/src/durability/snapshot.rs:33-62) — parquet instead of JSON."""
-        self._v.write.mode(mode).parquet(vertices_path)
-        self._e.write.mode(mode).parquet(edges_path)
+        (lib/src/durability/snapshot.rs:33-62) — parquet instead of
+        JSON. ``fmt='tlog'`` (or 'delta' when installed) writes
+        through the transactional store instead: versioned commits,
+        so a later ``delta_store.load_table_version`` can time-travel
+        the graph."""
+        if fmt == "parquet":
+            self._v.write.mode(mode).parquet(vertices_path)
+            self._e.write.mode(mode).parquet(edges_path)
+            return
+        from graphdb_spark.sources import delta_store as DS
+
+        DS.save_table(self._v, vertices_path, fmt, mode)
+        DS.save_table(self._e, edges_path, fmt, mode)
 
     # ------------------------------------------------------------ queries
 

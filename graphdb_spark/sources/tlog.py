@@ -305,15 +305,31 @@ def _base_record(prev: dict | None, op: str, df_schema_json: dict,
         "add": [],
         "remove": [],
         "stats": {},
+        # transactional-writer watermarks carried forward commit to
+        # commit (Delta's txnAppId/txnVersion): app -> highest epoch
+        # committed. Self-contained like the file list, so vacuum
+        # never loses them.
+        "txns": dict((prev or {}).get("txns") or {}),
     }
+
+
+def _txn_done(prev: dict, txn: tuple | None) -> bool:
+    """True when this (app, epoch) already committed — the replayed
+    micro-batch must be skipped, not re-appended."""
+    return bool(txn) and (prev.get("txns") or {}).get(txn[0], -1) >= txn[1]
 
 
 def _commit_new_files(path: str, prev: dict | None, op: str,
                       df: DataFrame, keys: list[str],
-                      keep: list[str], remove: list[str]) -> int:
+                      keep: list[str], remove: list[str],
+                      txn: tuple | None = None) -> int:
     """Write ``df``'s files, then commit file set = keep + new."""
     new_files = _write_data(df, path)
     rec = _base_record(prev, op, json.loads(df.schema.json()), keys)
+    if txn:
+        app, epoch = txn
+        rec["txn"] = {"app": str(app), "epoch": int(epoch)}
+        rec["txns"][str(app)] = int(epoch)
     rec["files"] = list(keep) + new_files
     rec["add"] = new_files
     rec["remove"] = list(remove)
@@ -333,7 +349,8 @@ def _commit_new_files(path: str, prev: dict | None, op: str,
         raise
 
 
-def create(df: DataFrame, path: str, keys: list[str] | None = None) -> int:
+def create(df: DataFrame, path: str, keys: list[str] | None = None,
+           txn: tuple | None = None) -> int:
     """Version 1 of a new table. Fails if a log already exists (use
     ``overwrite`` to replace contents)."""
     if exists(path):
@@ -342,7 +359,8 @@ def create(df: DataFrame, path: str, keys: list[str] | None = None) -> int:
         )
     os.makedirs(path, exist_ok=True)
     return _commit_new_files(path, None, "create", df,
-                             list(keys or []), keep=[], remove=[])
+                             list(keys or []), keep=[], remove=[],
+                             txn=txn)
 
 
 def _retrying(path: str, attempt_fn, retries: int = 10):
@@ -374,20 +392,31 @@ def _aligned(df: DataFrame, prev: dict, op: str) -> DataFrame:
     return df.select(*stored)
 
 
-def append(df: DataFrame, path: str, retries: int = 10) -> int:
+def append(df: DataFrame, path: str, retries: int = 10,
+           txn: tuple | None = None) -> int:
     """Add rows; previous files untouched (one O(delta) commit — the
-    partitioning.append_adjacency model, here with a real log)."""
+    partitioning.append_adjacency model, here with a real log).
+
+    ``txn=(app, epoch)`` makes the commit IDEMPOTENT per writer: a
+    replayed epoch (a restarted streaming query re-delivering a
+    micro-batch) is skipped instead of double-appended — Delta's
+    txnAppId/txnVersion contract, the exactly-once half of a
+    streaming sink (see :func:`write_stream`). Epochs must be
+    monotonically increasing per app (Structured Streaming batch ids
+    are)."""
     if not exists(path):
         try:
-            return create(df, path)
+            return create(df, path, txn=txn)
         except FileExistsError:
             pass  # lost a create race: fall through to a real append
 
     def attempt(prev):
+        if _txn_done(prev, txn):
+            return prev["version"]  # replayed micro-batch: no-op
         return _commit_new_files(
             path, prev, "append", _aligned(df, prev, "append"),
             list(prev.get("keys") or []),
-            keep=list(prev["files"]), remove=[],
+            keep=list(prev["files"]), remove=[], txn=txn,
         )
 
     return _retrying(path, attempt, retries)
@@ -471,18 +500,22 @@ def _touched_files(spark, path: str, prev: dict, updates: DataFrame,
 
 
 def merge(spark, path: str, updates: DataFrame,
-          keys: list[str] | None = None, retries: int = 10) -> int:
+          keys: list[str] | None = None, retries: int = 10,
+          txn: tuple | None = None) -> int:
     """Upsert by key (update on match, insert on miss — MERGE INTO),
     rewriting ONLY the files that contain matched keys. ``updates``
     must be key-unique (last-writer-wins is the caller's fold, as in
-    delta_store.merge_table)."""
+    delta_store.merge_table). ``txn`` as in :func:`append` — a
+    replayed epoch is skipped (idempotent streaming upsert)."""
     if not exists(path):
         try:
-            return create(updates, path, keys)
+            return create(updates, path, keys, txn=txn)
         except FileExistsError:
             pass  # lost a create race: merge into the winner's table
 
     def attempt(prev):
+        if _txn_done(prev, txn):
+            return prev["version"]  # replayed micro-batch: no-op
         ks = list(keys or prev.get("keys") or [])
         if not ks:
             raise ValueError(
@@ -502,7 +535,7 @@ def merge(spark, path: str, updates: DataFrame,
             base = up
         keep = [f for f in prev["files"] if f not in set(touched)]
         return _commit_new_files(path, prev, "merge", base, ks,
-                                 keep=keep, remove=touched)
+                                 keep=keep, remove=touched, txn=txn)
 
     return _retrying(path, attempt, retries)
 
@@ -654,8 +687,46 @@ def vacuum(path: str, retain_versions: int = 2,
             "commits_removed": len(old_commit_files)}
 
 
+# -------------------------------------------------------- streaming sink
+
+
+def write_stream(stream_df: DataFrame, path: str, checkpoint_dir: str,
+                 app: str = "tlog-stream", mode: str = "append",
+                 keys: list[str] | None = None,
+                 available_now: bool = True):
+    """Exactly-once Structured Streaming sink into a tlog table.
+
+    Each micro-batch commits through :func:`append` (or :func:`merge`
+    with ``mode='merge'`` for an upsert-by-key CDC feed) carrying
+    ``txn=(app, batch_id)``: if the query restarts from its
+    checkpoint and re-delivers a batch, the already-committed epoch
+    is skipped — the checkpoint gives at-least-once delivery, the
+    txn watermark de-duplicates it to exactly-once, the same split
+    Delta's streaming sink uses (and the transactional ingest loop
+    the reference runs through its WAL leader,
+    sled_storage_daemon_pool.rs:1351-1461).
+
+    Returns the started StreamingQuery; with ``available_now`` the
+    caller should ``awaitTermination()`` it."""
+    spark = stream_df.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "merge":
+            merge(spark, path, batch_df, keys, txn=(app, batch_id))
+        else:
+            append(batch_df, path, txn=(app, batch_id))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "CommitConflict", "NoSuchVersion", "exists", "latest_version",
     "read", "history", "table_keys", "create", "append", "overwrite",
-    "merge", "delete", "compact", "vacuum",
+    "merge", "delete", "compact", "vacuum", "write_stream",
 ]

@@ -278,6 +278,78 @@ def test_vacuum_spares_live_writer_staging_dir(spark, tmp_path):
     assert not os.path.isdir(staging)  # abandoned: reclaimed
 
 
+def test_txn_idempotent_append_and_merge(spark, tmp_path):
+    """txn=(app, epoch) is Delta's txnAppId/txnVersion: a replayed
+    epoch commits nothing, a newer one commits, apps are independent."""
+    p = str(tmp_path / "t")
+    tlog.create(_df(spark, BASE), p, keys=["id"])
+    v = tlog.append(_df(spark, [(100, "x")]), p, txn=("ingest", 0))
+    assert v == 2
+    # exact replay: version unchanged, row NOT duplicated
+    assert tlog.append(_df(spark, [(100, "x")]), p,
+                       txn=("ingest", 0)) == 2
+    assert tlog.read(spark, p).count() == len(BASE) + 1
+    assert tlog.append(_df(spark, [(101, "y")]), p,
+                       txn=("ingest", 1)) == 3
+    v_m = tlog.merge(spark, p, _df(spark, [(0, "Z")]), txn=("cdc", 5))
+    assert tlog.merge(spark, p, _df(spark, [(0, "WRONG")]),
+                      txn=("cdc", 5)) == v_m
+    got = _names(tlog.read(spark, p))
+    assert (0, "Z") in got and (0, "WRONG") not in got
+    # a different app's epoch space is independent
+    assert tlog.append(_df(spark, [(102, "w")]), p,
+                       txn=("other", 0)) > v_m
+    # watermarks survive vacuum (carried forward per commit)
+    tlog.vacuum(p, retain_versions=1, orphan_age_s=0.0)
+    assert tlog.append(_df(spark, [(103, "zz")]), p,
+                       txn=("ingest", 1)) == tlog.latest_version(p)
+    assert (103, "zz") not in _names(tlog.read(spark, p))
+
+
+def test_write_stream_exactly_once(spark, tmp_path):
+    """Structured Streaming sink: the checkpoint delivers
+    at-least-once; the txn watermark de-duplicates to exactly-once."""
+    src = str(tmp_path / "src")
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    def stream():
+        return (spark.readStream.schema("id int, name string")
+                .parquet(src))
+
+    tbl, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    q = tlog.write_stream(stream(), tbl, ckpt, app="s1")
+    q.awaitTermination(120)
+    assert _names(tlog.read(spark, tbl)) == {(1, "a"), (2, "b")}
+    n_commits = len(tlog.history(tbl))
+    # restart from the same checkpoint with no new data: no commits
+    q2 = tlog.write_stream(stream(), tbl, ckpt, app="s1")
+    q2.awaitTermination(120)
+    assert len(tlog.history(tbl)) == n_commits
+    # a crashed-sink replay of batch 0 is a no-op, not a double-append
+    tlog.append(_df(spark, [(1, "dup")]), tbl, txn=("s1", 0))
+    assert tlog.read(spark, tbl).count() == 2
+
+
+def test_graphsession_save_load_tlog(spark, tmp_path):
+    """GraphSession.save/load route fmt='tlog' through the log — the
+    persisted graph is versioned (time-travel-able), not bare files."""
+    from graphdb_spark.session import GraphSession
+    from graphdb_spark.sources import delta_store as DS
+
+    v = spark.createDataFrame([("a", "person"), ("b", "person")],
+                              "id string, label string")
+    e = spark.createDataFrame([("a", "KNOWS", "b")],
+                              "src string, relationship string, dst string")
+    g = GraphSession(spark, v, e)
+    vp, ep = str(tmp_path / "v"), str(tmp_path / "e")
+    g.save(vp, ep, fmt="tlog")
+    g2 = GraphSession.load(spark, vp, ep, fmt="tlog")
+    assert g2.vertex_count() == 2 and g2.edge_count() == 1
+    g.save(vp, ep, fmt="tlog")  # version 2
+    assert DS.load_table_version(spark, vp, 1, fmt="tlog").count() == 2
+
+
 def test_delta_store_tlog_mode(spark, tmp_path):
     """delta_store routes fmt='tlog' through the log: MERGE semantics
     identical to the parquet path, plus working time travel."""
