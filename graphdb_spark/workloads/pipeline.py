@@ -1065,8 +1065,19 @@ def lm_bigram_score(spark, sf_dir):
     Per-bigram NLL is rounded to decimal(18,6) then summed, so doc
     scores are partition-order independent and summing per occurrence
     equals the old cnt*nll exactly; ln() on identical doubles is
-    bit-identical cross-engine (the bm25/adamic/dsir trick)."""
-    d = _docs(spark, sf_dir, spread=True)
+    bit-identical cross-engine (the bm25/adamic/dsir trick).
+
+    r10: the spread width is data-derived (min(_text_width, cores))
+    instead of full cores — the gram map side is one h64 per token,
+    so at sf0.1/local[32] the 32-way spread's only effect was 32 task
+    launches on every inheriting stage (measured interleaved: 1.69 s
+    at width 32 vs 1.12 s at width 9; the checkpointed gr frame feeds
+    two explodes and the width propagates to both)."""
+    from graphdb_spark.workloads.text import _text_width
+
+    d = _docs(spark, sf_dir, spread=True,
+              width=min(_text_width(spark, sf_dir),
+                        spark.sparkContext.defaultParallelism))
     # tokens materialize in their own projection (engine-wide
     # lambda-capture rule) before the gram lambda references them
     base = d.select(

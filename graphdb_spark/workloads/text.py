@@ -32,17 +32,55 @@ _SHINGLES = (
 ).format(toks=_TOKS.format(x="lower({x})"))
 
 
-def _docs(spark, sf_dir, spread=False):
+def _docs(spark, sf_dir, spread=False, width=None):
     # documents ships as one small parquet file → a single input split.
     # For the shingle/token-explosion pipelines (CPU-bound) spread the
     # rows across cores first; for single-pass scans the repartition
     # shuffle costs more than it buys. At real scale (many files) the
-    # spread is a no-op.
+    # spread is a no-op. ``width`` overrides the spread width: CPU-
+    # LIGHT map sides (one hash per token, e.g. lm_bigram) should pass
+    # min(_text_width, cores) — full-core width just multiplies task
+    # launches across every inheriting stage (r10 A/B: lm_bigram
+    # 1.69 s at 32 vs 1.12 s at 9, while shingle-heavy tfidf prefers
+    # full cores, 1.86 s vs 2.0 s).
     d = load_tables(spark, sf_dir)["documents"]
     if spread:
-        n = max(d.sparkSession.sparkContext.defaultParallelism, 8)
+        n = width or max(d.sparkSession.sparkContext.defaultParallelism, 8)
         d = d.repartition(n)
     return d
+
+
+#: keyed-exchange sizing for the derived text pipelines (postings,
+#: pair aggregates): target this much SOURCE parquet per reduce task.
+#: Derivation (r10, measured): at sf0.1 (594 KB documents.parquet →
+#: ~259k postings → 1.25M candidate pairs) the interleaved best-of-5
+#: scan over pinned widths at local[32] gave pin8 1.88 s < pin16
+#: 2.05 s < pin32 2.70 s < AQE-natural 5.40 s — these stages are
+#: CPU-heavy but byte-light, so ~150-300k pair rows per task is the
+#: sweet spot and full-core width just multiplies per-task scheduling
+#: overhead (the same rows/task target the adamic pair exchange
+#: already sits at with its full-width pin: ~9M pairs / 32). 64 KB of
+#: source per task reproduces that optimum and SCALES WITH THE DATA:
+#: sf1 (~6 MB) → ~93 tasks, a 100 TB corpus → capped at 4× the
+#: cluster's parallelism (AQE coalescing still applies there; the cap
+#: only stops the derived width from exploding past useful).
+TEXT_BYTES_PER_TASK = 64 << 10
+
+
+def _text_width(spark, sf_dir) -> int:
+    """Reduce-side width for the text pipelines' keyed exchanges:
+    derived from the documents source size (guide §2: make
+    partitioning scale-adaptive — derive from input size — rather
+    than a constant tuned for either local mode or the cluster)."""
+    import os as _os
+
+    try:
+        path = _os.path.join(sf_dir, "documents.parquet")
+        nbytes = _os.stat(path).st_size
+    except OSError:
+        nbytes = 0
+    par = spark.sparkContext.defaultParallelism
+    return max(8, min(nbytes // TEXT_BYTES_PER_TASK, 4 * par))
 
 
 # ---------------------------------------------------------------- queries
@@ -682,17 +720,27 @@ def tfidf_cosine_pairs(spark, sf_dir):
       the RAW strings, an independent formulation that would surface
       a collision as a value diff instead of baking the same hash
       into both sides;
-    - every aggregate/join exchange pinned to full width (the
-      adamic_adar trick: these stages are CPU-heavy but byte-light,
-      and AQE's size-based coalescing would run them on 1-6 tasks —
-      measured 2x end-to-end). The one posting exchange (repartition
-      by h) is REUSED by the df count, both self-join sides, and the
-      norm branch.
+    - every aggregate/join exchange pinned to a width derived from
+      the SOURCE SIZE (_text_width, r10 — was full core count: these
+      stages are CPU-heavy but byte-light, so AQE's size-based
+      coalescing would run them on 1-6 tasks, measured 2x end-to-end
+      worse, while the full-core pin pays ~32 task launches per stage
+      for 40k-row tasks, measured pin32 2.70 s vs pin8 1.88 s at
+      sf0.1/local[32]). The one posting exchange (repartition by h)
+      is REUSED by the df count, both self-join sides, and the norm
+      branch.
     Dots and norms sum per-term products rounded to decimal(18,6), so
     scores are partition-order independent; ln() is bit-identical
     cross-engine on the same doubles (bm25/dsir trick)."""
     d = _docs(spark, sf_dir, spread=True)
-    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    # r10: keyed-exchange width derived from the source size instead
+    # of the core count (see _text_width) — at local[32]/sf0.1 the
+    # full-core pin ran the byte-light keyed stages on 40k-row tasks
+    # where per-task scheduling dominates (pin32 2.70 s vs pin8
+    # 1.88 s, interleaved best-of-5; the map-side spread keeps full
+    # cores for tokenize/shingle CPU). AQE-natural stays out (5.40 s:
+    # size-based coalescing runs these CPU-heavy exchanges on 1 task).
+    n_part = _text_width(spark, sf_dir)
     # N stays IN the plan (1-row broadcast crossJoin) — a driver-side
     # d.count() here cost a whole extra job before the query's own
     # action (same trick as pagerank's in-plan renormalization)
