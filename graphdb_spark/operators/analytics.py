@@ -201,14 +201,30 @@ def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
     return wedges.join(closing, ["x", "y"], "left_semi").select("p", "x", "y")
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame,
+                   und: DataFrame | None = None,
+                   tris: DataFrame | None = None) -> DataFrame:
     """(id, triangles) per vertex over the undirected simple graph.
 
     Degree-ordered edge-iterator (``_oriented_triangles``): every
     triangle found exactly once, then each of its 3 corners credited.
-    No cross joins; wedge cost bounded by Σ d⁺² ≤ m^1.5."""
-    und = _canonical_und(edges)
-    tris = _oriented_triangles(und, _und_degrees(und))
+    No cross joins; wedge cost bounded by Σ d⁺² ≤ m^1.5.
+
+    ``und``: optionally the precomputed canonical undirected edge set
+    (``_canonical_und`` of ``edges``) — the sketch-store pattern: the
+    wedge-family operators (triangle/clustering/support/truss/
+    assortativity) all start from the same deduped edge set, and a
+    caller running several over one graph should materialize it once
+    (r10: the five co-occurrence consumers each re-ran the pair
+    explosion + distinct). ``tris``: optionally the precomputed
+    oriented triangle stream over that same ``und``
+    (``_oriented_triangles(und, _und_degrees(und))``) — the wedge
+    join is the dominant cost of the whole family (~10 s at sf0.1
+    co-occurrence, 41M wedges), and triangle/clustering/support/
+    truss-peel-0 otherwise each re-run it."""
+    if tris is None:
+        und = und if und is not None else _canonical_und(edges)
+        tris = _oriented_triangles(und, _und_degrees(und))
     corners = (
         tris.select(F.col("p").alias("id"))
         .unionByName(tris.select(F.col("x").alias("id")))
@@ -542,7 +558,9 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
     return hub.join(auth, "id").select("id", "hub", "auth")
 
 
-def local_clustering(edges: DataFrame) -> DataFrame:
+def local_clustering(edges: DataFrame,
+                     und: DataFrame | None = None,
+                     tris: DataFrame | None = None) -> DataFrame:
     """(id, degree, triangles, coeff) — local clustering coefficient
     per vertex over the undirected simple graph: coeff = closed wedges
     at v / possible wedges = 2·tri(v) / (deg(v)·(deg(v)−1)).
@@ -555,9 +573,10 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     neighborhood collection (the classic scale killer at 100 TB is
     grouping neighbor SETS per vertex; credit-counting triangles
     avoids materializing any neighborhood)."""
-    und = _canonical_und(edges)
+    und = und if und is not None else _canonical_und(edges)
     deg = _und_degrees(und)
-    tris = _oriented_triangles(und, deg)
+    if tris is None:
+        tris = _oriented_triangles(und, deg)
     corners = (
         tris.select(F.col("p").alias("id"))
         .unionByName(tris.select(F.col("x").alias("id")))
@@ -584,7 +603,9 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def edge_support(edges: DataFrame) -> DataFrame:
+def edge_support(edges: DataFrame,
+                 und: DataFrame | None = None,
+                 tris: DataFrame | None = None) -> DataFrame:
     """(a, b, support) — per-EDGE triangle count (k-truss support) on
     the undirected simple graph: support(a,b) = |N(a) ∩ N(b)|. An edge
     with support ≥ k-2 survives the first peel of the k-truss
@@ -601,8 +622,9 @@ def edge_support(edges: DataFrame) -> DataFrame:
     tail (fan-out bounded by the ≺-out-degree ≤ O(√m)), one
     semi-closing join, one groupBy on the edge key — no all-pairs, no
     neighborhood sets materialized per vertex."""
-    und = _canonical_und(edges)
-    tris = _oriented_triangles(und, _und_degrees(und))
+    und = und if und is not None else _canonical_und(edges)
+    if tris is None:
+        tris = _oriented_triangles(und, _und_degrees(und))
     # orientation order (degree,id) ≠ canonical string order: map each
     # side back to (least, greatest) before crediting
     sides = (
@@ -621,7 +643,9 @@ def edge_support(edges: DataFrame) -> DataFrame:
     )
 
 
-def ktruss(edges: DataFrame, k: int, max_iter: int = 25) -> DataFrame:
+def ktruss(edges: DataFrame, k: int, max_iter: int = 25,
+           und: DataFrame | None = None,
+           tris: DataFrame | None = None) -> DataFrame:
     """(a, b, support): the k-truss of the undirected simple graph —
     the maximal subgraph where EVERY edge closes ≥ k-2 triangles
     within the subgraph. Iterative peel: recompute ``edge_support`` on
@@ -636,12 +660,22 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 25) -> DataFrame:
     frontier expansion. localCheckpoint cuts lineage per peel; the
     convergence probe is one count on the already-materialized set
     (nxt ⊆ cur, so equal counts ⇔ equal sets)."""
-    cur = _canonical_und(edges)
+    cur = und if und is not None else _canonical_und(edges)
     sup = None
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         sup = edge_support(
-            cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            cur.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            # cur is canonical at every peel (each nxt is a filtered
+            # subset of the previous canonical set, checkpointed), so
+            # edge_support's re-canonicalization (distinct + exchange
+            # + checkpoint per peel) is redundant — feed it directly.
+            # The caller's triangle stream is exact for peel 0 only
+            # (computed over the unpeeled set); every later peel MUST
+            # recompute support on the shrunken subgraph — that is the
+            # definition of the truss.
+            und=cur,
+            tris=tris if it == 0 else None,
         )
         nxt = (
             sup.filter(F.col("support") >= k - 2)
@@ -668,12 +702,14 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 25) -> DataFrame:
             stacklevel=2,
         )
         sup = edge_support(
-            cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            cur.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            und=cur,
         )
     return sup.filter(F.col("support") >= k - 2)
 
 
-def degree_assortativity(edges: DataFrame) -> DataFrame:
+def degree_assortativity(edges: DataFrame,
+                         und: DataFrame | None = None) -> DataFrame:
     """One-row (m_edges, r): Newman degree assortativity — the Pearson
     correlation of endpoint degrees over every edge, both orientations
     (so the statistic is symmetric on the undirected projection).
@@ -684,13 +720,15 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     the doubles are bit-identical before the ROUND. At scale this is
     two shuffles (degree groupBy + one aggregate); the double-orient
     union is a projection, not a second scan."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if und is None:
+        und = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))

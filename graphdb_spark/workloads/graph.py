@@ -826,6 +826,51 @@ def _cooccur_edges(spark, sf_dir):
     return pairs.dropDuplicates(["src", "dst"])
 
 
+_COOCCUR_UND: dict = {}
+
+
+def _cooccur_und_int(spark, sf_dir):
+    """Memoized canonical undirected simple co-occurrence edge set —
+    the resident DERIVED graph, same lifecycle as _GRAPH_CACHE /
+    text._SIG_CACHE (keyed per SparkContext + sf_dir; a fresh session
+    recomputes from the parquet). Five wedge-family consumers
+    (triangle_top, clustering_coeff, assortativity, edge_support,
+    ktruss) all start from exactly this relation; before r10 each
+    re-ran the lineitem pair explosion + distinct (the dominant cost
+    of the cheap ones) and eagerly materialized its own copy."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _COOCCUR_UND:
+        from graphdb_spark.operators.analytics import _canonical_und
+
+        _COOCCUR_UND[key] = _canonical_und(_cooccur_edges_int(spark, sf_dir))
+    return _COOCCUR_UND[key]
+
+
+_COOCCUR_TRIS: dict = {}
+
+
+def _cooccur_tris_int(spark, sf_dir):
+    """Memoized oriented triangle stream over the memoized und — the
+    wedge join behind it is the dominant cost of the whole wedge
+    family (~10 s / 41M wedges at sf0.1), and triangle_top,
+    clustering_coeff, edge_support and ktruss's first peel otherwise
+    each re-run it. 1.9M (p,x,y) long-triples at sf0.1 — compact, and
+    recomputed from parquet by every fresh session like the other
+    resident caches."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _COOCCUR_TRIS:
+        from graphdb_spark.operators.analytics import (
+            _oriented_triangles,
+            _und_degrees,
+        )
+
+        und = _cooccur_und_int(spark, sf_dir)
+        _COOCCUR_TRIS[key] = _oriented_triangles(
+            und, _und_degrees(und)
+        ).localCheckpoint(eager=False)
+    return _COOCCUR_TRIS[key]
+
+
 def _cooccur_edges_int(spark, sf_dir):
     """Integer-keyed co-occurrence pairs (src/dst = raw l_partkey
     longs, duplicates left in — every consumer dedupes anyway and a
@@ -853,7 +898,9 @@ def g_triangle_top(spark, sf_dir):
     from graphdb_spark.operators.analytics import triangle_count
 
     return (
-        triangle_count(_cooccur_edges_int(spark, sf_dir))
+        triangle_count(_cooccur_edges_int(spark, sf_dir),
+                       und=_cooccur_und_int(spark, sf_dir),
+                       tris=_cooccur_tris_int(spark, sf_dir))
         .select(
             F.concat(F.lit("p_"), F.col("id").cast("string")).alias("id"),
             F.col("triangles").cast("long").alias("triangles"),
@@ -953,7 +1000,9 @@ def g_clustering_coeff(spark, sf_dir):
     from graphdb_spark.operators.analytics import local_clustering
 
     return (
-        local_clustering(_cooccur_edges_int(spark, sf_dir))
+        local_clustering(_cooccur_edges_int(spark, sf_dir),
+                         und=_cooccur_und_int(spark, sf_dir),
+                         tris=_cooccur_tris_int(spark, sf_dir))
         .select(
             F.concat(F.lit("p_"), F.col("id").cast("string")).alias("id"),
             "degree", "triangles", "coeff",
@@ -1009,7 +1058,8 @@ def g_assortativity(spark, sf_dir):
     exact integer moments, one shared-shape double expression."""
     from graphdb_spark.operators.analytics import degree_assortativity
 
-    return degree_assortativity(_cooccur_edges_int(spark, sf_dir))
+    return degree_assortativity(_cooccur_edges_int(spark, sf_dir),
+                                und=_cooccur_und_int(spark, sf_dir))
 
 
 G_ASSORT_SQL = """
@@ -1058,7 +1108,9 @@ def g_edge_support(spark, sf_dir):
     pa = F.concat(F.lit("p_"), F.col("a").cast("string"))
     pb = F.concat(F.lit("p_"), F.col("b").cast("string"))
     return (
-        edge_support(_cooccur_edges_int(spark, sf_dir))
+        edge_support(_cooccur_edges_int(spark, sf_dir),
+                     und=_cooccur_und_int(spark, sf_dir),
+                     tris=_cooccur_tris_int(spark, sf_dir))
         # integer-canonical pairs re-canonicalize under STRING order at
         # output ('p_10' < 'p_9' lexicographically)
         .select(
@@ -1118,7 +1170,9 @@ def g_ktruss(spark, sf_dir):
     pa = F.concat(F.lit("p_"), F.col("a").cast("string"))
     pb = F.concat(F.lit("p_"), F.col("b").cast("string"))
     return (
-        ktruss(_cooccur_edges_int(spark, sf_dir), KTRUSS_K)
+        ktruss(_cooccur_edges_int(spark, sf_dir), KTRUSS_K,
+               und=_cooccur_und_int(spark, sf_dir),
+               tris=_cooccur_tris_int(spark, sf_dir))
         .select(
             F.least(pa, pb).alias("a"),
             F.greatest(pa, pb).alias("b"),
