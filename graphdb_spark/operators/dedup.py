@@ -75,13 +75,23 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard similarity via shingle-join: pairs with
     |A∩B| / |A∪B| >= threshold. The join on shingle means cost is
     sum over shingles of (docs-per-shingle)^2 — fine when shingles are
-    discriminative; use minhash_lsh_candidates when they aren't."""
-    sh = _doc_shingles(docs, text_col, id_col, k)
+    discriminative; use minhash_lsh_candidates when they aren't.
+
+    r10: the join keys on xxhash64(shingle) longs instead of the
+    ~25-byte shingle strings (the tfidf posting trick): every keyed
+    exchange and probe moves 8-byte keys, and the mapping is
+    semantically a no-op for any injective-on-the-data hash — the
+    DuckDB twin deliberately keys on the RAW strings so a 64-bit
+    collision would surface as a value diff, not be baked into both
+    sides."""
+    sh = _doc_shingles(docs, text_col, id_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
