@@ -526,7 +526,15 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
         .agg(F.least(F.col("id"), F.min("nbr")).alias("canonical"))
         .localCheckpoint(eager=False)
     )
-    n_labels = labels.count()
+    # r10: size by the 2*n_pairs BOUND instead of an exact count —
+    # |labels| = |distinct ids| <= 2*n_pairs always (each pair carries
+    # two ids). Tight for sparse near-dup graphs (~2x), loose for
+    # dense cliques — where the only consequence is a forgone
+    # broadcast hint and a coarser _rightsize estimate, never a wrong
+    # result. The exact count was a full extra pass over the label
+    # table at every scale; the lazy checkpoint still materializes
+    # exactly once, at iteration 1's first use.
+    n_labels = 2 * n_pairs
     labels = _rightsize(labels, n_labels)
     converged = False
     from graphdb_spark.operators.traversal import _no_aqe
