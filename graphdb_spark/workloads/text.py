@@ -732,7 +732,22 @@ def tfidf_cosine_pairs(spark, sf_dir):
     Dots and norms sum per-term products rounded to decimal(18,6), so
     scores are partition-order independent; ln() is bit-identical
     cross-engine on the same doubles (bm25/dsir trick)."""
-    d = _docs(spark, sf_dir, spread=True)
+    # r11: the tf pipeline filters doc_id IS NOT NULL *explicitly*.
+    # Semantically a no-op on this data model (doc_id is the table
+    # key; the final inner joins on doc_id already drop null docs) —
+    # but the pair-join side used to carry an INFERRED
+    # isnotnull(doc_id) pushed into its scan while the df-count
+    # branch, built from the same tfh object, did not, so the two
+    # subtrees were no longer identical and ReusedExchange could not
+    # fire: the r10 plan shows the full scan→tokenize→shingle→tf
+    # pipeline (3 exchanges + the CPU-heavy Generate) executing TWICE
+    # (plans/r10/tfidf_cosine_pairs_after.txt nodes 15-29). With the
+    # filter explicit on the shared pipeline both consumers see the
+    # same subtree and the df branch collapses to a ReusedExchange
+    # (guide §1.2: don't compute things twice; §2.4 share exchanges).
+    d = _docs(spark, sf_dir, spread=True).filter(
+        F.col("doc_id").isNotNull()
+    )
     # r10: keyed-exchange width derived from the source size instead
     # of the core count (see _text_width) — at local[32]/sf0.1 the
     # full-core pin ran the byte-light keyed stages on 40k-row tasks
@@ -743,8 +758,11 @@ def tfidf_cosine_pairs(spark, sf_dir):
     n_part = _text_width(spark, sf_dir)
     # N stays IN the plan (1-row broadcast crossJoin) — a driver-side
     # d.count() here cost a whole extra job before the query's own
-    # action (same trick as pagerank's in-plan renormalization)
-    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    # action (same trick as pagerank's in-plan renormalization).
+    # r11: computed from the UNSPREAD source — the count only needs
+    # row counts, and hanging it off the spread frame paid a full
+    # row shuffle (Exchange(33) in the r10 plan) for a COUNT(*).
+    n_row = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("__n"))
     tf = (
         d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("__toks"))
         .select(
